@@ -1,38 +1,789 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)     -> flagship query on sf0.001
+queries()        -> {name: fn(spark, sf_dir) -> DataFrame}
+oracle_sql()     -> {name: ANSI SQL for DuckDB over the same tables}
+
+Two query families:
+- mtail-parity (`mtail_*`): the reference's computational model —
+  regex extraction + guarded dimensioned aggregation into a metric
+  store (counters / gauges / histograms / timestamp register), see
+  SURVEY.md §2.3-2.5 — expressed over the driver's `events` table.
+- engine extensions: relational ops the reference lacks (joins,
+  windows, top-k, sessionization, set ops — SURVEY.md §2.6) plus the
+  LLM-data-pipeline operators (dedup, similarity search, text
+  analysis, multimodal plumbing) from mtail_spark.operators.
+
+Aggregate determinism policy: money/metric sums are computed in
+integer cents (`round(x*100)::bigint`) so Spark and DuckDB agree
+bit-for-bit regardless of partial-aggregation order; float outputs are
+either raw column values or left-fold reductions evaluated in the same
+order by both engines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mtail_spark.operators import dedup as D
+from mtail_spark.operators import multimodal as M
+from mtail_spark.operators import similarity as S
+from mtail_spark.operators import textstats as TX
+
+# ---------------------------------------------------------------- helpers
+
+PROPS_K_RE = r'"k":\s*(\d+)'  # extracts the k field from events.props
+
+MINHASH_HASHES = 16
+MINHASH_BANDS = 8
+MINHASH_K = 3
+MINHASH_THRESHOLD = 0.5
+SIMHASH_BITS = 32
+LSH_PLANES = 4
+EMB_DIM = 64
+
+HIST_BUCKETS = [1.0, 4.0, 16.0, 64.0]  # +Inf added implicitly
+
+
+def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    from mtail_spark.session import load_table
+
+    return load_table(spark, sf, name)
+
+
+def _cents(col):
+    return F.round(col * 100).cast("long")
+
+
+# ---------------------------------------------------------------- mtail parity
+
+
+def q_mtail_linecount(spark, sf):
+    """mtail `/$/ { lines_total++ }` (examples/linecount.mtail): a
+    scalar counter over every input line."""
+    return _t(spark, sf, "events").agg(
+        F.lit("lines_total").alias("name"), F.count(F.lit(1)).alias("value_i")
+    )
+
+
+def q_mtail_counter_by(spark, sf):
+    """Dimensioned counter with regex guard: `counter hits by type;
+    /"k":\\s*(\\d+)/ && $1 > 50 { hits[$type]++ }` — regex capture,
+    numeric compare, groupBy label, last-update timestamp."""
+    ev = _t(spark, sf, "events")
+    k = F.regexp_extract(F.col("props"), PROPS_K_RE, 1).try_cast("long")
+    return (
+        ev.filter(k > 50)
+        .groupBy(F.col("event_type").alias("event_type"))
+        .agg(F.count(F.lit(1)).alias("hits"), F.max("ts").alias("last_ts"))
+    )
+
+
+def q_mtail_bytes_sum(spark, sf):
+    """`bytes_total[$type] += $k` — add-assign from a capture group."""
+    ev = _t(spark, sf, "events")
+    k = F.regexp_extract(F.col("props"), PROPS_K_RE, 1).try_cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("bytes_total"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def q_mtail_gauge_lww(spark, sf):
+    """`gauge level by type; level[$type] = $value` — last-write-wins
+    gauge semantics: the datum is the value at the latest (ts, line)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("value").alias("gauge_value"),
+            F.col("ts").alias("last_ts"),
+        )
+    )
+
+
+def _bucket_label(col):
+    lab = F.lit("+Inf")
+    for b in reversed(HIST_BUCKETS):
+        lab = F.when(col <= F.lit(b), F.lit(str(b))).otherwise(lab)
+    return lab
+
+
+def q_mtail_histogram(spark, sf):
+    """`histogram latency buckets 1,4,16,64 by type` — route each
+    observation into the first bucket with max >= v (reference
+    internal/metrics/datum/buckets.go:42-57), plus count and sum."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.withColumn("le", _bucket_label(F.col("value")))
+        .groupBy("event_type", "le")
+        .agg(
+            F.count(F.lit(1)).alias("bucket_count"),
+            F.sum(_cents(F.col("value"))).cast("long").alias("sum_cents"),
+        )
+    )
+
+
+def q_mtail_strptime_hour(spark, sf):
+    """timestamp-register analog: bucket counts by parsed event hour
+    (mtail: strptime into the time register, export stamps datums)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy(F.hour("ts").cast("long").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_mtail_getfilename(spark, sf):
+    """getfilename() dimension (reference vm.go:904-905): count lines
+    per source file — `documents.source` stands in for the log path."""
+    return (
+        _t(spark, sf, "documents")
+        .groupBy(F.col("source").alias("filename"))
+        .agg(F.count(F.lit(1)).alias("lines"))
+    )
+
+
+# ------------------------------------------------- relational (Spark-native)
+
+
+def q_tpch_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+        F.sum(_cents(F.col("l_extendedprice"))).cast("long").alias("sum_base_cents"),
+        F.sum(
+            _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        )
+        .cast("long")
+        .alias("sum_disc_cents"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_join_revenue_by_nation(spark, sf):
+    """Fact-to-dim star join: orders x customer x nation x region with
+    broadcast dims — the fact side never shuffles for the dim joins."""
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_window_topk_orders(spark, sf):
+    """Per-group top-k via ranking window (absent in reference;
+    SURVEY.md §2.6)."""
+    orders = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def q_sessionize_events(spark, sf):
+    """Sessionization with a 30-minute inactivity gap via lag window —
+    the batch analog of a streaming session_window."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flag = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("new_session", flag)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_tumbling_window_counts(spark, sf):
+    """Tumbling 1-hour event-time windows (streaming-compatible)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_cents(F.col("value"))).cast("long").alias("sum_cents"),
+    )
+
+
+def q_set_ops_users(spark, sf):
+    """Set difference: purchasers who never hit an error."""
+    ev = _t(spark, sf, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    errs = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return buyers.exceptAll(errs).distinct()
+
+
+def q_distinct_users_by_type(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users")
+    )
+
+
+# ------------------------------------------------------------ dedup family
+
+
+def q_dedup_exact(spark, sf):
+    docs = _t(spark, sf, "documents").withColumn(
+        "prefix", F.substring("text", 1, 40)
+    )
+    return D.exact_dup_groups(docs, "prefix", "doc_id")
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return D.minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS,
+        shingle_k=MINHASH_K,
+        threshold=MINHASH_THRESHOLD,
+    )
+
+
+def q_dedup_simhash(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", D.simhash(F.col("text"), SIMHASH_BITS).alias("simhash")
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_col="lang", n=3, threshold=0.75
+    )
+
+
+def q_embedding_nn(spark, sf):
+    """Embedding near-dup probe: exact nearest neighbor (cosine) for
+    each of the first 10 vectors."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb
+    out = S.knn_bruteforce(corpus, queries, k=2)
+    # rank 1 is the vector itself (cos=1); the neighbor is rank 2
+    return out.filter(F.col("rank") == 2).select(
+        "query_id", F.col("corpus_id").alias("nn_id"), "cos_sim"
+    )
+
+
+# ------------------------------------------------------- similarity search
+
+
+def q_sim_topk_bruteforce(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return S.knn_bruteforce(corpus, queries, k=3)
+
+
+def q_sim_lsh_bucketed(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return S.knn_lsh(corpus, queries, k=3, n_planes=LSH_PLANES, dim=EMB_DIM)
+
+
+# ---------------------------------------------------------- text analysis
+
+
+def q_text_token_counts(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count_ws(F.col("text")).alias("ws_tokens"),
+        TX.token_count_bpe(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def q_text_quality(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    )
+
+
+def q_text_lang_id(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select(TX.lang_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_text_fingerprint(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", TX.doc_fingerprint(F.col("text"), 4).alias("fingerprint")
+    )
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def q_multimodal_meta(spark, sf):
+    """Binary-column plumbing: synthesized media payloads with typed
+    metadata; aggregates only touch metadata columns."""
+    docs = _t(spark, sf, "documents")
+    media = M.synthesize_media(
+        docs.select("doc_id", "text", "source"), "doc_id", "text"
+    ).join(docs.select(F.col("doc_id").alias("media_id"), "source"), "media_id")
+    return media.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.octet_length("payload")).cast("long").alias("total_bytes"),
+    )
+
+
+def q_multimodal_features(spark, sf):
+    """mapInPandas decode/featurize plumbing (deterministic fake
+    decode; no SQL oracle — checked rows-only)."""
+    docs = _t(spark, sf, "documents")
+    media = M.synthesize_media(docs, "doc_id", "text")
+    feats = M.extract_features(media, out_dim=8)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.size("feature").cast("long").alias("dim"),
+    )
+
+
+# ---------------------------------------------------------------- contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: mtail-style dimensioned counter extraction."""
+    return q_mtail_counter_by(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "mtail_linecount": q_mtail_linecount,
+        "mtail_counter_by": q_mtail_counter_by,
+        "mtail_bytes_sum": q_mtail_bytes_sum,
+        "mtail_gauge_lww": q_mtail_gauge_lww,
+        "mtail_histogram": q_mtail_histogram,
+        "mtail_strptime_hour": q_mtail_strptime_hour,
+        "mtail_getfilename": q_mtail_getfilename,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "window_topk_orders": q_window_topk_orders,
+        "sessionize_events": q_sessionize_events,
+        "tumbling_window_counts": q_tumbling_window_counts,
+        "set_ops_users": q_set_ops_users,
+        "distinct_users_by_type": q_distinct_users_by_type,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "embedding_nn": q_embedding_nn,
+        "sim_topk_bruteforce": q_sim_topk_bruteforce,
+        "sim_lsh_bucketed": q_sim_lsh_bucketed,
+        "text_token_counts": q_text_token_counts,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------- oracle SQL builders
+
+
+def _sql_md5_long(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _sql_shingles(text: str, k: int) -> str:
+    return (
+        "list_distinct([array_to_string(w[i:i+{km1}], ' ') "
+        "for i in generate_series(1, greatest(len(w)-{km1}, 1))])"
+    ).format(km1=k - 1)
+
+
+def _sql_minhash_lsh() -> str:
+    h, b, k, thr = MINHASH_HASHES, MINHASH_BANDS, MINHASH_K, MINHASH_THRESHOLD
+    r = h // b
+    sig_items = ", ".join(
+        "list_min([{h} for s in shingles])".format(
+            h=_sql_md5_long(f"concat(s, '#{j}')")
+        )
+        for j in range(h)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, shingles, {band} AS band, md5(concat_ws('-', {parts})) AS bkey FROM sig".format(
+            band=band,
+            parts=", ".join(
+                f"CAST(sig[{band * r + i + 1}] AS VARCHAR)" for i in range(r)
+            ),
+        )
+        for band in range(b)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id, {_sql_shingles('text', k)} AS shingles FROM base
+), sig AS (
+  SELECT doc_id, shingles, [{sig_items}] AS sig FROM sh
+), buckets AS (
+{band_selects}
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b,
+  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+    / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+    AS jaccard
+FROM pairs JOIN sh a ON pairs.id_a = a.doc_id JOIN sh b ON pairs.id_b = b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+    / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+    >= {thr}
+"""
+
+
+def _sql_simhash() -> str:
+    terms = " + ".join(
+        (
+            "CASE WHEN CAST(list_sum([CASE WHEN (hh >> {b}) & 1 = 1 THEN 1 "
+            "ELSE -1 END for hh in hs]) AS BIGINT) > 0 THEN {v} ELSE 0 END"
+        ).format(b=bit, v=2 ** bit)
+        for bit in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, [{_sql_md5_long('t')} for t in toks] AS hs FROM tok
+)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM h
+"""
+
+
+def _sql_dot(a: str, b: str, dim: int = EMB_DIM) -> str:
+    return (
+        f"list_reduce([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"for i in generate_series(1, {dim})], (x, y) -> x + y)"
+    )
+
+
+def _sql_norm(a: str, dim: int = EMB_DIM) -> str:
+    return (
+        f"sqrt(list_reduce([CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE) "
+        f"for i in generate_series(1, {dim})], (x, y) -> x + y))"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / ({_sql_norm(a)} * {_sql_norm(b)}))"
+
+
+def _sql_plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in plane) + "]"
+
+
+def _sql_hyperplane_sig(vec: str) -> str:
+    planes = S.make_planes(LSH_PLANES, EMB_DIM)
+    terms = []
+    for p, plane in enumerate(planes):
+        lit = _sql_plane_literal(plane)
+        dot = (
+            f"list_reduce([CAST({vec}[i] AS DOUBLE) * ({lit})[i] "
+            f"for i in generate_series(1, {EMB_DIM})], (x, y) -> x + y)"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN {2 ** p} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _sql_ngram_shingles(text: str, n: int) -> str:
+    return (
+        f"list_distinct([substr({text}, i, {n}) "
+        f"for i in generate_series(1, greatest(length({text})-{n - 1}, 1))])"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    cents = "CAST(round({x} * 100) AS BIGINT)"
+    k_expr = (
+        "TRY_CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS BIGINT)"
+    )
+    bucket_case = "CASE "
+    for b in HIST_BUCKETS:
+        bucket_case += f"WHEN value <= {b} THEN '{b}' "
+    bucket_case += "ELSE '+Inf' END"
+
+    stop_arrays = {
+        lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+        for lang, ws in TX.STOPWORDS.items()
+    }
+    hits = {
+        lang: (
+            "len(list_intersect(list_distinct("
+            "regexp_split_to_array(trim(lower(text)), '\\s+')), "
+            f"{arr}))"
+        )
+        for lang, arr in stop_arrays.items()
+    }
+    langs = list(TX.STOPWORDS)
+    lang_case = f"greatest({', '.join(hits[lang] for lang in langs)})"
+    # first-wins argmax, same as the Spark reversed-when chain
+    lang_expr = "'und'"
+    for lang in reversed(langs):
+        lang_expr = (
+            f"CASE WHEN {lang_case} > 0 AND {hits[lang]} = {lang_case} "
+            f"THEN '{lang}' ELSE {lang_expr} END"
+        )
+
+    quality = """
+      CAST(greatest(least(
+        50
+        + CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 20 ELSE 0 END
+        + CASE WHEN length(text) >= 3 * len(regexp_split_to_array(trim(text), '\\s+'))
+               AND length(text) <= 9 * len(regexp_split_to_array(trim(text), '\\s+'))
+               THEN 20 ELSE 0 END
+        - CASE WHEN len(regexp_extract_all(text, '[^\\w\\s]')) * 100 > length(text) * 20
+               THEN 25 ELSE 0 END
+        - CASE WHEN len(regexp_extract_all(text, '[A-Z]')) * 100 > length(text) * 30
+               THEN 15 ELSE 0 END,
+      100), 0) AS BIGINT)
     """
-    return {}
+
+    return {
+        "mtail_linecount": (
+            "SELECT 'lines_total' AS name, count(*) AS value_i FROM events"
+        ),
+        "mtail_counter_by": f"""
+            SELECT event_type, count(*) AS hits, max(ts) AS last_ts
+            FROM events WHERE {k_expr} > 50 GROUP BY event_type
+        """,
+        "mtail_bytes_sum": f"""
+            SELECT event_type, CAST(sum({k_expr}) AS BIGINT) AS bytes_total,
+                   max(ts) AS last_ts
+            FROM events GROUP BY event_type
+        """,
+        "mtail_gauge_lww": """
+            SELECT event_type, value AS gauge_value, ts AS last_ts
+            FROM (
+              SELECT event_type, value, ts,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY ts DESC, event_id DESC) rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "mtail_histogram": f"""
+            SELECT event_type, {bucket_case} AS le,
+                   count(*) AS bucket_count,
+                   CAST(sum({cents.format(x='value')}) AS BIGINT) AS sum_cents
+            FROM events GROUP BY event_type, {bucket_case}
+        """,
+        "mtail_strptime_hour": """
+            SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "mtail_getfilename": """
+            SELECT source AS filename, count(*) AS lines
+            FROM documents GROUP BY source
+        """,
+        "tpch_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum({cents.format(x='l_extendedprice')}) AS BIGINT)
+                     AS sum_base_cents,
+                   CAST(sum({cents.format(x='l_extendedprice * (1.0 - l_discount)')}) AS BIGINT)
+                     AS sum_disc_cents,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_revenue_by_nation": f"""
+            SELECT n_name AS nation,
+                   CAST(sum({cents.format(x='o_totalprice')}) AS BIGINT)
+                     AS revenue_cents,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "window_topk_orders": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC,
+                                                 o_orderkey ASC) rk
+              FROM orders
+            ) WHERE rk <= 2
+        """,
+        "sessionize_events": """
+            SELECT user_id,
+                   CAST(sum(new_session) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM (
+              SELECT user_id,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                          > 1800000000
+                          OR lag(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                          IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events
+            ) GROUP BY user_id
+        """,
+        "tumbling_window_counts": f"""
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n,
+                   CAST(sum({cents.format(x='value')}) AS BIGINT) AS sum_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "set_ops_users": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "dedup_exact": """
+            SELECT md5(substr(text, 1, 40)) AS text_md5,
+                   count(*) AS n_copies,
+                   CAST(min(doc_id) AS BIGINT) AS keep_id
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_minhash_lsh": _sql_minhash_lsh(),
+        "dedup_simhash": _sql_simhash(),
+        "dedup_ngram_jaccard": f"""
+            WITH g AS (
+              SELECT doc_id, lang,
+                     {_sql_ngram_shingles('text', 3)} AS grams
+              FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / CAST(len(list_distinct(list_concat(a.grams, b.grams)))
+                            AS DOUBLE) AS jaccard
+            FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / CAST(len(list_distinct(list_concat(a.grams, b.grams)))
+                           AS DOUBLE) >= 0.75
+        """,
+        "embedding_nn": f"""
+            SELECT query_id, nn_id, cos_sim FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+                     {_sql_cosine('q.embedding', 'c.embedding')} AS cos_sim,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_sql_cosine('q.embedding', 'c.embedding')}
+                                DESC, c.vec_id ASC) rn
+              FROM embeddings q JOIN embeddings c ON q.vec_id < 10
+            ) WHERE rn = 2
+        """,
+        "sim_topk_bruteforce": f"""
+            SELECT query_id, corpus_id, cos_sim, rk AS rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                     {_sql_cosine('q.embedding', 'c.embedding')} AS cos_sim,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_sql_cosine('q.embedding', 'c.embedding')}
+                                DESC, c.vec_id ASC) rk
+              FROM embeddings q JOIN embeddings c
+                ON q.vec_id < 5 AND c.vec_id >= 5
+            ) WHERE rk <= 3
+        """,
+        "sim_lsh_bucketed": f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding,
+                     {_sql_hyperplane_sig('embedding')} AS bucket
+              FROM embeddings WHERE vec_id < 5
+            ), c AS (
+              SELECT vec_id AS corpus_id, embedding,
+                     {_sql_hyperplane_sig('embedding')} AS bucket
+              FROM embeddings WHERE vec_id >= 5
+            )
+            SELECT query_id, corpus_id, cos_sim, rk AS rank FROM (
+              SELECT q.query_id, c.corpus_id,
+                     {_sql_cosine('q.embedding', 'c.embedding')} AS cos_sim,
+                     row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_sql_cosine('q.embedding', 'c.embedding')}
+                                DESC, c.corpus_id ASC) rk
+              FROM q JOIN c ON q.bucket = c.bucket
+            ) WHERE rk <= 3
+        """,
+        "text_token_counts": """
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                        AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))
+                        AS BIGINT) AS bpe_tokens
+            FROM documents
+        """,
+        "text_quality": f"""
+            SELECT doc_id, {quality} AS quality FROM documents
+        """,
+        "text_lang_id": f"""
+            SELECT {lang_expr} AS lang_guess, count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "text_fingerprint": f"""
+            WITH base AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents
+            )
+            SELECT doc_id,
+                   list_min([{_sql_md5_long('s')} for s in
+                     list_distinct([array_to_string(w[i:i+3], ' ')
+                       for i in generate_series(1, greatest(len(w)-3, 1))])])
+                   AS fingerprint
+            FROM base
+        """,
+        "multimodal_meta": """
+            SELECT source, count(*) AS n_media,
+                   CAST(sum(octet_length(encode(md5(text)))) AS BIGINT)
+                     AS total_bytes
+            FROM documents GROUP BY source
+        """,
+        # multimodal_features: mapInPandas decode path — rows-only check.
+    }

@@ -1,0 +1,96 @@
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Results are forced with the noop sink (full computation, no driver
+collect) so timings reflect executor work, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from mtail_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    # mtail-parity (regex-heavy == the dhcpd-class workload)
+    "mtail_linecount",
+    "mtail_counter_by",
+    "mtail_bytes_sum",
+    "mtail_gauge_lww",
+    "mtail_histogram",
+    # relational
+    "tpch_pricing_summary",
+    "join_revenue_by_nation",
+    "window_topk_orders",
+    "sessionize_events",
+    # extensions
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_bruteforce",
+    "text_token_counts",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("mtail-spark-bench")
+    qs = entrymod.queries()
+
+    # Warm the JVM + parquet footers with a trivial action.
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    timings = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    result = {
+        "metric": "headline_suite_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "events_rows": n_events,
+        "mtail_parity_klines_per_sec": round(
+            n_events
+            / 1000.0
+            / max(
+                sum(
+                    timings[q]
+                    for q in (
+                        "mtail_linecount",
+                        "mtail_counter_by",
+                        "mtail_bytes_sum",
+                        "mtail_gauge_lww",
+                        "mtail_histogram",
+                    )
+                )
+                / 5.0,
+                1e-9,
+            ),
+            1,
+        ),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

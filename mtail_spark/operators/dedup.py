@@ -1,0 +1,213 @@
+"""Deduplication operators for large-scale corpus curation.
+
+All hashing is engine-portable (md5-derived 60-bit integers) so results
+are reproducible across engines and cluster restarts — no dependence on
+Spark's internal hash seeds.  Everything is built from JVM-side
+higher-order functions (transform/aggregate/array_min): zero Python in
+the hot path, one shuffle per logical step.
+
+Scale notes (100 TB):
+- minhash signatures are computed map-side (no shuffle); the only
+  shuffles are the band-bucket explode+groupBy (keys are uniformly
+  distributed md5s — no skew) and the candidate-pair self-join, whose
+  size LSH keeps near-linear in the number of true near-dupes.
+- exact dedup is a single hash-groupBy; Spark's AQE handles skew from
+  pathological duplicate-heavy corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_long(col: Column) -> Column:
+    """Deterministic 60-bit integer hash: first 15 hex chars of md5.
+    Portable: DuckDB `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokenization (empty-token free)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a text column; a text shorter than k
+    words contributes its whole token sequence as one shingle."""
+    w = words(col)
+    n = F.greatest(F.size(w) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        )
+    )
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams."""
+    ln = F.greatest(F.length(col) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), ln), lambda i: F.substring(col, i, n))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """num_hashes-element minhash signature over a shingle array.
+    Hash family: md5_long(shingle + '#' + j) for j in 0..n-1."""
+    sigs = [
+        F.array_min(
+            F.transform(
+                shingles, lambda s: md5_long(F.concat(s, F.lit(f"#{j}")))
+            )
+        )
+        for j in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter.cast("double") / union.cast("double")
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups: md5-hash groupBy — the canonical 100 TB
+    dedup plan (single shuffle on a uniform 128-bit key)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(F.col(id_col)).alias("keep_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    shingle -> minhash -> band-bucket -> bucket self-join -> exact
+    Jaccard verification.  Returns (id_a, id_b, jaccard) with
+    id_a < id_b, jaccard >= threshold.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), shingle_k).alias("shingles"),
+    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "-", *[F.col("sig")[b * rows_per_band + r].cast("string")
+                               for r in range(rows_per_band)]
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = base.select(
+        "doc_id", "shingles", F.explode(band_structs).alias("bb")
+    ).select("doc_id", "shingles", "bb.band", "bb.bkey")
+
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.col("l.shingles").alias("sh_a"),
+            F.col("r.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(col: Column, n_bits: int = 32) -> Column:
+    """SimHash fingerprint over whitespace tokens.
+
+    Each distinct token votes +1/-1 per bit of its md5_long hash; the
+    fingerprint sets bit b when the vote is positive.  Near-duplicates
+    differ in few bits (compare with hamming_distance64)."""
+    tok_hashes = F.transform(
+        F.array_distinct(words(col)), lambda t: md5_long(t)
+    )
+    def bit_value(b: int) -> Column:
+        vote = F.aggregate(
+            tok_hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    out = F.lit(0).cast("long")
+    for b in range(n_bits):
+        out = out + bit_value(b)
+    return out
+
+
+def hamming_distance64(a: Column, b: Column) -> Column:
+    """Popcount of XOR — bit_count is JVM-side in Spark 3.5+."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Character-n-gram Jaccard near-dup pairs within a blocking key.
+
+    Blocking keeps the self-join linear-ish at scale (never all-pairs);
+    callers pick a cheap block (language, length bucket, LSH band)."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(block_col).alias("block"),
+        char_ngrams(F.col(text_col), n).alias("grams"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            jaccard(F.col("l.grams"), F.col("r.grams")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

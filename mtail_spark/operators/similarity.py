@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline: broadcast the
+(small) query set against the corpus — at 100 TB the corpus side never
+shuffles; the plan is scan -> map-side cosine -> per-query top-k
+(partial top-k map-side via AQE + window, or groupBy/min-heap).
+
+The scale path is LSH bucketing (random-hyperplane signs) which prunes
+the corpus to matching buckets before exact re-ranking; hyperplanes are
+derived deterministically from md5 so the index is reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mtail_spark.operators.dedup import md5_long
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Plan shape: broadcast(queries) x corpus -> window top-k.  Ties are
+    broken by neighbor id for determinism.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), as_double(F.col(vec_col)).alias("cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "corpus_id",
+        cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cos_sim", "rank")
+    )
+
+
+def make_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, d) is an
+    md5-derived value in [-1, 1).  Computed at compile time so the
+    planes are plain literals in the physical plan (and reproducible
+    anywhere, including in oracle SQL)."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2000001) / 1000000.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH signature as an n_planes-bit integer:
+    bit p is set when dot(vec, plane_p) > 0."""
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        d = dot(vec, plane_col)
+        sig = sig + F.when(d > 0, F.lit(2 ** p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: restrict the exact search to corpus vectors
+    sharing the query's hyperplane-sign bucket.  Recall is tuned by
+    n_planes (fewer planes = bigger buckets = higher recall/cost).
+
+    At scale the bucket column becomes a partition/bucketing key so the
+    join is co-located; here it is a plain equi-join (shuffle on
+    uniformly distributed bucket ids).
+    """
+    planes = make_planes(n_planes, dim)
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), as_double(F.col(vec_col)).alias("cvec")
+    ).withColumn("bucket", hyperplane_signature(F.col("cvec"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
+    ).withColumn("bucket", hyperplane_signature(F.col("qvec"), planes))
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        "corpus_id",
+        cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,84 @@
+"""Text analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+Pure JVM-side column expressions (regexp_count / split / array ops) —
+these run at scan speed and pipeline into any downstream dedup or
+filter without extra shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from mtail_spark.operators.dedup import md5_long, word_shingles, words
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio
+# language heuristic.  Order matters: deterministic argmax tiebreak.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "por"],
+}
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col)).cast("long")
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish sub-word unit count: word pieces + punctuation marks,
+    the standard pre-tokenization regex family."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"\w+|[^\w\s]"), 0)).cast("long")
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    toks = words(F.lower(col))
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(toks), stop)).cast("long")
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-hit argmax language guess with deterministic
+    first-wins tiebreak; 'und' (undetermined) when nothing hits."""
+    hits = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    out = F.lit("und")
+    # reversed so earlier languages win ties via later when() override
+    for lang in reversed(list(STOPWORDS)):
+        out = F.when((best > 0) & (hits[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0, 100]:
+    + length in a sane band, + healthy mean word length,
+    - punctuation-heavy, - ALL-CAPS-heavy.
+    Pure integer arithmetic (ratios as cross-multiplications) for
+    engine-portable determinism."""
+    n_chars = F.length(col).cast("long")
+    n_words = token_count_ws(col)
+    n_punct = F.size(F.regexp_extract_all(col, F.lit(r"[^\w\s]"), 0)).cast("long")
+    n_upper = F.size(F.regexp_extract_all(col, F.lit(r"[A-Z]"), 0)).cast("long")
+    # mean word length in [3.0, 9.0]  <=>  3*words <= chars <= 9*words
+    score = (
+        F.lit(50)
+        + F.when((n_chars >= 100) & (n_chars <= 5000), 20).otherwise(0)
+        + F.when(
+            (n_chars >= n_words * 3) & (n_chars <= n_words * 9), 20
+        ).otherwise(0)
+        - F.when(n_punct * 100 > n_chars * 20, 25).otherwise(0)
+        - F.when(n_upper * 100 > n_chars * 30, 15).otherwise(0)
+    )
+    return F.greatest(F.least(score.cast("long"), F.lit(100)), F.lit(0).cast("long"))
+
+
+def doc_fingerprint(col: Column, shingle_k: int = 4) -> Column:
+    """Rolling-hash-style content fingerprint: the minimum md5-derived
+    hash over k-word shingles (a 1-permutation minhash) — stable under
+    small insertions/deletions elsewhere in the document."""
+    return F.array_min(
+        F.transform(word_shingles(col, shingle_k), lambda s: md5_long(s))
+    )

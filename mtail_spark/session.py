@@ -1,0 +1,84 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs on local[$SPARK_GRAFT_CPUS]; the same settings are
+what we would ship on a 1000-executor cluster: AQE for runtime
+re-planning (skew joins, partition coalescing), Arrow for any
+Python<->JVM hop, and shuffle partitions sized to the parallelism at
+hand (at cluster scale AQE coalesces; the static number is only the
+upper bound of the first shuffle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def get_spark(
+    app_name: str = "mtail-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Broadcast joins for dimension tables up to 64 MB — at 100 TB the
+        # fact side never moves for dim joins.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Some inputs carry parquet TIMESTAMP(NANOS) which the Spark
+        # reader rejects; read them as long and convert in load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def sf_dir(default: str = "/root/testdata/sf0.1") -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", default)
+
+
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (unsupported by the
+    Spark vectorized reader) — detected from the footer via pyarrow."""
+    import pyarrow.dataset as ds
+    import pyarrow as pa
+
+    schema = ds.dataset(path, format="parquet").schema
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def load_table(spark: SparkSession, sf_dir_: str, name: str):
+    """Read a testdata parquet, normalizing nanosecond timestamps to
+    Spark TimestampType (microseconds, integer division — ns values
+    exceed double precision so no float math here)."""
+    path = f"{sf_dir_}/{name}.parquet"
+    ns_cols = _nanos_ts_columns(path)
+    if ns_cols:
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # already set via builder, or not settable at runtime
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df

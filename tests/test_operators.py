@@ -1,0 +1,102 @@
+"""Unit tests for extension operators on tiny in-memory data."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from mtail_spark.operators import dedup as D
+from mtail_spark.operators import similarity as S
+from mtail_spark.operators import textstats as TX
+from mtail_spark.operators import multimodal as M
+
+
+def test_exact_dup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "unique text")],
+        ["id", "text"],
+    )
+    out = D.exact_dup_groups(df, "text", "id").collect()
+    assert len(out) == 1
+    assert out[0]["n_copies"] == 2
+    assert out[0]["keep_id"] == 1
+
+
+def test_minhash_identical_docs_pair(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "completely different words entirely here")],
+        ["id", "text"],
+    )
+    pairs = D.minhash_lsh_pairs(df, "id", "text", 16, 8, 3, 0.9).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] == 1.0
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "one two three four five six seven eight"),
+        ],
+        ["id", "text"],
+    )
+    rows = {
+        r["id"]: r["sh"]
+        for r in df.select("id", D.simhash(F.col("text")).alias("sh")).collect()
+    }
+    d12 = bin(rows[1] ^ rows[2]).count("1")
+    d13 = bin(rows[1] ^ rows[3]).count("1")
+    assert d12 < d13
+
+
+def test_knn_bruteforce_self_is_nearest(spark):
+    vecs = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = S.knn_bruteforce(df, df, k=1).collect()
+    for r in out:
+        assert r["query_id"] == r["corpus_id"]
+        assert r["cos_sim"] == pytest.approx(1.0)
+
+
+def test_hyperplane_sig_deterministic(spark):
+    planes = S.make_planes(4, 4)
+    df = spark.createDataFrame([(1, [0.5, -0.25, 0.1, 0.9])], ["id", "v"])
+    a = df.select(S.hyperplane_signature(S.as_double(F.col("v")), planes).alias("s")).collect()[0]["s"]
+    b = df.select(S.hyperplane_signature(S.as_double(F.col("v")), planes).alias("s")).collect()[0]["s"]
+    assert a == b
+    assert 0 <= a < 16
+
+
+def test_textstats(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat sat on the mat, and it was happy!")], ["id", "text"]
+    )
+    row = df.select(
+        TX.token_count_ws(F.col("text")).alias("ws"),
+        TX.token_count_bpe(F.col("text")).alias("bpe"),
+        TX.lang_id(F.col("text")).alias("lang"),
+        TX.quality_score(F.col("text")).alias("q"),
+    ).collect()[0]
+    assert row["ws"] == 10
+    assert row["bpe"] == 12  # 10 words + comma + bang
+    assert row["lang"] == "en"
+    assert 0 <= row["q"] <= 100
+
+
+def test_multimodal_feature_extraction(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "defg")], ["doc_id", "text"])
+    media = M.synthesize_media(df, "doc_id", "text")
+    feats = M.extract_features(media, out_dim=4).collect()
+    assert len(feats) == 2
+    for r in feats:
+        assert r["n_bytes"] == 32  # md5 hex utf-8
+        assert len(r["feature"]) == 4
+
+
+def test_multimodal_stubs_raise(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    media = M.synthesize_media(df, "doc_id", "text")
+    with pytest.raises(NotImplementedError):
+        M.resize_images(media, 10, 10)
+    with pytest.raises(NotImplementedError):
+        M.sample_frames(media, 1000)

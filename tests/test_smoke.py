@@ -1,0 +1,26 @@
+"""Smoke tests: driver contract + core operator sanity."""
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert set(df.columns) == {"event_type", "hits", "last_ts"}
+
+
+def test_queries_and_oracles_aligned():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # all but the explicitly rows-only entries have oracles
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"multimodal_features"}
+
+
+def test_all_queries_execute_smoke(spark, sf_smoke):
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_smoke)
+        assert df.columns, name
+        df.limit(5).collect()
