@@ -1,0 +1,270 @@
+"""Public compiler API: mtail program text -> executable Spark plans.
+
+    prog = compile_program(src, "rsyncd.mtail")
+    store_df = prog.run_batch(spark, log_lines_df)   # STORE_SCHEMA rows
+
+Backend selection (SURVEY.md §7 "hard parts #1"): programs that read
+metric state (hidden-metric folds, del, metric-valued conditions) are
+order-sensitive and run as an applyInPandas fold per file — parallel
+across files, sequential within each file.  Everything else runs on
+the vectorized DataFrame backend (codegen.py): one projection pass +
+one shuffle, Catalyst/Tungsten codegen end to end.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mtail_spark.compiler.checker import CheckedProgram, check
+from mtail_spark.compiler.interp import Interp
+from mtail_spark.store import STORE_SCHEMA
+
+# Partial store rows produced by each per-file fold (labels/buckets as
+# JSON strings: exact, Arrow-friendly transport).
+PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("src_file", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("vtype", T.StringType(), False),
+        T.StructField("labels_json", T.StringType(), False),
+        T.StructField("value_i", T.LongType(), True),
+        T.StructField("value_f", T.DoubleType(), True),
+        T.StructField("value_s", T.StringType(), True),
+        T.StructField("buckets_json", T.StringType(), True),
+        T.StructField("bucket_count", T.LongType(), True),
+        T.StructField("bucket_sum", T.DoubleType(), True),
+        T.StructField("ts_us", T.LongType(), True),
+    ]
+)
+
+_LABELS_TYPE = T.MapType(T.StringType(), T.StringType())
+_BUCKETS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("le", T.DoubleType(), False),
+            T.StructField("count", T.LongType(), False),
+        ]
+    )
+)
+
+
+def _rows_to_partial(rows, src_file: str):
+    """DatumRows -> records matching PARTIAL_SCHEMA."""
+    out = []
+    for r in rows:
+        rec = {
+            "src_file": src_file,
+            "name": r.name,
+            "kind": r.kind,
+            "vtype": r.vtype,
+            "labels_json": json.dumps(dict(r.labels), sort_keys=True),
+            "value_i": None,
+            "value_f": None,
+            "value_s": None,
+            "buckets_json": None,
+            "bucket_count": None,
+            "bucket_sum": None,
+            "ts_us": r.ts,
+        }
+        if r.vtype == "Int":
+            rec["value_i"] = int(r.value)
+        elif r.vtype == "Float":
+            rec["value_f"] = float(r.value)
+        elif r.vtype == "String":
+            rec["value_s"] = r.value
+        else:  # Buckets
+            buckets, count, total = r.value
+            rec["buckets_json"] = json.dumps(
+                [
+                    {"le": ("Infinity" if le == float("inf") else le), "count": c}
+                    for le, c in buckets
+                ]
+            )
+            rec["bucket_count"] = count
+            rec["bucket_sum"] = total
+        out.append(rec)
+    return out
+
+
+@dataclass
+class CompiledProgram:
+    src: str
+    name: str
+    checked: CheckedProgram
+    syslog_use_current_year: bool = False
+
+    @property
+    def vectorizable(self) -> bool:
+        return not self.checked.cross_line_state
+
+    # ------------------------------------------------------------ local
+
+    def run_local(self, lines, filename: str = "", now_us: int = 0):
+        """Pure-Python one-shot fold (testing / tiny inputs)."""
+        it = Interp(self.checked, self.syslog_use_current_year)
+        return it.run_lines(
+            list(enumerate(lines)), filename=filename, now_us=now_us
+        )
+
+    # ------------------------------------------------------------ spark
+
+    def run_batch(
+        self,
+        spark: SparkSession,
+        log_lines: DataFrame,
+        backend: str = "auto",
+        now_us: int = 0,
+    ) -> DataFrame:
+        """Run the program over a log_lines relation
+        (filename, line_no, line) -> STORE_SCHEMA DataFrame."""
+        if backend == "auto":
+            backend = "vector" if self.vectorizable else "fold"
+        if backend == "vector":
+            from mtail_spark.compiler.codegen import vectorized_store
+
+            return vectorized_store(self, spark, log_lines, now_us=now_us)
+        return self._run_fold(spark, log_lines, now_us)
+
+    def _run_fold(self, spark, log_lines, now_us: int) -> DataFrame:
+        src, name, use_year = self.src, self.name, self.syslog_use_current_year
+
+        def fold(pdf):
+            import pandas as pd
+
+            from mtail_spark.compiler.api import _rows_to_partial
+            from mtail_spark.compiler.checker import check as _check
+            from mtail_spark.compiler.interp import Interp as _Interp
+
+            pdf = pdf.sort_values("line_no")
+            fname = pdf["filename"].iloc[0] if len(pdf) else ""
+            prog = _check(src, name)
+            it = _Interp(prog, use_year)
+            rows = it.run_lines(
+                list(zip(pdf["line_no"], pdf["line"])),
+                filename=fname,
+                now_us=now_us,
+            )
+            return pd.DataFrame(
+                _rows_to_partial(rows, fname),
+                columns=[f.name for f in PARTIAL_SCHEMA.fields],
+            )
+
+        partial = log_lines.groupBy("filename").applyInPandas(
+            fold, schema=PARTIAL_SCHEMA
+        )
+        return merge_partial_stores(partial, self.name)
+
+
+def merge_partial_stores(partial: DataFrame, prog_name: str) -> DataFrame:
+    """Merge per-file partial stores into one store (deterministic
+    cross-file semantics: counters/histograms are additive; gauges,
+    timers and text take the datum with the latest (ts, src_file);
+    datum timestamps are the max across files)."""
+    p = partial.withColumn("labels", F.from_json("labels_json", _LABELS_TYPE))
+
+    additive = p.filter(F.col("kind") == "counter")
+    # zero-init rows (value 0, ts 0) exist per file; summing keeps the
+    # identity, and max(ts) keeps epoch 0 only when never updated.
+    counters = additive.groupBy("name", "kind", "vtype", "labels_json").agg(
+        F.first("labels").alias("labels"),
+        F.sum("value_i").alias("value_i"),
+        F.sum("value_f").alias("value_f"),
+        F.lit(None).cast("string").alias("value_s"),
+        F.lit(None).cast(_BUCKETS_TYPE).alias("buckets"),
+        F.lit(None).cast("long").alias("bucket_count"),
+        F.lit(None).cast("double").alias("bucket_sum"),
+        F.max("ts_us").alias("ts_us"),
+    )
+
+    lww = p.filter(F.col("kind").isin("gauge", "timer", "text"))
+    pick = F.max_by(
+        F.struct("value_i", "value_f", "value_s", "ts_us"),
+        F.struct(F.col("ts_us"), F.col("src_file")),
+    ).alias("d")
+    gauges = (
+        lww.groupBy("name", "kind", "vtype", "labels_json")
+        .agg(F.first("labels").alias("labels"), pick)
+        .select(
+            "name", "kind", "vtype", "labels_json", "labels",
+            F.col("d.value_i").alias("value_i"),
+            F.col("d.value_f").alias("value_f"),
+            F.col("d.value_s").alias("value_s"),
+            F.lit(None).cast(_BUCKETS_TYPE).alias("buckets"),
+            F.lit(None).cast("long").alias("bucket_count"),
+            F.lit(None).cast("double").alias("bucket_sum"),
+            F.col("d.ts_us").alias("ts_us"),
+        )
+    )
+
+    hist = p.filter(F.col("kind") == "histogram").withColumn(
+        "buckets", F.from_json("buckets_json", _BUCKETS_TYPE)
+    )
+    hb = (
+        hist.select(
+            "name", "kind", "vtype", "labels_json", "labels",
+            "bucket_count", "bucket_sum", "ts_us",
+            F.explode("buckets").alias("b"),
+        )
+        .groupBy("name", "kind", "vtype", "labels_json", F.col("b.le").alias("le"))
+        .agg(
+            F.first("labels").alias("labels"),
+            F.sum("b.count").alias("cnt"),
+        )
+    )
+    hist_merged = (
+        hb.groupBy("name", "kind", "vtype", "labels_json")
+        .agg(
+            F.first("labels").alias("labels"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("le"), F.col("cnt").alias("count")))
+            ).alias("buckets"),
+        )
+        .join(
+            hist.groupBy("name", "labels_json").agg(
+                F.sum("bucket_count").alias("bucket_count"),
+                F.sum("bucket_sum").alias("bucket_sum"),
+                F.max("ts_us").alias("ts_us"),
+            ),
+            ["name", "labels_json"],
+        )
+        .select(
+            "name", "kind", "vtype", "labels_json", "labels",
+            F.lit(None).cast("long").alias("value_i"),
+            F.lit(None).cast("double").alias("value_f"),
+            F.lit(None).cast("string").alias("value_s"),
+            "buckets", "bucket_count", "bucket_sum", "ts_us",
+        )
+    )
+
+    cols = [
+        "name", "kind", "vtype", "labels_json", "labels", "value_i",
+        "value_f", "value_s", "buckets", "bucket_count", "bucket_sum", "ts_us",
+    ]
+    merged = counters.select(cols).unionByName(gauges.select(cols)).unionByName(
+        hist_merged.select(cols)
+    )
+    out = merged.select(
+        F.lit(prog_name).alias("prog"),
+        "name", "kind", "vtype", "labels",
+        "value_i", "value_f", "value_s",
+        "buckets", "bucket_count", "bucket_sum", "ts_us",
+    )
+    return out
+
+
+def compile_program(
+    src: str, name: str = "prog", syslog_use_current_year: bool = False
+) -> CompiledProgram:
+    checked = check(src, name)
+    return CompiledProgram(
+        src=src,
+        name=name,
+        checked=checked,
+        syslog_use_current_year=syslog_use_current_year,
+    )

@@ -1,0 +1,640 @@
+"""Vectorized backend: compile a CheckedProgram into a Spark SQL plan.
+
+Instead of interpreting bytecode per line (reference
+internal/runtime/vm/vm.go:336-958), the whole program becomes:
+
+1. ONE flat SELECT over log_lines (generated SQL text with lateral
+   column aliases, so every match flag / capture / guard / liveness
+   bit is a named subexpression computed once): per line it yields an
+   ARRAY of update-event structs — one slot per metric-update site,
+   NULL when that site's guard is false.
+2. `explode` of the event array -> a narrow update-event stream
+   (site, labels, value, ts, order key).
+3. ONE shuffle: groupBy (name, labels, bucket) computing every kind's
+   aggregate in a single pass — sum for counters, max_by(line order)
+   for last-write-wins gauges, bucket counts for histograms.  Map-side
+   partial aggregation means the exchange carries store-sized data.
+4. Final per-kind assembly happens driver-side: the aggregate is one
+   row per label tuple x bucket — the same fits-in-RAM-store
+   assumption the reference makes (internal/metrics/store.go).
+
+Emitting SQL text (not layered Column objects) keeps the logical plan
+a single Project: withColumn cascades at this expression count make
+Catalyst's fixed-point optimizer and task binaries blow up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mtail_spark.compiler import ast as A
+from mtail_spark.compiler.checker import CheckedProgram, strip_group_names
+from mtail_spark.compiler.gotime import normalize_spaces, to_java, year_shift_us
+from mtail_spark.store import STORE_SCHEMA
+
+US = 1_000_000
+
+
+class VectorizeError(ValueError):
+    """Program shape the vectorized backend cannot express."""
+
+
+def sq(s: str) -> str:
+    """SQL single-quoted string literal with Spark's C-style escapes."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _const_eval(e):
+    """Best-effort compile-time constant evaluation (the reference does
+    this in its optimizer pass, reference opt/opt.go:17-170)."""
+    if isinstance(e, A.IntLit):
+        return e.value
+    if isinstance(e, A.FloatLit):
+        return e.value
+    if isinstance(e, A.BinaryExpr):
+        l, r = _const_eval(e.lhs), _const_eval(e.rhs)
+        if l is None or r is None:
+            return None
+        try:
+            return {
+                "+": lambda: l + r, "-": lambda: l - r, "*": lambda: l * r,
+                "/": lambda: l // r if isinstance(l, int) and isinstance(r, int) else l / r,
+                "%": lambda: l % r, "**": lambda: l ** r,
+                "&": lambda: l & r, "|": lambda: l | r, "^": lambda: l ^ r,
+                "<<": lambda: l << r, ">>": lambda: l >> r,
+            }[e.op]()
+        except (KeyError, ZeroDivisionError, TypeError):
+            return None
+    return None
+
+
+def _bucket_maxes(mi):
+    edges = sorted(mi.decl.buckets)
+    maxes = []
+    if edges and edges[0] > 0:
+        maxes.append(edges[0])
+    maxes.extend(edges[1:])
+    maxes.append(float("inf"))
+    return maxes
+
+
+class _Site:
+    def __init__(self, seq, metric, op, labels, value, guard, ts_sql, le=None):
+        self.seq = seq
+        self.metric = metric
+        self.op = op  # inc | add | set | observe
+        self.labels = labels  # list[str] SQL
+        self.value = value  # str SQL or None
+        self.guard = guard  # str SQL (boolean)
+        self.ts_sql = ts_sql  # str SQL (BIGINT µs or NULL)
+        self.le = le  # str SQL for bucket bound (observe)
+
+
+class Vectorizer:
+    """CheckedProgram -> (defs SQL, update-event sites)."""
+
+    def __init__(self, prog: CheckedProgram, now_us: int = 0):
+        self.prog = prog
+        self.now_us = now_us
+        self.sites: list[_Site] = []
+        self.ts_entries: list[tuple[str, str]] = []
+        # Liveness via a KILL SET instead of a recursive alive chain:
+        # each `stop` or runtime-error condition contributes one
+        # independent kill event; a site is alive iff no kill before it
+        # fired.  Kills on already-dead lines are idempotent, so this
+        # is equivalent to the reference's sequential abort — and it
+        # keeps the expression DAG depth constant (Catalyst plans are
+        # trees; recursive alive chains explode exponentially when
+        # shared subexpressions get re-inlined).
+        self.kills: list[str] = []
+        self._cap_cache: dict[str, str] = {}
+        self._pending_errs: list[str] = []
+
+    def _alive(self, upto: int | None = None) -> str:
+        ks = self.kills if upto is None else self.kills[:upto]
+        if not ks:
+            return "TRUE"
+        return "(NOT (" + " OR ".join(ks) + "))"
+
+    # -------------------------------------------------------------- regex
+
+    def _subject(self, rid: int) -> str:
+        info = self.prog.regexes[rid]
+        if info.subject is None:
+            return "line"
+        sql, _t = self._expr(info.subject)
+        return f"CAST({sql} AS STRING)"
+
+    def _java_pattern(self, rid: int) -> str:
+        return strip_group_names(self.prog.regexes[rid].pattern)
+
+    def _match_col(self, rid: int) -> str:
+        subj = self._subject(rid)
+        return f"({subj} RLIKE {sq(self._java_pattern(rid))})"
+
+    def _capref_col(self, rid: int, group: int, vtype: str) -> str:
+        subj = self._subject(rid)
+        raw = f"regexp_extract({subj}, {sq(self._java_pattern(rid))}, {group})"
+        if vtype == "Int":
+            raw = f"TRY_CAST({raw} AS BIGINT)"
+        elif vtype == "Float":
+            raw = f"TRY_CAST({raw} AS DOUBLE)"
+        if vtype in ("Int", "Float"):
+            # A typed capref whose text does not convert (incl. the empty
+            # string from a non-participating optional group) is a
+            # runtime error when evaluated (reference vm.go:97-129).
+            self._pending_errs.append(f"({raw} IS NULL)")
+        return raw
+
+    # ------------------------------------------------------- time register
+
+    def _ts_at_site(self) -> str:
+        sql = "CAST(NULL AS BIGINT)"
+        for guard, expr in self.ts_entries:
+            sql = f"CASE WHEN {guard} THEN {expr} ELSE {sql} END"
+        return sql
+
+    # ------------------------------------------------------------- exprs
+
+    def _label_str(self, sql: str, vtype: str) -> str:
+        if vtype == "Int":
+            return f"CAST(CAST({sql} AS BIGINT) AS STRING)"
+        if vtype == "Float":
+            # Go 'g' formatting strips the trailing .0
+            return (
+                f"regexp_replace(CAST(CAST({sql} AS DOUBLE) AS STRING),"
+                f" '\\\\.0$', '')"
+            )
+        return f"CAST({sql} AS STRING)"
+
+    def _bool(self, sql: str) -> str:
+        return f"coalesce(CAST({sql} AS BOOLEAN), FALSE)"
+
+    def _num(self, sql: str, t: str) -> str:
+        if t in ("Int", "Float", "Bool"):
+            return sql
+        return f"TRY_CAST({sql} AS DOUBLE)"
+
+    def _expr(self, e):
+        """Returns (sql, static_type)."""
+        if isinstance(e, A.IntLit):
+            return f"CAST({e.value} AS BIGINT)", "Int"
+        if isinstance(e, A.FloatLit):
+            return f"CAST({e.value!r} AS DOUBLE)", "Float"
+        if isinstance(e, A.StringLit):
+            return sq(e.value), "String"
+        if isinstance(e, A.Capref):
+            return self._capref_col(e.regex_id, e.group, e.vtype), e.vtype
+        if isinstance(e, A.PatternLit):
+            return self._match_col(e.regex_id), "Bool"
+        if isinstance(e, A.UnaryExpr):
+            if e.op == "MATCH":
+                return self._expr(e.expr)
+            if e.op == "!":
+                c, _ = self._expr(e.expr)
+                return f"(NOT {self._bool(c)})", "Bool"
+            if e.op == "~":
+                c, _ = self._expr(e.expr)
+                return f"(~CAST({c} AS BIGINT))", "Int"
+            raise VectorizeError(f"unary {e.op} in expression")
+        if isinstance(e, A.BinaryExpr):
+            return self._binary(e)
+        if isinstance(e, A.BuiltinCall):
+            return self._builtin(e)
+        if isinstance(e, A.IndexedExpr):
+            raise VectorizeError("metric read in vectorized program")
+        raise VectorizeError(f"expr {type(e).__name__}")
+
+    def _binary(self, e):
+        op = e.op
+        if op in ("=~", "!~"):
+            if not isinstance(e.rhs, A.PatternLit):
+                raise VectorizeError("dynamic match")
+            m = self._match_col(e.rhs.regex_id)
+            return (m if op == "=~" else f"(NOT {m})"), "Bool"
+        if op in ("&&", "||"):
+            l, _ = self._expr(e.lhs)
+            lb = self._bool(l)
+            mark = len(self._pending_errs)
+            r, _ = self._expr(e.rhs)
+            rb = self._bool(r)
+            gate = lb if op == "&&" else f"(NOT {lb})"
+            for i in range(mark, len(self._pending_errs)):
+                self._pending_errs[i] = f"({gate} AND {self._pending_errs[i]})"
+            sqlop = "AND" if op == "&&" else "OR"
+            return f"({lb} {sqlop} {rb})", "Bool"
+        l, lt = self._expr(e.lhs)
+        r, rt = self._expr(e.rhs)
+        if op in ("<", "<=", ">", ">=", "==", "!="):
+            if not (lt == "String" and rt == "String"):
+                l, r = self._num(l, lt), self._num(r, rt)
+            sqlop = {"==": "=", "!=": "!="}.get(op, op)
+            return f"({l} {sqlop} {r})", "Bool"
+        if op == "+" and lt == "String" and rt == "String":
+            return f"concat({l}, {r})", "String"
+        ln, rn = self._num(l, lt), self._num(r, rt)
+        both_int = lt != "Float" and rt != "Float"
+        t = "Int" if both_int else "Float"
+        if op in ("+", "-", "*"):
+            return f"({ln} {op} {rn})", t
+        if op == "/":
+            if both_int:
+                # Go int division truncates toward zero
+                return (
+                    f"CASE WHEN {rn} = 0 THEN NULL ELSE "
+                    f"CAST(CAST({ln} AS DOUBLE) / CAST({rn} AS DOUBLE)"
+                    f" AS BIGINT) END",
+                    "Int",
+                )
+            return f"({ln} / {rn})", "Float"
+        if op == "%":
+            return f"({ln} % {rn})", t
+        if op == "**":
+            if both_int:
+                return f"CAST(power({ln}, {rn}) AS BIGINT)", "Int"
+            return f"power({ln}, {rn})", "Float"
+        il, ir = f"CAST({ln} AS BIGINT)", f"CAST({rn} AS BIGINT)"
+        if op in ("&", "|", "^"):
+            return f"({il} {op} {ir})", "Int"
+        if op in ("<<", ">>"):
+            bits = _const_eval(e.rhs)
+            if bits is None:
+                raise VectorizeError("non-constant shift amount")
+            fn = "shiftleft" if op == "<<" else "shiftright"
+            return f"{fn}({il}, {int(bits)})", "Int"
+        raise VectorizeError(f"op {op}")
+
+    def _builtin(self, e):
+        n = e.name
+        if n == "len":
+            c, _ = self._expr(e.args[0])
+            return f"CAST(length(CAST({c} AS STRING)) AS BIGINT)", "Int"
+        if n == "tolower":
+            c, _ = self._expr(e.args[0])
+            return f"lower(CAST({c} AS STRING))", "String"
+        if n == "getfilename":
+            return "filename", "String"
+        if n == "timestamp":
+            ts = self._ts_at_site()
+            eff = f"coalesce({ts}, CAST({self.now_us} AS BIGINT))"
+            # floor division to seconds, exact on longs (negative-safe)
+            return (
+                f"CAST((({eff}) - pmod(({eff}), {US})) DIV {US} AS BIGINT)",
+                "Int",
+            )
+        if n == "strtol":
+            c, _ = self._expr(e.args[0])
+            base = e.args[1].value
+            return (
+                f"TRY_CAST(conv(CAST({c} AS STRING), {base}, 10) AS BIGINT)",
+                "Int",
+            )
+        if n == "int":
+            c, t = self._expr(e.args[0])
+            return f"CAST({self._num(c, t)} AS BIGINT)", "Int"
+        if n == "float":
+            c, t = self._expr(e.args[0])
+            return f"CAST({self._num(c, t)} AS DOUBLE)", "Float"
+        if n == "string":
+            c, t = self._expr(e.args[0])
+            return self._label_str(c, t), "String"
+        if n == "bool":
+            return self._expr(e.args[0])
+        if n == "subst":
+            old, new, val = e.args
+            cv, _ = self._expr(val)
+            cv = f"CAST({cv} AS STRING)"
+            if isinstance(old, A.PatternLit):
+                if not isinstance(new, A.StringLit):
+                    raise VectorizeError("dynamic subst replacement")
+                pat = strip_group_names(
+                    self.prog.regexes[old.regex_id].pattern
+                )
+                lit = new.value.replace("\\", "\\\\").replace("$", "\\$")
+                return f"regexp_replace({cv}, {sq(pat)}, {sq(lit)})", "String"
+            co, _ = self._expr(old)
+            cn, _ = self._expr(new)
+            return (
+                f"replace({cv}, CAST({co} AS STRING), CAST({cn} AS STRING))",
+                "String",
+            )
+        raise VectorizeError(f"builtin {n} in expression")
+
+    # --------------------------------------------------------- statements
+
+    def compile(self):
+        self._block(self.prog.stmts.stmts, "TRUE")
+
+    def _drain_errs(self, eval_guard: str):
+        """Record pending runtime-error conditions as kill events fired
+        when the expression was (structurally) evaluated."""
+        if not self._pending_errs:
+            return
+        err = " OR ".join(self._pending_errs)
+        self._pending_errs = []
+        self.kills.append(f"coalesce(({eval_guard}) AND ({err}), FALSE)")
+
+    def _block(self, stmts, guard: str):
+        """Compile with STRUCTURAL guards only (cond nesting, else,
+        otherwise); liveness joins at each site via the kill set."""
+        prior: list[str] = []
+        for s in stmts:
+            if isinstance(s, A.StmtList):
+                self._block(s.stmts, guard)
+            elif isinstance(s, A.CondStmt):
+                if isinstance(s.cond, A.OtherwiseCond):
+                    neg = " AND ".join(
+                        f"(NOT coalesce({p}, FALSE))" for p in prior
+                    ) or "TRUE"
+                    g = f"({guard} AND {neg})"
+                    if s.truth:
+                        self._block(s.truth.stmts, g)
+                    prior.append(g)
+                else:
+                    cond, _ = self._expr(s.cond)
+                    q = self._bool(cond)
+                    self._drain_errs(guard)
+                    g = f"({guard} AND {q})"
+                    if s.truth:
+                        self._block(s.truth.stmts, g)
+                    if s.els:
+                        self._block(s.els.stmts, f"({guard} AND (NOT {q}))")
+                    prior.append(g)
+            elif isinstance(s, A.ExprStmt):
+                self._action(s.expr, guard)
+            elif isinstance(s, A.StopStmt):
+                self.kills.append(f"coalesce({guard}, FALSE)")
+            elif isinstance(s, A.DelStmt):
+                raise VectorizeError("del requires the fold backend")
+            else:
+                raise VectorizeError(f"stmt {type(s).__name__}")
+
+    def _action(self, e, guard: str):
+        if isinstance(e, A.UnaryExpr) and e.op in ("++", "--"):
+            t = e.expr
+            mi = self.prog.metrics[t.lhs.name]
+            labels = self._label_cols(t)
+            self._drain_errs(guard)
+            delta = "CAST(1 AS BIGINT)" if e.op == "++" else "CAST(-1 AS BIGINT)"
+            self._add_site(mi, "inc", labels, delta, guard)
+            return
+        if isinstance(e, A.BinaryExpr) and e.op == "+=":
+            t = e.lhs
+            mi = self.prog.metrics[t.lhs.name]
+            labels = self._label_cols(t)
+            v, vt = self._expr(e.rhs)
+            self._drain_errs(guard)
+            self._add_site(mi, "add", labels, self._num(v, vt), guard)
+            return
+        if isinstance(e, A.BinaryExpr) and e.op == "=":
+            t = e.lhs
+            mi = self.prog.metrics[t.lhs.name]
+            labels = self._label_cols(t)
+            v, vt = self._expr(e.rhs)
+            self._drain_errs(guard)
+            if mi.decl.kind == "histogram":
+                self._add_site(mi, "observe", labels, self._num(v, vt), guard)
+            else:
+                self._add_site(mi, "set", labels, v, guard, vtype=vt)
+            return
+        if isinstance(e, A.BuiltinCall) and e.name == "strptime":
+            self._strptime(e, guard)
+            return
+        if isinstance(e, A.BuiltinCall) and e.name == "settime":
+            v, _ = self._expr(e.args[0])
+            self._drain_errs(guard)
+            self.ts_entries.append(
+                (f"({guard} AND {self._alive()})",
+                 f"(CAST({v} AS BIGINT) * {US})")
+            )
+            return
+        if isinstance(e, A.UnaryExpr) and e.op == "MATCH":
+            return  # bare match statement has no vectorized side effect
+        raise VectorizeError(f"action {type(e).__name__}")
+
+    def _strptime(self, e, guard: str):
+        sub, _ = self._expr(e.args[0])
+        self._drain_errs(guard)
+        layout = e.args[1].value
+        java, fields = to_java(normalize_spaces(layout))
+        subject = f"regexp_replace(CAST({sub} AS STRING), ' +', ' ')"
+        parsed = f"try_to_timestamp({subject}, {sq(java)})"
+        us = f"unix_micros({parsed})"
+        if "year" not in fields and "year2" not in fields:
+            # Java defaulted the year to 1970; Go defaults to year 0.
+            us = (
+                f"({us} - CASE WHEN month({parsed}) <= 2 "
+                f"THEN {year_shift_us(1970, 1)} "
+                f"ELSE {year_shift_us(1970, 3)} END)"
+            )
+        # runtime-error-kills-line: a failed parse (executed + null)
+        # aborts the rest of the line (reference vm.go:97-129)
+        g = f"({guard} AND {self._alive()})"
+        self.ts_entries.append((f"({g} AND {parsed} IS NOT NULL)", us))
+        self.kills.append(
+            f"coalesce({guard} AND {parsed} IS NULL, FALSE)"
+        )
+
+    def _label_cols(self, t: A.IndexedExpr):
+        out = []
+        for ix in t.index:
+            c, vt = self._expr(ix)
+            out.append(self._label_str(c, vt))
+        return out
+
+    def _add_site(self, mi, op, labels, value, guard, vtype=None):
+        g = f"({guard} AND {self._alive()})"
+        ts = self._ts_at_site()
+        le = None
+        if op == "observe":
+            maxes = _bucket_maxes(mi)
+            le = "CAST('Infinity' AS DOUBLE)"
+            for mx in reversed(maxes[:-1]):
+                le = (
+                    f"CASE WHEN {value} <= CAST({mx!r} AS DOUBLE) "
+                    f"THEN CAST({mx!r} AS DOUBLE) ELSE {le} END"
+                )
+        self.sites.append(_Site(len(self.sites), mi, op, labels, value, g, ts, le))
+
+
+def _event_sql(s: _Site, vtype: str) -> str:
+    vi = "CAST(NULL AS BIGINT)"
+    vf = "CAST(NULL AS DOUBLE)"
+    vs = "CAST(NULL AS STRING)"
+    if s.op in ("inc", "add"):
+        if vtype == "Float":
+            vf = f"CAST({s.value} AS DOUBLE)"
+        else:
+            vi = f"CAST({s.value} AS BIGINT)"
+    elif s.op == "set":
+        if vtype == "Float":
+            vf = f"CAST({s.value} AS DOUBLE)"
+        elif vtype == "Int":
+            vi = f"TRY_CAST({s.value} AS BIGINT)"
+        else:
+            vs = f"CAST({s.value} AS STRING)"
+    elif s.op == "observe":
+        vf = f"CAST({s.value} AS DOUBLE)"
+    labels = (
+        f"array({', '.join(s.labels)})" if s.labels
+        else "CAST(array() AS ARRAY<STRING>)"
+    )
+    le = s.le if s.le is not None else "CAST(NULL AS DOUBLE)"
+    ev = (
+        f"named_struct('site', {s.seq}, 'labels', {labels}, 'vi', {vi}, "
+        f"'vf', {vf}, 'vs', {vs}, 'le', {le}, 'ts_us', {s.ts_sql})"
+    )
+    return f"CASE WHEN {s.guard} THEN {ev} END"
+
+
+def vectorized_store(
+    compiled, spark: SparkSession, log_lines: DataFrame, now_us: int = 0
+) -> DataFrame:
+    """Run a vectorizable program, returning the STORE_SCHEMA frame."""
+    prog = compiled.checked
+    vz = Vectorizer(prog, now_us=now_us)
+    vz.compile()
+
+    site_meta = {
+        s.seq: (s.metric.decl.exported_name or s.metric.name, s.metric, s.op)
+        for s in vz.sites
+    }
+
+    agg_rows = []
+    if vz.sites:
+        ev_sqls = [_event_sql(s, s.metric.vtype) for s in vz.sites]
+        evs = (
+            f"filter(array({', '.join(ev_sqls)}), x -> x IS NOT NULL)"
+        )
+        view = f"__mtail_lines_{abs(id(vz)) % 10**9}"
+        log_lines.createOrReplaceTempView(view)
+        flat = spark.sql(f"SELECT line_no, {evs} AS evs FROM {view}")
+
+        events = (
+            flat.select("line_no", "evs")
+            .filter(F.size("evs") > 0)
+            .select("line_no", F.explode("evs").alias("e"))
+            .select(
+                "line_no",
+                F.col("e.site").alias("site"),
+                F.col("e.labels").alias("labels"),
+                F.col("e.vi").alias("vi"),
+                F.col("e.vf").alias("vf"),
+                F.col("e.vs").alias("vs"),
+                F.col("e.le").alias("le"),
+                F.col("e.ts_us").alias("ts_us"),
+            )
+        )
+        name_col = F.lit(None).cast("string")
+        for seq, (nm, _mi, _op) in site_meta.items():
+            name_col = F.when(F.col("site") == seq, F.lit(nm)).otherwise(
+                name_col
+            )
+        events = events.withColumn("name", name_col)
+
+        order = F.struct(F.col("line_no"), F.col("site"))
+        agg = events.groupBy("name", "labels", "le").agg(
+            F.sum("vi").alias("sum_i"),
+            F.sum("vf").alias("sum_f"),
+            F.count(F.lit(1)).alias("n_obs"),
+            F.max_by(F.struct("vi", "vf", "vs", "ts_us"), order).alias("last"),
+            F.max_by("ts_us", order).alias("last_ts"),
+        )
+        agg_rows = agg.collect()
+        spark.catalog.dropTempView(view)
+
+    # ---- driver-side store assembly (store-sized data)
+    by_name = {}
+    for seq, (nm, mi, op) in site_meta.items():
+        by_name[nm] = mi
+
+    grouped: dict = {}
+    for r in agg_rows:
+        grouped.setdefault((r["name"], tuple(r["labels"])), []).append(r)
+
+    out_rows = []
+    touched = set()
+    for (nm, labels), rows in grouped.items():
+        mi = by_name[nm]
+        if mi.decl.hidden:
+            continue
+        touched.add(nm)
+        keys = mi.decl.keys
+        lab_map = dict(zip(keys, labels)) if keys else None
+        base_row = {
+            "prog": compiled.name, "name": nm, "kind": mi.decl.kind,
+            "labels": lab_map, "value_i": None, "value_f": None,
+            "value_s": None, "buckets": None, "bucket_count": None,
+            "bucket_sum": None, "ts_us": None,
+        }
+        kind = mi.decl.kind
+        if kind == "histogram":
+            maxes = _bucket_maxes(mi)
+            counts = {r["le"]: r["n_obs"] for r in rows}
+            base_row.update(
+                vtype="Buckets",
+                buckets=[
+                    {"le": mx, "count": int(counts.get(mx, 0))} for mx in maxes
+                ],
+                bucket_count=int(sum(r["n_obs"] for r in rows)),
+                bucket_sum=float(sum(r["sum_f"] or 0.0 for r in rows)),
+                ts_us=max(
+                    (r["last_ts"] for r in rows if r["last_ts"] is not None),
+                    default=None,
+                ),
+            )
+        else:
+            r = rows[0]
+            if kind == "counter":
+                base_row.update(
+                    vtype=mi.vtype,
+                    value_i=(int(r["sum_i"]) if mi.vtype == "Int"
+                             and r["sum_i"] is not None else None),
+                    value_f=(float(r["sum_f"]) if mi.vtype == "Float"
+                             and r["sum_f"] is not None else None),
+                    ts_us=r["last_ts"],
+                )
+            else:  # gauge / timer / text — last write wins
+                last = r["last"]
+                base_row.update(
+                    vtype=mi.vtype,
+                    value_i=last["vi"],
+                    value_f=last["vf"],
+                    value_s=last["vs"],
+                    ts_us=r["last_ts"],
+                )
+        out_rows.append(base_row)
+
+    # zero-init scalar counters + keyless histograms never touched
+    # (reference codegen.go:109-156)
+    for name, mi in prog.metrics.items():
+        if mi.decl.hidden or mi.decl.keys:
+            continue
+        nm = mi.decl.exported_name or name
+        if nm in touched:
+            continue
+        if mi.decl.kind == "counter":
+            out_rows.append(
+                {
+                    "prog": compiled.name, "name": nm, "kind": "counter",
+                    "vtype": mi.vtype, "labels": None,
+                    "value_i": 0 if mi.vtype != "Float" else None,
+                    "value_f": 0.0 if mi.vtype == "Float" else None,
+                    "value_s": None, "buckets": None, "bucket_count": None,
+                    "bucket_sum": None, "ts_us": 0,
+                }
+            )
+        elif mi.decl.kind == "histogram":
+            out_rows.append(
+                {
+                    "prog": compiled.name, "name": nm, "kind": "histogram",
+                    "vtype": "Buckets", "labels": None,
+                    "value_i": None, "value_f": None, "value_s": None,
+                    "buckets": [
+                        {"le": mx, "count": 0} for mx in _bucket_maxes(mi)
+                    ],
+                    "bucket_count": 0, "bucket_sum": 0.0, "ts_us": None,
+                }
+            )
+    return spark.createDataFrame(out_rows, STORE_SCHEMA)

@@ -18,8 +18,8 @@ reference internal/mtail/golden/reader.go:20-156:
 from __future__ import annotations
 
 import re
-from datetime import datetime, timezone
 
+from mtail_spark.compiler.gotime import civil_to_epoch_us
 from mtail_spark.store import EPOCH, DatumRow
 
 _LINE_RE = re.compile(
@@ -46,18 +46,30 @@ def _parse_value(raw: str):
         return "String", raw
 
 
-def _parse_ts(raw: str) -> datetime | None:
+_RFC3339_RE = re.compile(
+    r"^(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})(?:\.(\d+))?"
+    r"(Z|[+-]\d{2}:?\d{2})$"
+)
+
+
+def _parse_ts(raw: str) -> int | None:
+    """RFC3339 (year 0000 allowed) or integer nanoseconds -> epoch µs."""
     if not raw:
         return None
+    m = _RFC3339_RE.match(raw)
+    if m:
+        y, mo, d, h, mi, s = (int(m.group(i)) for i in range(1, 7))
+        frac = m.group(7) or ""
+        us = int((frac + "000000")[:6]) if frac else 0
+        val = civil_to_epoch_us(y, mo, d, h, mi, s, us)
+        z = m.group(8)
+        if z != "Z":
+            sign = 1 if z[0] == "+" else -1
+            zh, zm = int(z[1:3]), int(z[-2:])
+            val -= sign * (zh * 3600 + zm * 60) * 1_000_000
+        return val
     try:
-        return datetime.fromisoformat(raw.replace("Z", "+00:00")).astimezone(
-            timezone.utc
-        )
-    except ValueError:
-        pass
-    try:
-        ns = int(raw)
-        return datetime.fromtimestamp(ns / 1e9, tz=timezone.utc)
+        return int(raw) // 1000
     except ValueError:
         return None
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from datetime import datetime, timezone
 
 from pyspark.sql import types as T
 
@@ -46,11 +45,15 @@ STORE_SCHEMA = T.StructType(
         ),
         T.StructField("bucket_count", T.LongType(), True),
         T.StructField("bucket_sum", T.DoubleType(), True),
-        T.StructField("ts", T.TimestampType(), True),
+        # Datum timestamp in epoch MICROSECONDS (int64).  Go's time
+        # model reaches year 0 (yearless syslog defaults, reference
+        # vm.go:309-332 with the current-year patch off), which neither
+        # Python datetime nor Spark TimestampType can represent.
+        T.StructField("ts_us", T.LongType(), True),
     ]
 )
 
-EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+EPOCH = 0  # epoch microseconds
 
 KINDS = ("counter", "gauge", "timer", "text", "histogram")
 VTYPES = ("Int", "Float", "String", "Buckets")
@@ -64,9 +67,9 @@ class DatumRow:
     name: str
     kind: str
     vtype: str
-    labels: tuple  # tuple of (k, v) pairs, ordered by metric Keys
+    labels: tuple  # tuple of (k, v) pairs, sorted by key
     value: object  # int | float | str | tuple of (le, count) pairs
-    ts: datetime | None
+    ts: int | None  # epoch microseconds
 
     def sort_key(self):
         return (self.prog, self.name, self.labels)
@@ -145,9 +148,7 @@ def rows_from_df(df) -> list[DatumRow]:
             value = r["value_s"]
         else:
             value = tuple((b["le"], b["count"]) for b in (r["buckets"] or []))
-        ts = r["ts"]
-        if ts is not None and ts.tzinfo is None:
-            ts = ts.replace(tzinfo=timezone.utc)
+        ts = r["ts_us"]
         out.append(
             DatumRow(r["prog"], r["name"], r["kind"], r["vtype"], labels, value, ts)
         )
