@@ -141,6 +141,30 @@ def q_mtail_strptime_hour(spark, sf):
     )
 
 
+def q_mtail_prog_counters(spark, sf):
+    """A real mtail program (counters + dimensioned counters + strptime)
+    compiled by mtail_spark.compiler and executed on the vectorized
+    Spark backend, over log lines rendered from events."""
+    from mtail_spark.plans.demo_programs import q_mtail_prog_counters as q
+
+    return q(spark, sf)
+
+
+def q_mtail_prog_gauge(spark, sf):
+    """mtail last-write-wins gauge program through the compiler."""
+    from mtail_spark.plans.demo_programs import q_mtail_prog_gauge as q
+
+    return q(spark, sf)
+
+
+def q_mtail_prog_histogram(spark, sf):
+    """mtail histogram program (bucket routing per reference
+    datum/buckets.go:42-57) through the compiler."""
+    from mtail_spark.plans.demo_programs import q_mtail_prog_histogram as q
+
+    return q(spark, sf)
+
+
 def q_mtail_getfilename(spark, sf):
     """getfilename() dimension (reference vm.go:904-905): count lines
     per source file — `documents.source` stands in for the log path."""
@@ -396,6 +420,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtail_histogram": q_mtail_histogram,
         "mtail_strptime_hour": q_mtail_strptime_hour,
         "mtail_getfilename": q_mtail_getfilename,
+        "mtail_prog_counters": q_mtail_prog_counters,
+        "mtail_prog_gauge": q_mtail_prog_gauge,
+        "mtail_prog_histogram": q_mtail_prog_histogram,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_topk_orders": q_window_topk_orders,
@@ -420,6 +447,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ------------------------------------------------------- oracle SQL builders
+
+
+def _demo():
+    from mtail_spark.plans import demo_programs
+
+    return demo_programs
 
 
 def _sql_md5_long(expr: str) -> str:
@@ -621,6 +654,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT source AS filename, count(*) AS lines
             FROM documents GROUP BY source
         """,
+        "mtail_prog_counters": _demo().ORACLE_COUNTERS,
+        "mtail_prog_gauge": _demo().ORACLE_GAUGE,
+        "mtail_prog_histogram": _demo().ORACLE_HIST,
         "tpch_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

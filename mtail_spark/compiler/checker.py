@@ -93,6 +93,9 @@ class CheckedProgram:
     regexes: list = field(default_factory=list)
     cross_line_state: bool = False
     uses_getfilename: bool = False
+    # metric name -> `del ... after` duration in seconds (state TTL,
+    # reference store.go:156-180 GC semantics)
+    expiries: dict = field(default_factory=dict)
 
 
 # ------------------------------------------------- capture group analysis
@@ -303,6 +306,10 @@ class Checker:
         self._walk_block(body, scope=[{}])
         # pass 4: metric value types from update sites
         self._infer_metric_types(body)
+        expiries = {}
+        for node in A.walk(body):
+            if isinstance(node, A.DelStmt) and node.expiry_s is not None:
+                expiries[node.target.lhs.name] = node.expiry_s
         prog = CheckedProgram(
             name=self.name,
             stmts=body,
@@ -310,6 +317,7 @@ class Checker:
             regexes=self.regexes,
             cross_line_state=self.cross_line,
             uses_getfilename=self.uses_getfilename,
+            expiries=expiries,
         )
         return prog
 

@@ -508,8 +508,12 @@ def vectorized_store(
             f"filter(array({', '.join(ev_sqls)}), x -> x IS NOT NULL)"
         )
         view = f"__mtail_lines_{abs(id(vz)) % 10**9}"
+        # use the input frame's own session: under foreachBatch the
+        # batch DataFrame belongs to a cloned micro-batch session whose
+        # temp views the outer session cannot see
+        sess = log_lines.sparkSession
         log_lines.createOrReplaceTempView(view)
-        flat = spark.sql(f"SELECT line_no, {evs} AS evs FROM {view}")
+        flat = sess.sql(f"SELECT line_no, {evs} AS evs FROM {view}")
 
         events = (
             flat.select("line_no", "evs")
@@ -542,7 +546,7 @@ def vectorized_store(
             F.max_by("ts_us", order).alias("last_ts"),
         )
         agg_rows = agg.collect()
-        spark.catalog.dropTempView(view)
+        sess.catalog.dropTempView(view)
 
     # ---- driver-side store assembly (store-sized data)
     by_name = {}

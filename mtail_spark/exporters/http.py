@@ -1,0 +1,62 @@
+"""HTTP serving surface: /metrics /json /varz /graphite
+(reference internal/mtail/mtail.go:120 route wiring).
+
+The server reads from a store *provider* (a callable returning the
+current store rows) so it composes with both batch results and the
+streaming store, which foreachBatch keeps updating.
+"""
+
+from __future__ import annotations
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from mtail_spark.exporters.formats import (
+    to_graphite,
+    to_json,
+    to_prometheus,
+    to_varz,
+)
+
+
+class MetricsServer:
+    def __init__(self, rows_provider, host: str = "127.0.0.1", port: int = 0):
+        provider = rows_provider
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802
+                routes = {
+                    "/metrics": ("text/plain; version=0.0.4", to_prometheus),
+                    "/json": ("application/json", to_json),
+                    "/varz": ("text/plain", to_varz),
+                    "/graphite": ("text/plain", to_graphite),
+                }
+                hit = routes.get(self.path.split("?")[0])
+                if hit is None:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                ctype, fmt = hit
+                body = fmt(provider()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()

@@ -1,0 +1,184 @@
+"""Demo mtail programs run by the driver's correctness gate.
+
+Each program runs over log lines RENDERED from the events table (the
+engine's universal input is text lines), through the real compiler and
+vectorized backend; the DuckDB oracle reproduces the whole pipeline —
+rendering, regex extraction, aggregation — in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mtail_spark.compiler.api import compile_program
+from mtail_spark.sources.logs import log_lines_from_df
+
+# line: "<iso-ts> <type> user=<id> val=<cents> <props-json>"
+LINE_RE = r"^(?P<dt>\S+) (?P<type>\w+) user=(?P<user>\d+) val=(?P<cents>\d+)"
+
+COUNTER_PROG = f"""
+counter events_total
+counter by_type by type
+counter cents_total by type
+
+/{LINE_RE.replace('/', chr(92) + '/')}/ {{
+  strptime($dt, "2006-01-02T15:04:05")
+  events_total++
+  by_type[$type]++
+  cents_total[$type] += $cents
+}}
+"""
+
+GAUGE_PROG = f"""
+gauge last_cents by type
+
+/{LINE_RE.replace('/', chr(92) + '/')}/ {{
+  strptime($dt, "2006-01-02T15:04:05")
+  last_cents[$type] = $cents
+}}
+"""
+
+HIST_PROG = f"""
+histogram cents_hist by type buckets 100, 400, 1600, 6400
+
+/{LINE_RE.replace('/', chr(92) + '/')}/ {{
+  strptime($dt, "2006-01-02T15:04:05")
+  cents_hist[$type] = $cents
+}}
+"""
+
+# The same rendering in both engines.  Cents via round(value*100) —
+# identical IEEE doubles and half-away-from-zero on positives.
+SPARK_RENDER = None  # built in render_lines
+
+ORACLE_RENDER = (
+    "SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS dt, event_type, "
+    "CAST(round(value * 100) AS BIGINT) AS cents, "
+    "CAST(epoch_us(date_trunc('second', ts)) AS BIGINT) AS ts_us "
+    "FROM events"
+)
+
+
+def render_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtail_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat_ws(
+        " ",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+        F.col("event_type"),
+        F.concat(F.lit("user="), F.col("user_id").cast("string")),
+        F.concat(
+            F.lit("val="), F.round(F.col("value") * 100).cast("long").cast("string")
+        ),
+        F.col("props"),
+    )
+    return log_lines_from_df(
+        ev.withColumn("line", line), "line", filename="events", order_col="event_id"
+    )
+
+
+def q_mtail_prog_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prog = compile_program(COUNTER_PROG, "demo_counters.mtail")
+    store = prog.run_batch(spark, render_lines(spark, sf_dir))
+    return store.select(
+        "name",
+        F.coalesce(F.col("labels")["type"], F.lit("")).alias("type"),
+        F.col("value_i"),
+        F.col("ts_us"),
+    )
+
+
+def q_mtail_prog_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prog = compile_program(GAUGE_PROG, "demo_gauge.mtail")
+    store = prog.run_batch(spark, render_lines(spark, sf_dir))
+    return store.select(
+        F.col("labels")["type"].alias("type"),
+        F.col("value_i").alias("last_cents"),
+        F.col("ts_us"),
+    )
+
+
+def q_mtail_prog_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prog = compile_program(HIST_PROG, "demo_hist.mtail")
+    store = prog.run_batch(spark, render_lines(spark, sf_dir))
+    return store.select(
+        F.col("labels")["type"].alias("type"),
+        F.col("bucket_count"),
+        F.col("bucket_sum"),
+        F.explode("buckets").alias("b"),
+    ).select(
+        "type",
+        F.col("b.le").alias("le"),
+        F.col("b.count").alias("n"),
+        "bucket_count",
+        "bucket_sum",
+    )
+
+
+ORACLE_COUNTERS = f"""
+WITH r AS ({ORACLE_RENDER}),
+last AS (
+  SELECT event_type, ts_us,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id DESC) rn
+  FROM r
+),
+lastg AS (SELECT event_type, ts_us FROM last WHERE rn = 1),
+lastall AS (
+  SELECT ts_us FROM (
+    SELECT ts_us, row_number() OVER (ORDER BY event_id DESC) rn FROM r
+  ) WHERE rn = 1
+)
+SELECT 'events_total' AS name, '' AS type,
+       (SELECT count(*) FROM r) AS value_i,
+       (SELECT ts_us FROM lastall) AS ts_us
+UNION ALL
+SELECT 'by_type', event_type, count(*),
+       (SELECT ts_us FROM lastg WHERE lastg.event_type = r.event_type)
+FROM r GROUP BY event_type
+UNION ALL
+SELECT 'cents_total', event_type, CAST(sum(cents) AS BIGINT),
+       (SELECT ts_us FROM lastg WHERE lastg.event_type = r.event_type)
+FROM r GROUP BY event_type
+"""
+
+ORACLE_GAUGE = f"""
+WITH r AS ({ORACLE_RENDER})
+SELECT event_type AS type, cents AS last_cents, ts_us FROM (
+  SELECT event_type, cents, ts_us,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id DESC) rn
+  FROM r
+) WHERE rn = 1
+"""
+
+ORACLE_HIST = f"""
+WITH r AS ({ORACLE_RENDER}),
+b AS (SELECT * FROM (VALUES (100.0), (400.0), (1600.0), (6400.0),
+                     (CAST('Infinity' AS DOUBLE))) AS t(le)),
+obs AS (
+  SELECT event_type,
+         CASE WHEN cents <= 100 THEN 100.0
+              WHEN cents <= 400 THEN 400.0
+              WHEN cents <= 1600 THEN 1600.0
+              WHEN cents <= 6400 THEN 6400.0
+              ELSE CAST('Infinity' AS DOUBLE) END AS le,
+         cents
+  FROM r
+),
+tot AS (
+  SELECT event_type, count(*) AS bucket_count,
+         CAST(sum(CAST(cents AS DOUBLE)) AS DOUBLE) AS bucket_sum
+  FROM obs GROUP BY event_type
+),
+cnt AS (
+  SELECT event_type, le, count(*) AS n FROM obs GROUP BY event_type, le
+)
+SELECT types.event_type AS type, b.le,
+       CAST(coalesce(cnt.n, 0) AS BIGINT) AS n,
+       tot.bucket_count, tot.bucket_sum
+FROM (SELECT DISTINCT event_type FROM r) types
+CROSS JOIN b
+LEFT JOIN cnt ON cnt.event_type = types.event_type AND cnt.le = b.le
+JOIN tot ON tot.event_type = types.event_type
+"""

@@ -72,6 +72,12 @@ def load_table(spark: SparkSession, sf_dir_: str, name: str):
     Spark TimestampType (microseconds, integer division — ns values
     exceed double precision so no float math here)."""
     path = f"{sf_dir_}/{name}.parquet"
+    try:
+        # timestamps are compared against a tz-naive oracle; normalize
+        # rendering/extraction to UTC regardless of the host session
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     ns_cols = _nanos_ts_columns(path)
     if ns_cols:
         try:

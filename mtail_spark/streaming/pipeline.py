@@ -1,0 +1,150 @@
+"""Structured Streaming execution of compiled mtail programs.
+
+Shape: readStream (text file source — new-file discovery covers the
+reference's glob-polling and rotation-as-new-file model, reference
+internal/tailer/logstream/filestream.go) -> per-micro-batch run of the
+compiled program (vectorized plan or per-file fold) -> foreachBatch
+merge into a serving StreamingMetricStore.
+
+The serving store implements the reference's state management:
+- counters/histograms merge additively across batches
+- gauges/timers/text keep last-write-wins by batch order
+- `del ... after` TTL expiry + `limit N` cardinality eviction run as
+  the per-batch GC sweep (reference store.go:156-203: expire stale
+  datums; evict oldest-stamped datums above the limit)
+
+At scale: each micro-batch is a normal vectorized batch plan (one scan
++ one store-sized shuffle); the serving store is metric-cardinality
+sized and lives on the driver, exactly like the reference's in-RAM
+store, and is what /metrics etc. serve from.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mtail_spark.compiler.api import CompiledProgram
+
+US = 1_000_000
+
+
+class StreamingMetricStore:
+    def __init__(self, prog: CompiledProgram):
+        self.prog = prog
+        self.lock = threading.Lock()
+        # (name, labels_tuple) -> dict(row fields)
+        self.data: dict = {}
+        self.n_batches = 0
+
+    def merge_batch(self, rows) -> None:
+        with self.lock:
+            self.n_batches += 1
+            for r in rows:
+                key = (r["name"], tuple(sorted((r["labels"] or {}).items())))
+                cur = self.data.get(key)
+                if cur is None:
+                    self.data[key] = dict(r.asDict() if hasattr(r, "asDict") else r)
+                    continue
+                kind = r["kind"]
+                if kind == "counter":
+                    for f in ("value_i", "value_f"):
+                        if r[f] is not None:
+                            cur[f] = (cur[f] or 0) + r[f]
+                    cur["ts_us"] = max(
+                        cur["ts_us"] or 0, r["ts_us"] or 0
+                    ) or None
+                elif kind == "histogram":
+                    merged = []
+                    for old, new in zip(cur["buckets"] or [], r["buckets"] or []):
+                        merged.append(
+                            {"le": old["le"], "count": old["count"] + new["count"]}
+                        )
+                    cur["buckets"] = merged
+                    cur["bucket_count"] = (cur["bucket_count"] or 0) + (
+                        r["bucket_count"] or 0
+                    )
+                    cur["bucket_sum"] = (cur["bucket_sum"] or 0.0) + (
+                        r["bucket_sum"] or 0.0
+                    )
+                    if r["ts_us"] is not None:
+                        cur["ts_us"] = max(cur["ts_us"] or 0, r["ts_us"])
+                else:  # gauge / timer / text: batches arrive in order
+                    for f in ("value_i", "value_f", "value_s", "ts_us"):
+                        cur[f] = r[f]
+
+    def gc(self, now_us: int | None = None) -> int:
+        """TTL expiry + limit eviction (reference store.go:156-203)."""
+        now_us = now_us if now_us is not None else int(time.time() * US)
+        removed = 0
+        with self.lock:
+            # expiry: datums idle longer than their metric's TTL
+            for name, ttl_s in self.prog.checked.expiries.items():
+                cutoff = now_us - int(ttl_s * US)
+                for key in [
+                    k for k, v in self.data.items()
+                    if k[0] == name and (v["ts_us"] or 0) < cutoff and k[1]
+                ]:
+                    del self.data[key]
+                    removed += 1
+            # limit: evict oldest-stamped datums beyond the cap
+            for mname, mi in self.prog.checked.metrics.items():
+                limit = mi.decl.limit
+                if not limit:
+                    continue
+                nm = mi.decl.exported_name or mname
+                keys = [k for k in self.data if k[0] == nm and k[1]]
+                if len(keys) > limit:
+                    keys.sort(key=lambda k: self.data[k]["ts_us"] or 0)
+                    for k in keys[: len(keys) - limit]:
+                        del self.data[k]
+                        removed += 1
+        return removed
+
+    def rows(self) -> list[dict]:
+        with self.lock:
+            return [dict(v) for v in self.data.values()]
+
+
+def streaming_log_lines(batch_df: DataFrame) -> DataFrame:
+    """A micro-batch of the text file source -> log_lines relation.
+    Arrival order within the batch is the line order (matching the
+    reference's read-order semantics)."""
+    return batch_df.select(
+        F.input_file_name().alias("filename"),
+        F.monotonically_increasing_id().alias("line_no"),
+        F.regexp_replace(F.col("value"), "\r$", "").alias("line"),
+    )
+
+
+def run_program_stream(
+    prog: CompiledProgram,
+    spark: SparkSession,
+    path: str,
+    store: StreamingMetricStore | None = None,
+    trigger: dict | None = None,
+    checkpoint: str | None = None,
+    gc_every_batches: int = 10,
+):
+    """Start a streaming query running `prog` over text files appearing
+    under `path`.  Returns (store, StreamingQuery)."""
+    store = store or StreamingMetricStore(prog)
+
+    def on_batch(batch_df: DataFrame, batch_id: int):
+        lines = streaming_log_lines(batch_df)
+        result = prog.run_batch(spark, lines)
+        store.merge_batch(result.collect())
+        if gc_every_batches and store.n_batches % gc_every_batches == 0:
+            store.gc()
+
+    stream = spark.readStream.format("text").load(path)
+    writer = stream.writeStream.foreachBatch(on_batch)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    query = writer.start()
+    return store, query
