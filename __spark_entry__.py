@@ -297,9 +297,7 @@ def q_dedup_minhash_lsh(spark, sf):
 
 def q_dedup_simhash(spark, sf):
     docs = _t(spark, sf, "documents")
-    return docs.select(
-        "doc_id", D.simhash(F.col("text"), SIMHASH_BITS).alias("simhash")
-    )
+    return D.simhash_table(docs, "doc_id", "text", SIMHASH_BITS)
 
 
 def q_dedup_ngram_jaccard(spark, sf):
@@ -470,9 +468,8 @@ def _sql_minhash_lsh() -> str:
     h, b, k, thr = MINHASH_HASHES, MINHASH_BANDS, MINHASH_K, MINHASH_THRESHOLD
     r = h // b
     sig_items = ", ".join(
-        "list_min([{h} for s in shingles])".format(
-            h=_sql_md5_long(f"concat(s, '#{j}')")
-        )
+        "list_min([CAST(concat('0x', substr(hh, {off}, 8)) AS BIGINT) "
+        "for hh in hstrs])".format(off=8 * j + 1)
         for j in range(h)
     )
     band_selects = "\nUNION ALL\n".join(
@@ -489,8 +486,13 @@ WITH base AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
 ), sh AS (
   SELECT doc_id, {_sql_shingles('text', k)} AS shingles FROM base
+), hs AS (
+  SELECT doc_id, shingles,
+         [concat(md5(s), md5(concat(s, '#')), md5(concat(s, '##')),
+                 md5(concat(s, '###'))) for s in shingles] AS hstrs
+  FROM sh
 ), sig AS (
-  SELECT doc_id, shingles, [{sig_items}] AS sig FROM sh
+  SELECT doc_id, shingles, [{sig_items}] AS sig FROM hs
 ), buckets AS (
 {band_selects}
 ), pairs AS (

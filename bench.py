@@ -28,6 +28,10 @@ BENCH_QUERIES = [
     "mtail_bytes_sum",
     "mtail_gauge_lww",
     "mtail_histogram",
+    # real mtail programs through the compiler's vectorized backend
+    "mtail_prog_counters",
+    "mtail_prog_gauge",
+    "mtail_prog_histogram",
     # relational
     "tpch_pricing_summary",
     "join_revenue_by_nation",
@@ -87,6 +91,11 @@ def main():
                 1e-9,
             ),
             1,
+        ),
+        # the dhcpd-class comparison: a real compiled mtail program
+        # (regex + strptime + dimensioned counters) over rendered lines
+        "compiled_program_klines_per_sec": round(
+            n_events / 1000.0 / max(timings["mtail_prog_counters"], 1e-9), 1
         ),
     }
     print(json.dumps(result))

@@ -504,9 +504,12 @@ def vectorized_store(
     agg_rows = []
     if vz.sites:
         ev_sqls = [_event_sql(s, s.metric.vtype) for s in vz.sites]
-        evs = (
-            f"filter(array({', '.join(ev_sqls)}), x -> x IS NOT NULL)"
-        )
+        # plain array with NULL slots for unfired sites; nulls are
+        # dropped AFTER explode.  (array_filter with a lambda is a
+        # CodegenFallback expression — using it here forced the whole
+        # projection into interpreted evaluation and disabled
+        # subexpression elimination of the shared regex calls.)
+        evs = f"array({', '.join(ev_sqls)})"
         view = f"__mtail_lines_{abs(id(vz)) % 10**9}"
         # use the input frame's own session: under foreachBatch the
         # batch DataFrame belongs to a cloned micro-batch session whose
@@ -514,11 +517,18 @@ def vectorized_store(
         sess = log_lines.sparkSession
         log_lines.createOrReplaceTempView(view)
         flat = sess.sql(f"SELECT line_no, {evs} AS evs FROM {view}")
+        # Materialize the projection before explode: when Generate
+        # fuses with the projection it re-evaluates the generator's
+        # regex/timestamp subtrees per output, costing ~4x.  The
+        # persisted relation is (line_no, event array) — matched
+        # events only, typically much narrower than the input lines.
+        from pyspark import StorageLevel
+
+        flat = flat.persist(StorageLevel.MEMORY_AND_DISK)
 
         events = (
-            flat.select("line_no", "evs")
-            .filter(F.size("evs") > 0)
-            .select("line_no", F.explode("evs").alias("e"))
+            flat.select("line_no", F.explode("evs").alias("e"))
+            .filter(F.col("e").isNotNull())
             .select(
                 "line_no",
                 F.col("e.site").alias("site"),
@@ -546,6 +556,7 @@ def vectorized_store(
             F.max_by("ts_us", order).alias("last_ts"),
         )
         agg_rows = agg.collect()
+        flat.unpersist()
         sess.catalog.dropTempView(view)
 
     # ---- driver-side store assembly (store-sized data)

@@ -53,13 +53,36 @@ def char_ngrams(col: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """num_hashes-element minhash signature over a shingle array.
-    Hash family: md5_long(shingle + '#' + j) for j in 0..n-1."""
+def shingle_hash_strings(shingles: Column) -> Column:
+    """One 128-hex-char hash string per shingle (four md5 calls), from
+    which 16 independent 32-bit hash values are sliced.  Four digests
+    per shingle instead of one per (shingle, hash-function) makes
+    signature computation ~4x cheaper; materialize this as its own
+    column so each shingle is hashed exactly once."""
+    return F.transform(
+        shingles,
+        lambda s: F.concat(
+            F.md5(s),
+            F.md5(F.concat(s, F.lit("#"))),
+            F.md5(F.concat(s, F.lit("##"))),
+            F.md5(F.concat(s, F.lit("###"))),
+        ),
+    )
+
+
+def minhash_signature_from_hashes(
+    hash_strs: Column, num_hashes: int = 16
+) -> Column:
+    """num_hashes-element minhash signature: hash j is the 8-hex-char
+    window at offset 8*j of the per-shingle hash string."""
+    assert num_hashes <= 16
     sigs = [
         F.array_min(
             F.transform(
-                shingles, lambda s: md5_long(F.concat(s, F.lit(f"#{j}")))
+                hash_strs,
+                lambda h: F.conv(
+                    F.substring(h, 8 * j + 1, 8), 16, 10
+                ).cast("long"),
             )
         )
         for j in range(num_hashes)
@@ -104,10 +127,39 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    base = df.select(
+    from pyspark import StorageLevel
+
+    sh = df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), shingle_k).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # materialized once: shingling is an interpreted higher-order
+    # transform, and this relation feeds three consumers (hashing,
+    # banding, verification)
+    # Signature via explode + groupBy-min rather than array lambdas:
+    # higher-order functions evaluate interpreted per element, while
+    # this shape is whole-stage codegen with map-side partial min —
+    # also exactly the plan that scales (shuffle carries one row per
+    # doc x 16 longs).
+    h = F.concat(
+        F.md5(F.col("s")),
+        F.md5(F.concat(F.col("s"), F.lit("#"))),
+        F.md5(F.concat(F.col("s"), F.lit("##"))),
+        F.md5(F.concat(F.col("s"), F.lit("###"))),
+    )
+    hashed = sh.select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).withColumn("h", h)
+    sig_cols = [
+        F.min(
+            F.conv(F.substring(F.col("h"), 8 * j + 1, 8), 16, 10).cast("long")
+        ).alias(f"sig{j}")
+        for j in range(num_hashes)
+    ]
+    sigs = hashed.groupBy("doc_id").agg(*sig_cols)
+    base = sh.join(sigs, "doc_id").withColumn(
+        "sig", F.array(*[F.col(f"sig{j}") for j in range(num_hashes)])
+    )
 
     band_structs = F.array(
         *[
@@ -152,7 +204,8 @@ def minhash_lsh_pairs(
 
 
 def simhash(col: Column, n_bits: int = 32) -> Column:
-    """SimHash fingerprint over whitespace tokens.
+    """SimHash fingerprint over whitespace tokens (array-expression
+    form; see simhash_table for the explode-based scale shape).
 
     Each distinct token votes +1/-1 per bit of its md5_long hash; the
     fingerprint sets bit b when the vote is positive.  Near-duplicates
@@ -173,6 +226,34 @@ def simhash(col: Column, n_bits: int = 32) -> Column:
     for b in range(n_bits):
         out = out + bit_value(b)
     return out
+
+
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, n_bits: int = 32
+) -> DataFrame:
+    """SimHash as explode + groupBy bit-vote sums: whole-stage codegen
+    with map-side combine (array lambdas evaluate interpreted per
+    element).  Returns (<id_col>, simhash)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(words(F.col(text_col)))).alias("t"),
+    ).withColumn("h", md5_long(F.col("t")))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(n_bits)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(n_bits):
+        fp = fp + F.when(
+            F.col(f"v{b}") > 0, F.lit(2 ** b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), fp.alias("simhash"))
 
 
 def hamming_distance64(a: Column, b: Column) -> Column:
