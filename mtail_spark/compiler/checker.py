@@ -431,6 +431,21 @@ class Checker:
         elif isinstance(s, A.CondStmt):
             frame: dict = {}
             scope.append(frame)
+            # a bare pattern-const name in condition position is an
+            # implicit line match (`PREFIX { ... }`, docs/Language.md)
+            if (
+                isinstance(s.cond, A.IndexedExpr)
+                and not s.cond.index
+                and s.cond.lhs.name in self.consts
+            ):
+                s.cond = A.UnaryExpr(
+                    pos=s.cond.pos,
+                    op="MATCH",
+                    expr=A.PatternLit(
+                        pos=s.cond.pos,
+                        parts=[A.IdTerm(pos=s.cond.pos, name=s.cond.lhs.name)],
+                    ),
+                )
             if not isinstance(s.cond, A.OtherwiseCond) and s.cond is not None:
                 self._walk_expr(s.cond, scope, cond_position=True)
             if s.truth:
