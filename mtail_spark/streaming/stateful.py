@@ -1,0 +1,170 @@
+"""Stateful streaming for cross-line programs (SURVEY.md §7 hard part
+#1 in streaming form).
+
+Programs whose hidden metrics carry state BETWEEN lines (mysql
+slow-query record stitching, rsyncd connection tracking) cannot be
+restarted per micro-batch: a record may straddle the batch boundary.
+
+Design note: applyInPandasWithState cannot be used here — its groupBy
+introduces an exchange that does NOT preserve row order, and these
+programs are order-sensitive by definition.  Instead, each micro-batch
+is collected in arrival order (no shuffle between source and
+foreachBatch, so per-partition source order survives) and folded
+through per-stream persistent interpreters on the driver.  The
+throughput ceiling is the interpreter's (~10^5 lines/s/stream), which
+matches the reference's own single-goroutine-per-program model
+(reference internal/runtime/runtime.go:193-203); the vectorized
+backend covers the high-volume stateless case.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mtail_spark.compiler.api import CompiledProgram
+from mtail_spark.compiler.interp import Interp, LineError, Runtime, StopLine, Store
+
+
+class DriverStatefulRunner:
+    """Per-stream persistent interpreter fold with a serving view.
+
+    State = one interpreter Store per stream key (filename / socket
+    endpoint), hidden metrics included — the reference's per-program
+    RAM footprint.
+    """
+
+    def __init__(self, prog: CompiledProgram, now_us: int = 0):
+        self.prog = prog
+        self.interp = Interp(prog.checked, prog.syslog_use_current_year)
+        self.now_us = now_us
+        self.lock = threading.Lock()
+        self.streams: dict[str, Runtime] = {}
+        self.n_lines = 0
+
+    def _runtime(self, key: str) -> Runtime:
+        rt = self.streams.get(key)
+        if rt is None:
+            rt = Runtime(Store(self.prog.checked), now_us=self.now_us)
+            rt.filename = key
+            rt.line_no = 0
+            self.streams[key] = rt
+        return rt
+
+    def process(self, pairs) -> None:
+        """pairs: iterable of (stream_key, line) in arrival order."""
+        with self.lock:
+            for key, line in pairs:
+                rt = self._runtime(key)
+                rt.line = line
+                rt.matches = {}
+                rt.ts_us = None
+                try:
+                    self.interp.program(rt)
+                except (StopLine, LineError):
+                    pass
+                rt.line_no += 1
+                self.n_lines += 1
+
+    def rows(self) -> list[dict]:
+        """Merged serving view across streams: counters/histograms sum,
+        gauges/text take the latest-stamped datum."""
+        with self.lock:
+            merged: dict = {}
+            for key, rt in self.streams.items():
+                for r in rt.store.export_rows(self.prog.name):
+                    k = (r.name, r.labels)
+                    d = {
+                        "prog": r.prog, "name": r.name, "kind": r.kind,
+                        "vtype": r.vtype, "labels": dict(r.labels) or None,
+                        "value_i": r.value if r.vtype == "Int" else None,
+                        "value_f": r.value if r.vtype == "Float" else None,
+                        "value_s": r.value if r.vtype == "String" else None,
+                        "buckets": (
+                            [{"le": le, "count": c} for le, c in r.value[0]]
+                            if r.vtype == "Buckets" else None
+                        ),
+                        "bucket_count": r.value[1] if r.vtype == "Buckets" else None,
+                        "bucket_sum": r.value[2] if r.vtype == "Buckets" else None,
+                        "ts_us": r.ts,
+                    }
+                    cur = merged.get(k)
+                    if cur is None:
+                        merged[k] = d
+                    elif r.kind == "counter":
+                        for f in ("value_i", "value_f"):
+                            if d[f] is not None:
+                                cur[f] = (cur[f] or 0) + d[f]
+                        cur["ts_us"] = max(cur["ts_us"] or 0, d["ts_us"] or 0) or None
+                    elif r.kind == "histogram":
+                        cur["buckets"] = [
+                            {"le": a["le"], "count": a["count"] + b["count"]}
+                            for a, b in zip(cur["buckets"], d["buckets"])
+                        ]
+                        cur["bucket_count"] += d["bucket_count"]
+                        cur["bucket_sum"] += d["bucket_sum"]
+                    else:
+                        if (d["ts_us"] or 0) >= (cur["ts_us"] or 0):
+                            merged[k] = d
+            return list(merged.values())
+
+
+def run_stateful_stream(
+    prog: CompiledProgram,
+    spark: SparkSession,
+    lines_stream: DataFrame,
+    runner: DriverStatefulRunner | None = None,
+    trigger: dict | None = None,
+    checkpoint: str | None = None,
+    order: str = "concat",
+):
+    """Run a cross-line-state program over a streaming (filename, line)
+    relation.  Returns (DriverStatefulRunner, StreamingQuery).
+
+    order: how the source laid arrival order across partitions —
+    "concat" for the file source (a file's splits are contiguous, in
+    partition order) and "round_robin" for the socket source, which
+    stripes buffered rows as idx % numPartitions
+    (TextSocketMicroBatchStream.planInputPartitions).
+    """
+    runner = runner or DriverStatefulRunner(prog)
+
+    def on_batch(batch_df: DataFrame, batch_id: int):
+        rows = batch_df.select(
+            F.spark_partition_id().alias("pid"),
+            F.monotonically_increasing_id().alias("mid"),
+            "filename",
+            "line",
+        ).collect()
+        by_pid: dict[int, list] = {}
+        for r in rows:
+            by_pid.setdefault(r["pid"], []).append(r)
+        for chunk in by_pid.values():
+            chunk.sort(key=lambda r: r["mid"])
+        if order == "round_robin":
+            npart = (max(by_pid) + 1) if by_pid else 1
+            flat = []
+            pos = 0
+            while True:
+                layer = [
+                    by_pid[p][pos]
+                    for p in range(npart)
+                    if p in by_pid and pos < len(by_pid[p])
+                ]
+                if not layer:
+                    break
+                flat.extend(layer)
+                pos += 1
+        else:  # concat: partition-major
+            flat = [r for p in sorted(by_pid) for r in by_pid[p]]
+        runner.process((r["filename"], r["line"]) for r in flat)
+
+    writer = lines_stream.writeStream.foreachBatch(on_batch)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    query = writer.start()
+    return runner, query
