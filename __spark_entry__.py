@@ -337,6 +337,15 @@ def q_sim_lsh_bucketed(spark, sf):
     return S.knn_lsh(corpus, queries, k=3, n_planes=LSH_PLANES, dim=EMB_DIM)
 
 
+def q_sim_ivf(spark, sf):
+    """IVF ANN: iterative k-means coarse quantizer + n_probe re-rank
+    (genuinely iterative — rows-only check, no SQL oracle)."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return S.knn_ivf(corpus, queries, k=3, n_lists=8, n_probe=2, iters=3)
+
+
 # ---------------------------------------------------------- text analysis
 
 
@@ -373,6 +382,26 @@ def q_text_fingerprint(spark, sf):
 
 
 # ------------------------------------------------------------- multimodal
+
+
+def q_curation_pipeline(spark, sf):
+    """End-to-end corpus curation: quality-filter -> MinHash-LSH
+    near-dup removal (keep the lower doc_id of each pair) -> per-lang
+    token statistics.  The shape a 100 TB training-data pipeline runs:
+    scan-side filters, one LSH candidate join, one final aggregate."""
+    docs = _t(spark, sf, "documents")
+    filtered = docs.filter(TX.quality_score(F.col("text")) >= 70)
+    pairs = D.minhash_lsh_pairs(
+        filtered, "doc_id", "text",
+        num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        shingle_k=MINHASH_K, threshold=MINHASH_THRESHOLD,
+    )
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = filtered.join(drop, "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count_ws(F.col("text"))).cast("long").alias("sum_tokens"),
+    )
 
 
 def q_multimodal_meta(spark, sf):
@@ -435,10 +464,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_nn": q_embedding_nn,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_lsh_bucketed": q_sim_lsh_bucketed,
+        "sim_ivf": q_sim_ivf,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "curation_pipeline": q_curation_pipeline,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
     }
@@ -464,7 +495,9 @@ def _sql_shingles(text: str, k: int) -> str:
     ).format(km1=k - 1)
 
 
-def _sql_minhash_lsh() -> str:
+def _sql_minhash_cte_block(source: str) -> str:
+    """CTE chain computing MinHash-LSH near-dup pairs over `source`
+    (must expose doc_id, text); final CTE is `mh_pairs`."""
     h, b, k, thr = MINHASH_HASHES, MINHASH_BANDS, MINHASH_K, MINHASH_THRESHOLD
     r = h // b
     sig_items = ", ".join(
@@ -481,11 +514,16 @@ def _sql_minhash_lsh() -> str:
         )
         for band in range(b)
     )
+    jac = (
+        "CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)"
+        " / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))"
+        " AS DOUBLE)"
+    )
     return f"""
-WITH base AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+mh_base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM {source}
 ), sh AS (
-  SELECT doc_id, {_sql_shingles('text', k)} AS shingles FROM base
+  SELECT doc_id, {_sql_shingles('text', k)} AS shingles FROM mh_base
 ), hs AS (
   SELECT doc_id, shingles,
          [concat(md5(s), md5(concat(s, '#')), md5(concat(s, '##')),
@@ -495,19 +533,54 @@ WITH base AS (
   SELECT doc_id, shingles, [{sig_items}] AS sig FROM hs
 ), buckets AS (
 {band_selects}
-), pairs AS (
+), cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
   FROM buckets l JOIN buckets r
     ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+), mh_pairs AS (
+  SELECT id_a, id_b, {jac} AS jaccard
+  FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id
+  WHERE {jac} >= {thr}
+)"""
+
+
+def _sql_minhash_lsh() -> str:
+    return (
+        "WITH " + _sql_minhash_cte_block("documents")
+        + "\nSELECT id_a, id_b, jaccard FROM mh_pairs"
+    )
+
+
+def _sql_quality(textcol: str = "text") -> str:
+    return f"""
+      CAST(greatest(least(
+        50
+        + CASE WHEN length({textcol}) BETWEEN 100 AND 5000 THEN 20 ELSE 0 END
+        + CASE WHEN length({textcol}) >= 3 * len(regexp_split_to_array(trim({textcol}), '\\s+'))
+               AND length({textcol}) <= 9 * len(regexp_split_to_array(trim({textcol}), '\\s+'))
+               THEN 20 ELSE 0 END
+        - CASE WHEN len(regexp_extract_all({textcol}, '[^\\w\\s]')) * 100 > length({textcol}) * 20
+               THEN 25 ELSE 0 END
+        - CASE WHEN len(regexp_extract_all({textcol}, '[A-Z]')) * 100 > length({textcol}) * 30
+               THEN 15 ELSE 0 END,
+      100), 0) AS BIGINT)
+    """
+
+
+def _sql_curation_pipeline() -> str:
+    return f"""
+WITH filtered AS (
+  SELECT * FROM documents WHERE {_sql_quality()} >= 70
+), {_sql_minhash_cte_block('filtered')},
+drop_ids AS (SELECT DISTINCT id_b AS doc_id FROM mh_pairs),
+kept AS (
+  SELECT f.* FROM filtered f LEFT JOIN drop_ids d ON f.doc_id = d.doc_id
+  WHERE d.doc_id IS NULL
 )
-SELECT id_a, id_b,
-  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-    / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
-    AS jaccard
-FROM pairs JOIN sh a ON pairs.id_a = a.doc_id JOIN sh b ON pairs.id_b = b.doc_id
-WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-    / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
-    >= {thr}
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+         AS sum_tokens
+FROM kept GROUP BY lang
 """
 
 
@@ -605,19 +678,7 @@ def oracle_sql() -> dict[str, str]:
             f"THEN '{lang}' ELSE {lang_expr} END"
         )
 
-    quality = """
-      CAST(greatest(least(
-        50
-        + CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 20 ELSE 0 END
-        + CASE WHEN length(text) >= 3 * len(regexp_split_to_array(trim(text), '\\s+'))
-               AND length(text) <= 9 * len(regexp_split_to_array(trim(text), '\\s+'))
-               THEN 20 ELSE 0 END
-        - CASE WHEN len(regexp_extract_all(text, '[^\\w\\s]')) * 100 > length(text) * 20
-               THEN 25 ELSE 0 END
-        - CASE WHEN len(regexp_extract_all(text, '[A-Z]')) * 100 > length(text) * 30
-               THEN 15 ELSE 0 END,
-      100), 0) AS BIGINT)
-    """
+    quality = _sql_quality()
 
     return {
         "mtail_linecount": (
@@ -731,6 +792,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 HAVING count(*) > 1
         """,
         "dedup_minhash_lsh": _sql_minhash_lsh(),
+        "curation_pipeline": _sql_curation_pipeline(),
         "dedup_simhash": _sql_simhash(),
         "dedup_ngram_jaccard": f"""
             WITH g AS (

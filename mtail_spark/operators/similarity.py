@@ -99,6 +99,133 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 5,
+    dim: int = 64,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means (driver-side centroids, exact
+    assignment in Spark): seeds are the first k vectors by id, each
+    iteration is one groupBy over the corpus (elementwise sums via
+    posexplode + (cluster, dim) aggregation — no Python in the loop).
+
+    At 100 TB: k centroids broadcast each iteration; the shuffle
+    carries k x dim partial sums per partition."""
+    c = corpus.select(
+        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("vec")
+    )
+    seeds = c.orderBy("cid").limit(k).collect()
+    centroids = [list(r["vec"]) for r in seeds]
+    for _ in range(iters):
+        assigned = c.withColumn(
+            "cluster", _nearest_centroid(F.col("vec"), centroids)
+        )
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode("vec").alias("d", "x")
+            )
+            .groupBy("cluster", "d")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc: dict[int, list] = {}
+        counts: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r["cluster"], [0.0] * dim)[r["d"]] = r["sx"]
+            counts[r["cluster"]] = r["n"]
+        for ci in range(len(centroids)):
+            if ci in acc and counts.get(ci):
+                centroids[ci] = [v / counts[ci] for v in acc[ci]]
+    return centroids
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    best_d = None
+    best_i = F.lit(0)
+    for i, cen in enumerate(centroids):
+        cc = F.array(*[F.lit(v) for v in cen])
+        d = F.aggregate(
+            F.zip_with(vec, cc, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        if best_d is None:
+            best_d = d
+            best_i = F.lit(i)
+        else:
+            cond = d < best_d
+            best_i = F.when(cond, F.lit(i)).otherwise(best_i)
+            best_d = F.when(cond, d).otherwise(best_d)
+    return best_i
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    iters: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer partitions the
+    corpus into inverted lists; each query exactly re-ranks only its
+    n_probe nearest lists.  At scale the list id becomes the corpus
+    partitioning key, so a probe touches n_probe/n_lists of the data."""
+    cents = kmeans_centroids(corpus, n_lists, id_col, vec_col, iters, dim)
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), as_double(F.col(vec_col)).alias("cvec")
+    ).withColumn("list_id", _nearest_centroid(F.col("cvec"), cents))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
+    )
+    # per-query probe lists, computed driver-free via a literal array of
+    # centroid distances per query row
+    probes = q.select(
+        "query_id", "qvec",
+        F.explode(_probe_lists(F.col("qvec"), cents, n_probe)).alias("list_id"),
+    )
+    scored = c.join(F.broadcast(probes), "list_id").select(
+        "query_id", "corpus_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cos_sim", "rank")
+    )
+
+
+def _probe_lists(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(v) for v in cen]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ).alias("d"),
+                F.lit(i).cast("int").alias("i"),
+            )
+            for i, cen in enumerate(centroids)
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["i"]
+    )
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -16,7 +16,9 @@ def test_queries_and_oracles_aligned():
     assert set(oracles) <= set(qs)
     # all but the explicitly rows-only entries have oracles
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"multimodal_features"}
+    # genuinely non-SQL-expressible ops: mapInPandas decode, iterative
+    # k-means — the driver records a weaker rows-only check for these
+    assert rows_only == {"multimodal_features", "sim_ivf"}
 
 
 def test_all_queries_execute_smoke(spark, sf_smoke):
