@@ -23,7 +23,15 @@ order by both engines.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the driver may import this file from any cwd; the engine package
+# lives next to it
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F

@@ -132,6 +132,9 @@ class CompiledProgram:
         return self._run_fold(spark, log_lines, now_us)
 
     def _run_fold(self, spark, log_lines, now_us: int) -> DataFrame:
+        from mtail_spark.session import ensure_workers_can_import
+
+        ensure_workers_can_import(spark)
         src, name, use_year = self.src, self.name, self.syslog_use_current_year
 
         def fold(pdf):
@@ -258,13 +261,30 @@ def merge_partial_stores(partial: DataFrame, prog_name: str) -> DataFrame:
     return out
 
 
+_COMPILE_CACHE: dict = {}
+
+
 def compile_program(
     src: str, name: str = "prog", syslog_use_current_year: bool = False
 ) -> CompiledProgram:
+    """Compile (memoized by content hash — the reference skips
+    recompiling unchanged programs the same way, runtime.go:143-157)."""
+    import hashlib
+
+    key = (
+        hashlib.sha256(src.encode()).hexdigest(),
+        name,
+        syslog_use_current_year,
+    )
+    hit = _COMPILE_CACHE.get(key)
+    if hit is not None:
+        return hit
     checked = check(src, name)
-    return CompiledProgram(
+    prog = CompiledProgram(
         src=src,
         name=name,
         checked=checked,
         syslog_use_current_year=syslog_use_current_year,
     )
+    _COMPILE_CACHE[key] = prog
+    return prog

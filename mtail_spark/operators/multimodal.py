@@ -91,6 +91,9 @@ def extract_features(media: DataFrame, out_dim: int = 8) -> DataFrame:
                 }
             )
 
+    from mtail_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(media.sparkSession)
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 

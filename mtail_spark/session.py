@@ -53,6 +53,34 @@ def sf_dir(default: str = "/root/testdata/sf0.1") -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
 
 
+_SHIPPED: set = set()
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Python workers must import mtail_spark for the applyInPandas /
+    mapInPandas paths.  If the host session was created without the
+    repo on PYTHONPATH, ship the package as a zip via addPyFile (idempotent
+    per session)."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(
+        tempfile.gettempdir(), f"mtail_spark_pkg_{os.getpid()}"
+    )
+    zip_path = shutil.make_archive(
+        zip_base, "zip", os.path.dirname(pkg_dir), "mtail_spark"
+    )
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # local mode with shared PYTHONPATH still works
+    _SHIPPED.add(key)
+
+
 def _nanos_ts_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) (unsupported by the
     Spark vectorized reader) — detected from the footer via pyarrow."""
