@@ -1,0 +1,168 @@
+"""mtail-spark CLI — the reference binary's interface, Spark-backed.
+
+    python -m mtail_spark --progs DIR --logs GLOB --one_shot [--format golden|json]
+    python -m mtail_spark --progs DIR --logs GLOB --port 3903
+    python -m mtail_spark --progs DIR --address HOST:PORT --port 3903   # socket
+
+One-shot mode reads the logs once, runs every *.mtail program, and
+dumps the store (reference cmd/mtail one-shot).  Serve mode tails the
+log glob via Structured Streaming and exposes /metrics /json /varz
+/graphite (reference internal/mtail/mtail.go HTTP surface).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+import time
+
+
+def _load_programs(progs_dir: str):
+    from mtail_spark.compiler.api import compile_program
+
+    progs = []
+    for path in sorted(glob.glob(os.path.join(progs_dir, "*.mtail"))):
+        name = os.path.basename(path)
+        try:
+            progs.append(compile_program(open(path).read(), name))
+        except Exception as e:  # mirror the reference: bad programs are
+            print(f"error compiling {name}: {e}", file=sys.stderr)
+    if not progs:
+        print("no programs loaded", file=sys.stderr)
+        sys.exit(1)
+    return progs
+
+
+def _golden_dump(rows) -> str:
+    from mtail_spark.compiler.gotime import format_epoch_us_rfc3339
+
+    out = []
+    for r in sorted(rows, key=lambda r: (r["name"], str(r["labels"]))):
+        labels = r["labels"] or {}
+        lab = (
+            "{" + ",".join(f"{k}={v}" for k, v in sorted(labels.items())) + "} "
+            if labels
+            else ""
+        )
+        if r["vtype"] == "Int":
+            val = r["value_i"]
+        elif r["vtype"] == "Float":
+            val = r["value_f"]
+        elif r["vtype"] == "Buckets":
+            val = r["bucket_sum"]
+        else:
+            val = r["value_s"]
+        ts = (
+            format_epoch_us_rfc3339(r["ts_us"])
+            if r["ts_us"] is not None
+            else ""
+        )
+        out.append(f"{r['kind']} {r['name']} {lab}{val} {ts}".rstrip())
+    return "\n".join(out)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="mtail-spark")
+    ap.add_argument("--progs", required=True, help="directory of *.mtail programs")
+    ap.add_argument("--logs", help="log file glob to read/tail")
+    ap.add_argument("--address", help="HOST:PORT socket source (serve mode)")
+    ap.add_argument("--one_shot", action="store_true",
+                    help="read logs once, dump the store, exit")
+    ap.add_argument("--format", default="golden", choices=["golden", "json"],
+                    help="one-shot dump format")
+    ap.add_argument("--port", type=int, default=3903,
+                    help="HTTP port for /metrics /json /varz /graphite")
+    ap.add_argument("--syslog_use_current_year", action="store_true")
+    args = ap.parse_args(argv)
+
+    from mtail_spark.session import get_spark
+
+    spark = get_spark("mtail-spark")
+    progs = _load_programs(args.progs)
+    for p in progs:
+        p.syslog_use_current_year = args.syslog_use_current_year
+
+    if args.one_shot:
+        if not args.logs:
+            ap.error("--one_shot requires --logs")
+        from mtail_spark.exporters import to_json
+        from mtail_spark.sources.logs import read_log_lines
+
+        lines = read_log_lines(spark, args.logs)
+        all_rows = []
+        for prog in progs:
+            df = prog.run_batch(spark, lines)
+            all_rows.extend(r.asDict() for r in df.collect())
+        if args.format == "json":
+            print(to_json(all_rows))
+        else:
+            print(_golden_dump(all_rows))
+        return 0
+
+    # serve mode
+    from mtail_spark.exporters import MetricsServer
+
+    stores = []
+    queries = []
+    if args.address:
+        host, port = args.address.rsplit(":", 1)
+        from mtail_spark.sources.sockets import read_socket_lines
+        from mtail_spark.streaming.stateful import run_stateful_stream
+
+        for prog in progs:
+            stream = read_socket_lines(spark, host, int(port))
+            runner, q = run_stateful_stream(
+                prog, spark, stream, order="round_robin",
+                trigger={"processingTime": "1 seconds"},
+            )
+            stores.append(runner)
+            queries.append(q)
+    elif args.logs:
+        from mtail_spark.streaming import run_program_stream
+        from mtail_spark.streaming.stateful import run_stateful_stream
+        from mtail_spark.streaming.pipeline import streaming_log_lines
+
+        for prog in progs:
+            if prog.vectorizable:
+                store, q = run_program_stream(prog, spark, args.logs)
+            else:
+                stream = (
+                    spark.readStream.format("text").load(args.logs)
+                )
+                from pyspark.sql import functions as F
+
+                lines = stream.select(
+                    F.input_file_name().alias("filename"),
+                    F.regexp_replace(F.col("value"), "\r$", "").alias("line"),
+                )
+                store, q = run_stateful_stream(prog, spark, lines)
+            stores.append(store)
+            queries.append(q)
+    else:
+        ap.error("serve mode needs --logs or --address")
+
+    def provider():
+        rows = []
+        for s in stores:
+            rows.extend(s.rows())
+        return rows
+
+    srv = MetricsServer(provider, host="0.0.0.0", port=args.port).start()
+    print(f"serving on :{srv.port} (/metrics /json /varz /graphite)",
+          file=sys.stderr)
+    try:
+        while any(q.isActive for q in queries):
+            time.sleep(1)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.stop()
+        for q in queries:
+            q.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
