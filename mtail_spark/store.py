@@ -147,7 +147,11 @@ def rows_from_df(df) -> list[DatumRow]:
         elif r["vtype"] == "String":
             value = r["value_s"]
         else:
-            value = tuple((b["le"], b["count"]) for b in (r["buckets"] or []))
+            value = (
+                tuple((b["le"], b["count"]) for b in (r["buckets"] or [])),
+                r["bucket_count"],
+                r["bucket_sum"],
+            )
         ts = r["ts_us"]
         out.append(
             DatumRow(r["prog"], r["name"], r["kind"], r["vtype"], labels, value, ts)

@@ -90,6 +90,37 @@ def test_backends_agree_on_reference_logs(spark, progf, logf):
     _consistent(spark, src, progf, lines)
 
 
+def test_histogram_example(spark):
+    """histogram.mtail: zero-lower-bound buckets, dimensioned and
+    scalar histograms, assignment-as-observe."""
+    src = open(f"{EX}/histogram.mtail").read()
+    lines = [
+        "GET /a latency=1s httpcode=200",
+        "GET /b latency=0s httpcode=200",
+        "GET /c latency=7s httpcode=500",
+        "GET /d latency=99s httpcode=200",
+    ]
+    vals = _consistent(spark, src, "histogram.mtail", lines)
+    buckets, count, total = vals[
+        ("webserver_latency_by_code", (("code", "200"),))
+    ]
+    assert count == 3 and total == 100.0
+    # ranges (0,1],(1,2],(2,4],(4,8],+Inf — v=0 routes into (0,1]
+    assert [c for _le, c in buckets] == [2, 0, 0, 0, 1]
+    _b, scount, _s = vals[("webserver_latency", ())]
+    assert scount == 4
+
+
+def test_timer_example(spark):
+    src = open(f"{EX}/timer.mtail").read()
+    vals = _consistent(
+        spark, src, "timer.mtail", ["web1 2500", "web1 1000", "web2 900"]
+    )
+    # timer = gauge semantics (last write wins), Go int division
+    assert vals[("request_time_ms", (("vhost", "web1"),))] == 1
+    assert vals[("request_time_ms", (("vhost", "web2"),))] == 0
+
+
 def test_remaining_examples_execute_vectorized(spark):
     """Every vectorizable example program at least executes end-to-end
     on arbitrary lines (zero-init outputs for scalar counters)."""
