@@ -173,6 +173,14 @@ def q_mtail_prog_histogram(spark, sf):
     return q(spark, sf)
 
 
+def q_mtail_prog_stateful(spark, sf):
+    """Cross-line hidden-metric state through the ordered-fold backend
+    (applyInPandas per file); oracle is the lag-window dual."""
+    from mtail_spark.plans.demo_programs import q_mtail_prog_stateful as q
+
+    return q(spark, sf)
+
+
 def q_mtail_getfilename(spark, sf):
     """getfilename() dimension (reference vm.go:904-905): count lines
     per source file — `documents.source` stands in for the log path."""
@@ -458,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtail_prog_counters": q_mtail_prog_counters,
         "mtail_prog_gauge": q_mtail_prog_gauge,
         "mtail_prog_histogram": q_mtail_prog_histogram,
+        "mtail_prog_stateful": q_mtail_prog_stateful,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_topk_orders": q_window_topk_orders,
@@ -728,6 +737,7 @@ def oracle_sql() -> dict[str, str]:
         "mtail_prog_counters": _demo().ORACLE_COUNTERS,
         "mtail_prog_gauge": _demo().ORACLE_GAUGE,
         "mtail_prog_histogram": _demo().ORACLE_HIST,
+        "mtail_prog_stateful": _demo().ORACLE_STATEFUL,
         "tpch_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

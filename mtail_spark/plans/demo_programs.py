@@ -53,8 +53,8 @@ histogram cents_hist by type buckets 100, 400, 1600, 6400
 SPARK_RENDER = None  # built in render_lines
 
 ORACLE_RENDER = (
-    "SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS dt, event_type, "
-    "CAST(round(value * 100) AS BIGINT) AS cents, "
+    "SELECT event_id, user_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS dt, "
+    "event_type, CAST(round(value * 100) AS BIGINT) AS cents, "
     "CAST(epoch_us(date_trunc('second', ts)) AS BIGINT) AS ts_us "
     "FROM events"
 )
@@ -115,6 +115,50 @@ def q_mtail_prog_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_count",
         "bucket_sum",
     )
+
+
+STATEFUL_PROG = f"""
+hidden gauge last_k by user
+gauge k_delta by user
+
+/{LINE_RE.replace('/', chr(92) + '/')}/ {{
+  strptime($dt, "2006-01-02T15:04:05")
+  k_delta[$user] = $cents - last_k[$user]
+  last_k[$user] = $cents
+}}
+"""
+
+
+def q_mtail_prog_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-line hidden-metric state (the rsyncd/mysql pattern) through
+    the ordered-fold backend: per-user delta between consecutive
+    events.  The SQL oracle is a lag window — the relational dual of
+    the DSL's mutable-state idiom."""
+    prog = compile_program(STATEFUL_PROG, "demo_stateful.mtail")
+    assert prog.checked.cross_line_state
+    store = prog.run_batch(spark, render_lines(spark, sf_dir))
+    return store.filter(F.col("name") == "k_delta").select(
+        F.col("labels")["user"].alias("user"),
+        F.col("value_i").alias("k_delta"),
+        F.col("ts_us"),
+    )
+
+
+ORACLE_STATEFUL = f"""
+WITH r AS ({ORACLE_RENDER}),
+d AS (
+  SELECT user_id, event_id, ts_us,
+         CAST(cents - coalesce(
+           lag(cents) OVER (PARTITION BY user_id ORDER BY event_id), 0)
+         AS BIGINT) AS k_delta
+  FROM r
+)
+SELECT CAST(user_id AS VARCHAR) AS user, k_delta, ts_us FROM (
+  SELECT user_id, k_delta, ts_us,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+  FROM d
+) WHERE rn = 1
+"""
 
 
 ORACLE_COUNTERS = f"""
