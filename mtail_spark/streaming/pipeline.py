@@ -32,6 +32,23 @@ from mtail_spark.compiler.api import CompiledProgram
 US = 1_000_000
 
 
+def _internal_rows(prog_name: str, n_lines: int, n_batches: int) -> list[dict]:
+    """Engine self-metrics, served alongside program metrics the way
+    the reference exports its own counters (lines_total, log_count)."""
+    def row(name, value):
+        return {
+            "prog": prog_name, "name": name, "kind": "counter",
+            "vtype": "Int", "labels": None, "value_i": value,
+            "value_f": None, "value_s": None, "buckets": None,
+            "bucket_count": None, "bucket_sum": None, "ts_us": None,
+        }
+
+    return [
+        row("mtail_lines_total", n_lines),
+        row("mtail_batches_total", n_batches),
+    ]
+
+
 class StreamingMetricStore:
     def __init__(self, prog: CompiledProgram):
         self.prog = prog
@@ -39,6 +56,8 @@ class StreamingMetricStore:
         # (name, labels_tuple) -> dict(row fields)
         self.data: dict = {}
         self.n_batches = 0
+        self.n_lines = 0  # engine-internal counter (reference exports
+        # its own lines_total / log_count the same way)
 
     def merge_batch(self, rows) -> None:
         with self.lock:
@@ -104,9 +123,13 @@ class StreamingMetricStore:
                         removed += 1
         return removed
 
-    def rows(self) -> list[dict]:
+    def rows(self, include_internal: bool = True) -> list[dict]:
         with self.lock:
-            return [dict(v) for v in self.data.values()]
+            out = [dict(v) for v in self.data.values()]
+            if include_internal:
+                out.extend(_internal_rows(self.prog.name, self.n_lines,
+                                          self.n_batches))
+            return out
 
 
 def streaming_log_lines(batch_df: DataFrame) -> DataFrame:
@@ -137,6 +160,7 @@ def run_program_stream(
         lines = streaming_log_lines(batch_df)
         result = prog.run_batch(spark, lines)
         store.merge_batch(result.collect())
+        store.n_lines += batch_df.count()
         if gc_every_batches and store.n_batches % gc_every_batches == 0:
             store.gc()
 

@@ -108,7 +108,13 @@ class DriverStatefulRunner:
                     else:
                         if (d["ts_us"] or 0) >= (cur["ts_us"] or 0):
                             merged[k] = d
-            return list(merged.values())
+            out = list(merged.values())
+            from mtail_spark.streaming.pipeline import _internal_rows
+
+            out.extend(
+                _internal_rows(self.prog.name, self.n_lines, 0)[:1]
+            )
+            return out
 
 
 def run_stateful_stream(
