@@ -121,6 +121,60 @@ def test_timer_example(spark):
     assert vals[("request_time_ms", (("vhost", "web2"),))] == 0
 
 
+def test_rails_synthetic(spark):
+    """rails.mtail: float histogram observation from Int capref
+    division (`$request_seconds / 1000.0`)."""
+    src = open(f"{EX}/rails.mtail").read()
+    lines = [
+        'Started GET "/users" for 10.0.0.1 at 2024-01-01',
+        "Completed 200 OK in 74ms (Views: 31.9ms)",
+        "Completed 200 OK in 4ms (Views: 1.0ms)",
+        "Completed 500 Error in 1300ms (Views: 2.1ms)",
+        'Started POST "/users" for 10.0.0.2 at 2024-01-01',
+    ]
+    vals = _consistent(spark, src, "rails.mtail", lines)
+    assert vals[("rails_requests_started_total", ())] == 2
+    assert vals[("rails_requests_started", (("verb", "GET"),))] == 1
+    assert vals[("rails_requests_completed", (("status", "200"),))] == 2
+    buckets, count, total = vals[
+        ("rails_requests_completed_seconds", (("status", "200"),))
+    ]
+    assert count == 2 and abs(total - 0.078) < 1e-9
+    # 0.074s -> (0.05, 0.1]; 0.004s -> (0, 0.005]
+    by_le = dict(buckets)
+    assert by_le[0.005] == 1 and by_le[0.1] == 1
+
+
+def test_apache_metrics_synthetic(spark):
+    """apache_metrics.mtail: 5-key dimensioned histogram, µs->s float
+    division, nested conn-status matches."""
+    src = open(f"{EX}/apache_metrics.mtail").read()
+    line = (
+        "www.example.com:80 proxy:fcgi://127.0.0.1:9000 GET 200 HTTP/1.1 "
+        "conn=+ 53001 1234 567 0"
+    )
+    aborted = (
+        "www.example.com:80 server POST 500 HTTP/1.1 "
+        "conn=X 99 10 20 0"
+    )
+    vals = _consistent(spark, src, "apache_metrics.mtail", [line, aborted])
+    key = (
+        ("code", "200"), ("handler", "proxy:fcgi://127.0.0.1:9000"),
+        ("method", "GET"), ("protocol", "HTTP/1.1"),
+        ("server_port", "www.example.com:80"),
+    )
+    assert vals[("http_response_size_bytes_total", key)] == 1234
+    assert vals[("http_request_size_bytes_total", key)] == 567
+    _b, count, total = vals[("http_request_duration_seconds", key)]
+    assert count == 1 and abs(total - 0.053001) < 1e-12
+    ab_key = (
+        ("code", "500"), ("connection_status", "conn=X"),
+        ("handler", "server"), ("method", "POST"),
+        ("protocol", "HTTP/1.1"), ("server_port", "www.example.com:80"),
+    )
+    assert vals[("http_connections_aborted_total", ab_key)] == 1
+
+
 def test_remaining_examples_execute_vectorized(spark):
     """Every vectorizable example program at least executes end-to-end
     on arbitrary lines (zero-init outputs for scalar counters)."""
