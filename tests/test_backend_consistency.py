@@ -175,6 +175,26 @@ def test_apache_metrics_synthetic(spark):
     assert vals[("http_connections_aborted_total", ab_key)] == 1
 
 
+def test_postfix_synthetic(spark):
+    """postfix.mtail: syslog-decorated multi-app dispatch, Float caprefs
+    from [0-9.] classes, scientific-notation histogram buckets."""
+    src = open(f"{EX}/postfix.mtail").read()
+    lines = [
+        "Apr  7 13:43:00 mail1 postfix/cleanup[123]: 4AB: message-id=<x@y>",
+        "Apr  7 13:43:01 mail1 postfix/lmtp[124]: 4AB: to=<a@b>, "
+        "relay=dovecot, delay=0.5, delays=0.25/0.01/0.05/0.19, dsn=2.0.0, "
+        "status=sent (250 ok)",
+        "Apr  7 13:43:02 mail1 postfix/cleanup[123]: 4AC: reject: body spam",
+    ]
+    vals = _consistent(spark, src, "postfix.mtail", lines)
+    assert vals[("postfix_cleanup_messages_processed_total", ())] == 1
+    assert vals[("postfix_cleanup_messages_rejected_total", ())] == 1
+    buckets, count, total = vals[
+        ("postfix_lmtp_delivery_delay_seconds", (("stage", "transmission"),))
+    ]
+    assert count == 1 and abs(total - 0.19) < 1e-12
+
+
 def test_remaining_examples_execute_vectorized(spark):
     """Every vectorizable example program at least executes end-to-end
     on arbitrary lines (zero-init outputs for scalar counters)."""
