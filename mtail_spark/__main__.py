@@ -90,6 +90,16 @@ def main(argv=None):
         from mtail_spark.exporters import to_json
         from mtail_spark.sources.logs import read_log_lines
 
+        if args.logs == "-":
+            # stdin (reference: `-` / /dev/stdin log path)
+            import tempfile
+
+            tmp = tempfile.NamedTemporaryFile(
+                "w", suffix=".log", delete=False
+            )
+            tmp.write(sys.stdin.read())
+            tmp.close()
+            args.logs = tmp.name
         lines = read_log_lines(spark, args.logs)
         all_rows = []
         for prog in progs:

@@ -53,43 +53,6 @@ def char_ngrams(col: Column, n: int = 3) -> Column:
     )
 
 
-def shingle_hash_strings(shingles: Column) -> Column:
-    """One 128-hex-char hash string per shingle (four md5 calls), from
-    which 16 independent 32-bit hash values are sliced.  Four digests
-    per shingle instead of one per (shingle, hash-function) makes
-    signature computation ~4x cheaper; materialize this as its own
-    column so each shingle is hashed exactly once."""
-    return F.transform(
-        shingles,
-        lambda s: F.concat(
-            F.md5(s),
-            F.md5(F.concat(s, F.lit("#"))),
-            F.md5(F.concat(s, F.lit("##"))),
-            F.md5(F.concat(s, F.lit("###"))),
-        ),
-    )
-
-
-def minhash_signature_from_hashes(
-    hash_strs: Column, num_hashes: int = 16
-) -> Column:
-    """num_hashes-element minhash signature: hash j is the 8-hex-char
-    window at offset 8*j of the per-shingle hash string."""
-    assert num_hashes <= 16
-    sigs = [
-        F.array_min(
-            F.transform(
-                hash_strs,
-                lambda h: F.conv(
-                    F.substring(h, 8 * j + 1, 8), 16, 10
-                ).cast("long"),
-            )
-        )
-        for j in range(num_hashes)
-    ]
-    return F.array(*sigs)
-
-
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two distinct-element arrays."""
     inter = F.size(F.array_intersect(a, b))
