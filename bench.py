@@ -56,17 +56,27 @@ def main():
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
     timings = {}
+    timings_cold = {}
     total = 0.0
     for name in BENCH_QUERIES:
-        # best of 2: the first run pays one-time plan/codegen costs
+        # The timer covers query CONSTRUCTION + execution: the mtail
+        # program queries do their Spark work eagerly inside
+        # construction (run_batch collects the store), so timing only
+        # the noop write of the returned store-sized frame — as r1
+        # did — misses nearly all their cost.  Best of 2 reports
+        # steady state (run 1 pays one-time plan/codegen costs);
+        # cold (first-run) numbers are reported alongside.
         best = None
+        first = None
         for _ in range(2):
-            df = qs[name](spark, sf_dir)
             t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
+            first = dt if first is None else first
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        timings_cold[name] = round(first, 3)
         total += best
 
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
@@ -75,6 +85,7 @@ def main():
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "queries_cold": timings_cold,
         "sf": sf,
         "events_rows": n_events,
         "mtail_parity_klines_per_sec": round(

@@ -69,6 +69,35 @@ def _const_eval(e):
     return None
 
 
+def count_capturing_groups(pat: str) -> int:
+    """Count capturing groups in a (Java/RE2) pattern: unescaped '('
+    not starting a '(?' construct, outside character classes.  Group
+    names are already stripped upstream (strip_group_names)."""
+    n = 0
+    i = 0
+    in_class = False
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(" and not pat.startswith("(?", i):
+            n += 1
+        i += 1
+    return n
+
+
+# Unit-separator delimiter for the single-pass capture extraction.
+# Lines containing it take the per-group regexp_extract fallback
+# branch, so correctness never depends on it being absent.
+_SEP = "\x1f"
+
+
 def _bucket_maxes(mi):
     edges = sorted(mi.decl.buckets)
     maxes = []
@@ -94,9 +123,18 @@ class _Site:
 class Vectorizer:
     """CheckedProgram -> (defs SQL, update-event sites)."""
 
-    def __init__(self, prog: CheckedProgram, now_us: int = 0):
+    def __init__(
+        self,
+        prog: CheckedProgram,
+        now_us: int = 0,
+        syslog_year: int | None = None,
+    ):
         self.prog = prog
         self.now_us = now_us
+        # --syslog_use_current_year: patch yearless strptime results to
+        # this year instead of Go's year-0 default (reference
+        # vm.go:309-332 ParseTime).
+        self.syslog_year = syslog_year
         self.sites: list[_Site] = []
         self.ts_entries: list[tuple[str, str]] = []
         # Liveness via a KILL SET instead of a recursive alive chain:
@@ -108,8 +146,53 @@ class Vectorizer:
         # trees; recursive alive chains explode exponentially when
         # shared subexpressions get re-inlined).
         self.kills: list[str] = []
-        self._cap_cache: dict[str, str] = {}
         self._pending_errs: list[str] = []
+        # Hoisted shared subexpressions (regex matches, capture
+        # extracts, strptime parses): one named column per distinct
+        # site, emitted as layered sub-selects under the event-array
+        # projection.  Catalyst plans are trees — without the hoist a
+        # regexp_extract referenced from N array slots is evaluated N
+        # times per line; behind a projection boundary CollapseProject
+        # keeps non-cheap multiply-referenced aliases, so each site
+        # runs once per line inside the same codegen stage.
+        # (name, sql, depth): depth orders layers when a shared expr
+        # references another shared col (dhcpd's match-on-$message).
+        self.shared: list[tuple[str, str, int]] = []
+        self._shared_by_sql: dict[str, str] = {}
+        self._shared_depth: dict[str, int] = {}
+
+    def _shared_col(self, sql: str, prefix: str) -> str:
+        name = self._shared_by_sql.get(sql)
+        if name is not None:
+            return name
+        import re as _re
+
+        depth = 1
+        for n, d in self._shared_depth.items():
+            if d >= depth and _re.search(rf"\b{_re.escape(n)}\b", sql):
+                depth = max(depth, d + 1)
+        name = f"__x{len(self._shared_by_sql)}_{prefix}"
+        self._shared_by_sql[sql] = name
+        self._shared_depth[name] = depth
+        self.shared.append((name, sql, depth))
+        return name
+
+    def shared_layers_sql(self, base: str) -> str:
+        """Wrap `base` in one sub-select per dependency depth adding
+        the hoisted columns."""
+        if not self.shared:
+            return base
+        src = base
+        for i, depth in enumerate(
+            sorted({d for _, _, d in self.shared})
+        ):
+            cols = ", ".join(
+                f"{sql} AS {name}"
+                for name, sql, d in self.shared
+                if d == depth
+            )
+            src = f"(SELECT *, {cols} FROM {src}) AS __l{i}"
+        return src
 
     def _alive(self, upto: int | None = None) -> str:
         ks = self.kills if upto is None else self.kills[:upto]
@@ -129,13 +212,57 @@ class Vectorizer:
     def _java_pattern(self, rid: int) -> str:
         return strip_group_names(self.prog.regexes[rid].pattern)
 
+    def _rex_cols(self, rid: int) -> tuple[str, str, str]:
+        """Single-pass capture extraction for a regex site.
+
+        One regexp_replace rewrites the FIRST match into a
+        \\x1f-delimited string of every group ('' groups preserved),
+        so match flag + all caprefs cost ONE regex execution per line
+        instead of 1 (RLIKE) + one regexp_extract per group.  Lines
+        that already contain \\x1f route to the classic per-group
+        branch (has_sep), so this is a pure optimization, not a
+        semantics change.  Returns (has_sep, replaced, split) shared
+        column names."""
+        subj = self._subject(rid)
+        pat = self._java_pattern(rid)
+        ngroups = count_capturing_groups(pat)
+        # wrapper consumes the whole subject around the FIRST match
+        # (leftmost, like regexp_extract); original group g becomes
+        # wrapper group g+1, the full match is wrapper group 1
+        wrapper = f"(?s)^.*?({pat}).*$"
+        repl = "".join(_SEP + f"${g}" for g in range(1, ngroups + 2))
+        has_sep = self._shared_col(
+            f"(instr({subj}, {sq(_SEP)}) > 0)", "hs"
+        )
+        replaced = self._shared_col(
+            f"CASE WHEN {has_sep} THEN NULL ELSE "
+            f"regexp_replace({subj}, {sq(wrapper)}, {sq(repl)}) END",
+            "r",
+        )
+        split = self._shared_col(f"split({replaced}, {sq(_SEP)})", "g")
+        return has_sep, replaced, split
+
     def _match_col(self, rid: int) -> str:
         subj = self._subject(rid)
-        return f"({subj} RLIKE {sq(self._java_pattern(rid))})"
+        pat = self._java_pattern(rid)
+        has_sep, replaced, _split = self._rex_cols(rid)
+        return self._shared_col(
+            f"(CASE WHEN {has_sep} THEN ({subj} RLIKE {sq(pat)}) "
+            f"ELSE startswith({replaced}, {sq(_SEP)}) END)",
+            "m",
+        )
 
     def _capref_col(self, rid: int, group: int, vtype: str) -> str:
         subj = self._subject(rid)
-        raw = f"regexp_extract({subj}, {sq(self._java_pattern(rid))}, {group})"
+        pat = self._java_pattern(rid)
+        has_sep, _replaced, split = self._rex_cols(rid)
+        # non-matching lines yield '' like regexp_extract does
+        raw = self._shared_col(
+            f"(CASE WHEN {has_sep} "
+            f"THEN regexp_extract({subj}, {sq(pat)}, {group}) "
+            f"ELSE coalesce(try_element_at({split}, {group + 2}), '') END)",
+            "c",
+        )
         if vtype == "Int":
             raw = f"TRY_CAST({raw} AS BIGINT)"
         elif vtype == "Float":
@@ -174,7 +301,12 @@ class Vectorizer:
     def _num(self, sql: str, t: str) -> str:
         if t in ("Int", "Float", "Bool"):
             return sql
-        return f"TRY_CAST({sql} AS DOUBLE)"
+        # A string operand that does not convert to a number is a
+        # runtime error when evaluated (reference vm.go PopInt/PopFloat
+        # -> errorf; interp.py to_num -> LineError).
+        conv = f"TRY_CAST({sql} AS DOUBLE)"
+        self._pending_errs.append(f"({conv} IS NULL)")
+        return conv
 
     def _expr(self, e):
         """Returns (sql, static_type)."""
@@ -227,9 +359,21 @@ class Vectorizer:
         l, lt = self._expr(e.lhs)
         r, rt = self._expr(e.rhs)
         if op in ("<", "<=", ">", ">=", "==", "!="):
-            if not (lt == "String" and rt == "String"):
-                l, r = self._num(l, lt), self._num(r, rt)
             sqlop = {"==": "=", "!=": "!="}.get(op, op)
+            if lt == "String" and rt == "String":
+                # Polymorphic compare: when BOTH sides parse as numbers
+                # compare numerically, else compare as strings
+                # (reference vm.go compare: ParseInt/ParseFloat first,
+                # compareString as the fallback).
+                ln = f"TRY_CAST({l} AS DOUBLE)"
+                rn = f"TRY_CAST({r} AS DOUBLE)"
+                return (
+                    f"CASE WHEN {ln} IS NOT NULL AND {rn} IS NOT NULL "
+                    f"THEN ({ln} {sqlop} {rn}) "
+                    f"ELSE ({l} {sqlop} {r}) END",
+                    "Bool",
+                )
+            l, r = self._num(l, lt), self._num(r, rt)
             return f"({l} {sqlop} {r})", "Bool"
         if op == "+" and lt == "String" and rt == "String":
             return f"concat({l}, {r})", "String"
@@ -240,6 +384,10 @@ class Vectorizer:
             return f"({ln} {op} {rn})", t
         if op == "/":
             if both_int:
+                # Integer divide by zero is a runtime error that kills
+                # the line (reference vm.go:686); the CASE keeps ANSI
+                # mode from throwing for the whole job.
+                self._pending_errs.append(f"(({rn}) = 0)")
                 # Go int division truncates toward zero
                 return (
                     f"CASE WHEN {rn} = 0 THEN NULL ELSE "
@@ -247,9 +395,28 @@ class Vectorizer:
                     f" AS BIGINT) END",
                     "Int",
                 )
-            return f"({ln} / {rn})", "Float"
+            # Go float division by zero yields ±Inf/NaN, not an error
+            # (vm.go:639-663 Fdiv); Spark ANSI would throw, so guard.
+            return (
+                f"CASE WHEN ({rn}) = 0 THEN "
+                f"CASE WHEN ({ln}) > 0 THEN CAST('Infinity' AS DOUBLE) "
+                f"WHEN ({ln}) < 0 THEN CAST('-Infinity' AS DOUBLE) "
+                f"ELSE CAST('NaN' AS DOUBLE) END "
+                f"ELSE ({ln} / {rn}) END",
+                "Float",
+            )
         if op == "%":
-            return f"({ln} % {rn})", t
+            if both_int:
+                # Integer mod by zero kills the line (vm.go:691-694);
+                # guard so ANSI mode does not throw job-wide.
+                self._pending_errs.append(f"(({rn}) = 0)")
+                return f"CASE WHEN ({rn}) = 0 THEN NULL ELSE ({ln} % {rn}) END", t
+            # Go math.Mod(x, 0) == NaN (no error)
+            return (
+                f"CASE WHEN ({rn}) = 0 THEN CAST('NaN' AS DOUBLE) "
+                f"ELSE ({ln} % {rn}) END",
+                t,
+            )
         if op == "**":
             if both_int:
                 return f"CAST(power({ln}, {rn}) AS BIGINT)", "Int"
@@ -392,17 +559,21 @@ class Vectorizer:
             mi = self.prog.metrics[t.lhs.name]
             labels = self._label_cols(t)
             v, vt = self._expr(e.rhs)
-            self._drain_errs(guard)
             if mi.decl.kind == "histogram":
-                self._add_site(mi, "observe", labels, self._num(v, vt), guard)
+                v = self._num(v, vt)
+                self._drain_errs(guard)
+                self._add_site(mi, "observe", labels, v, guard)
             else:
+                v, vt = self._coerce_set(mi, v, vt)
+                self._drain_errs(guard)
                 self._add_site(mi, "set", labels, v, guard, vtype=vt)
             return
         if isinstance(e, A.BuiltinCall) and e.name == "strptime":
             self._strptime(e, guard)
             return
         if isinstance(e, A.BuiltinCall) and e.name == "settime":
-            v, _ = self._expr(e.args[0])
+            v, vt = self._expr(e.args[0])
+            v = self._num(v, vt)
             self._drain_errs(guard)
             self.ts_entries.append(
                 (f"({guard} AND {self._alive()})",
@@ -419,14 +590,20 @@ class Vectorizer:
         layout = e.args[1].value
         java, fields = to_java(normalize_spaces(layout))
         subject = f"regexp_replace(CAST({sub} AS STRING), ' +', ' ')"
-        parsed = f"try_to_timestamp({subject}, {sq(java)})"
+        parsed = self._shared_col(
+            f"try_to_timestamp({subject}, {sq(java)})", "t"
+        )
         us = f"unix_micros({parsed})"
         if "year" not in fields and "year2" not in fields:
-            # Java defaulted the year to 1970; Go defaults to year 0.
+            # Java defaulted the year to 1970; Go defaults to year 0 —
+            # unless --syslog_use_current_year patches yearless results
+            # to the current year (reference vm.go:309-332).
+            to_year = self.syslog_year if self.syslog_year is not None else 0
+            sh1 = year_shift_us(1970, 1) - year_shift_us(to_year, 1)
+            sh3 = year_shift_us(1970, 3) - year_shift_us(to_year, 3)
             us = (
                 f"({us} - CASE WHEN month({parsed}) <= 2 "
-                f"THEN {year_shift_us(1970, 1)} "
-                f"ELSE {year_shift_us(1970, 3)} END)"
+                f"THEN {sh1} ELSE {sh3} END)"
             )
         # runtime-error-kills-line: a failed parse (executed + null)
         # aborts the rest of the line (reference vm.go:97-129)
@@ -435,6 +612,26 @@ class Vectorizer:
         self.kills.append(
             f"coalesce({guard} AND {parsed} IS NULL, FALSE)"
         )
+
+    def _coerce_set(self, mi, v: str, vt: str):
+        """Coerce a `metric = value` RHS to the metric's storage type.
+        A string that fails numeric conversion is a runtime error that
+        kills the line (reference vm.go:513-526 Iset/Fset via
+        PopInt/PopFloat -> errorf)."""
+        if mi.vtype == "Int":
+            if vt in ("Int", "Bool"):
+                return f"CAST({v} AS BIGINT)", "Int"
+            conv = f"TRY_CAST({v} AS BIGINT)"
+            self._pending_errs.append(f"({conv} IS NULL)")
+            return conv, "Int"
+        if mi.vtype == "Float":
+            if vt in ("Int", "Float", "Bool"):
+                return f"CAST({v} AS DOUBLE)", "Float"
+            conv = f"TRY_CAST({v} AS DOUBLE)"
+            self._pending_errs.append(f"({conv} IS NULL)")
+            return conv, "Float"
+        # text/string metric: Go-style label string coercion
+        return self._label_str(v, vt), "String"
 
     def _label_cols(self, t: A.IndexedExpr):
         out = []
@@ -468,10 +665,12 @@ def _event_sql(s: _Site, vtype: str) -> str:
         else:
             vi = f"CAST({s.value} AS BIGINT)"
     elif s.op == "set":
+        # value pre-coerced to the metric type by _coerce_set (failed
+        # conversions already recorded as line-kill events there)
         if vtype == "Float":
             vf = f"CAST({s.value} AS DOUBLE)"
         elif vtype == "Int":
-            vi = f"TRY_CAST({s.value} AS BIGINT)"
+            vi = f"CAST({s.value} AS BIGINT)"
         else:
             vs = f"CAST({s.value} AS STRING)"
     elif s.op == "observe":
@@ -493,7 +692,12 @@ def vectorized_store(
 ) -> DataFrame:
     """Run a vectorizable program, returning the STORE_SCHEMA frame."""
     prog = compiled.checked
-    vz = Vectorizer(prog, now_us=now_us)
+    syslog_year = None
+    if getattr(compiled, "syslog_use_current_year", False):
+        from mtail_spark.compiler.gotime import epoch_us_year
+
+        syslog_year = epoch_us_year(now_us)
+    vz = Vectorizer(prog, now_us=now_us, syslog_year=syslog_year)
     vz.compile()
 
     site_meta = {
@@ -516,20 +720,27 @@ def vectorized_store(
         # temp views the outer session cannot see
         sess = log_lines.sparkSession
         log_lines.createOrReplaceTempView(view)
-        flat = sess.sql(f"SELECT line_no, {evs} AS evs FROM {view}")
-        # Materialize the projection before explode: when Generate
-        # fuses with the projection it re-evaluates the generator's
-        # regex/timestamp subtrees per output, costing ~4x.  The
-        # persisted relation is (line_no, event array) — matched
-        # events only, typically much narrower than the input lines.
-        from pyspark import StorageLevel
+        src = vz.shared_layers_sql(view)
+        flat = sess.sql(f"SELECT filename, line_no, {evs} AS evs FROM {src}")
 
-        flat = flat.persist(StorageLevel.MEMORY_AND_DISK)
-
+        # explode_OUTER, not explode: GenerateExec's whole-stage
+        # codegen inlines the (large) generator expression tree into
+        # the consuming code, re-evaluating the fused projection per
+        # output — measured ~10x slower on this shape.  outer=true
+        # routes to the row-at-a-time GenerateExec, which evaluates
+        # the event array once per line.  (The r1 design worked
+        # around the same pathology with a persist() of the event
+        # array, paying ~10 us/line of columnar-cache build tax per
+        # run; this shape needs no barrier at all.)  Null slots —
+        # and the extra null row outer emits for all-null lines —
+        # are dropped by the filter.
         events = (
-            flat.select("line_no", F.explode("evs").alias("e"))
+            flat.select(
+                "filename", "line_no", F.explode_outer("evs").alias("e")
+            )
             .filter(F.col("e").isNotNull())
             .select(
+                "filename",
                 "line_no",
                 F.col("e.site").alias("site"),
                 F.col("e.labels").alias("labels"),
@@ -547,16 +758,31 @@ def vectorized_store(
             )
         events = events.withColumn("name", name_col)
 
+        # Two-phase: within a file the last PROCESSED write wins
+        # (line_no, site order); across files the datum with the
+        # latest (ts, filename) wins — exactly the fold backend's
+        # merge_partial_stores semantics (api.py), so multi-file
+        # results are deterministic and backend-independent.
+        # line_no restarts per file, so a single cross-file
+        # max_by(line_no) would be arbitrary.
         order = F.struct(F.col("line_no"), F.col("site"))
-        agg = events.groupBy("name", "labels", "le").agg(
+        per_file = events.groupBy("name", "labels", "le", "filename").agg(
             F.sum("vi").alias("sum_i"),
             F.sum("vf").alias("sum_f"),
             F.count(F.lit(1)).alias("n_obs"),
             F.max_by(F.struct("vi", "vf", "vs", "ts_us"), order).alias("last"),
             F.max_by("ts_us", order).alias("last_ts"),
         )
+        agg = per_file.groupBy("name", "labels", "le").agg(
+            F.sum("sum_i").alias("sum_i"),
+            F.sum("sum_f").alias("sum_f"),
+            F.sum("n_obs").alias("n_obs"),
+            F.max_by(
+                "last", F.struct(F.col("last_ts"), F.col("filename"))
+            ).alias("last"),
+            F.max("last_ts").alias("last_ts"),
+        )
         agg_rows = agg.collect()
-        flat.unpersist()
         sess.catalog.dropTempView(view)
 
     # ---- driver-side store assembly (store-sized data)

@@ -175,6 +175,13 @@ def parse_go_time_us(value: str, layout: str, now_year: int | None = None):
     return us
 
 
+def epoch_us_year(us: int) -> int:
+    """UTC calendar year of an epoch-µs instant (proleptic)."""
+    from datetime import datetime, timezone
+
+    return datetime.fromtimestamp(us / US, tz=timezone.utc).year
+
+
 def format_epoch_us_rfc3339(us: int) -> str:
     """Render epoch µs as RFC3339 UTC, supporting year 0 (golden-file
     format, reference golden/reader.go)."""

@@ -83,6 +83,31 @@ def go_mod(a, b):
     return a - go_int_div(a, b) * b
 
 
+def go_float_div(a, b):
+    """Go float division: IEEE ±Inf/NaN on zero divisor, never an
+    error (reference vm.go:639-663 Fdiv)."""
+    import math
+
+    try:
+        return a / b
+    except ZeroDivisionError:
+        if a == 0 or a != a:
+            return float("nan")
+        neg = (a < 0) != (math.copysign(1.0, b) < 0)
+        return float("-inf") if neg else float("inf")
+
+
+def go_float_mod(a, b):
+    """Go math.Mod: sign of the dividend; NaN on zero divisor or Inf
+    dividend (reference vm.go:659-660)."""
+    import math
+
+    try:
+        return math.fmod(a, b)
+    except ValueError:
+        return float("nan")
+
+
 class Store:
     """In-memory metric store for one fold (one file / one stream)."""
 
@@ -134,10 +159,19 @@ class Store:
             self.observe(name, labels, value, ts_us)
             return
         if mi.vtype == "Int":
-            nv = to_num(value)
-            if nv is None:
-                raise LineError(f"cannot set {name} to {value!r}")
-            value = int(nv)
+            if isinstance(value, str):
+                # strict integer parse: Go PopInt uses ParseInt, so a
+                # float-looking string is a runtime error, not a
+                # truncation (reference vm.go:131-150)
+                try:
+                    value = int(value, 10)
+                except ValueError:
+                    raise LineError(f"cannot set {name} to {value!r}")
+            else:
+                nv = to_num(value)
+                if nv is None:
+                    raise LineError(f"cannot set {name} to {value!r}")
+                value = int(nv)
         elif mi.vtype == "Float":
             nv = to_num(value)
             if nv is None:
@@ -170,6 +204,39 @@ class Store:
 
     def delete(self, name, labels):
         self.data[name].pop(labels, None)
+
+    def gc(self, now_us: int) -> int:
+        """`del ... after` TTL expiry + `limit N` eviction over this
+        store's datums (reference store.go:156-203: expire stale
+        labeled datums; evict oldest-stamped above the limit).  Keys
+        are DECLARED metric names, matching self.data."""
+        removed = 0
+        for name, ttl_s in self.prog.expiries.items():
+            datums = self.data.get(name)
+            if not datums:
+                continue
+            mi = self.prog.metrics[name]
+            ts_i = 3 if mi.decl.kind == "histogram" else 1
+            cutoff = now_us - int(ttl_s * US)
+            for labels in [
+                k for k, d in datums.items()
+                if k and (d[ts_i] or 0) < cutoff
+            ]:
+                del datums[labels]
+                removed += 1
+        for name, mi in self.prog.metrics.items():
+            limit = mi.decl.limit
+            if not limit:
+                continue
+            datums = self.data.get(name) or {}
+            ts_i = 3 if mi.decl.kind == "histogram" else 1
+            keys = [k for k in datums if k]
+            if len(keys) > limit:
+                keys.sort(key=lambda k: datums[k][ts_i] or 0)
+                for k in keys[: len(keys) - limit]:
+                    del datums[k]
+                    removed += 1
+        return removed
 
     def export_rows(self, prog_name: str) -> list[DatumRow]:
         out = []
@@ -239,8 +306,13 @@ class Interp:
         """rows: iterable of (line_no, line) or (filename, line_no, line).
         Returns export DatumRows."""
         store = Store(self.prog)
+        syslog_year = None
+        if self.syslog_use_current_year:
+            from mtail_spark.compiler.gotime import epoch_us_year
+
+            syslog_year = epoch_us_year(now_us)
         rt = Runtime(store, now_us,
-                     syslog_year=None)
+                     syslog_year=syslog_year)
         for row in rows:
             if len(row) == 3:
                 rt.filename, rt.line_no, rt.line = row
@@ -491,9 +563,9 @@ class Interp:
         if op == "*":
             return a * b
         if op == "/":
-            return go_int_div(a, b) if both_int else a / b
+            return go_int_div(a, b) if both_int else go_float_div(a, b)
         if op == "%":
-            return go_mod(a, b) if both_int else a % b
+            return go_mod(a, b) if both_int else go_float_mod(a, b)
         if op == "**":
             return a ** b
         ia, ib = int(a), int(b)

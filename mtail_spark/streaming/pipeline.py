@@ -100,12 +100,16 @@ class StreamingMetricStore:
         now_us = now_us if now_us is not None else int(time.time() * US)
         removed = 0
         with self.lock:
-            # expiry: datums idle longer than their metric's TTL
+            # expiry: datums idle longer than their metric's TTL.
+            # expiries are keyed by DECLARED name; serving rows use the
+            # exported name (`as "..."`), so translate before matching.
             for name, ttl_s in self.prog.checked.expiries.items():
+                mi = self.prog.checked.metrics.get(name)
+                nm = (mi.decl.exported_name or name) if mi else name
                 cutoff = now_us - int(ttl_s * US)
                 for key in [
                     k for k, v in self.data.items()
-                    if k[0] == name and (v["ts_us"] or 0) < cutoff and k[1]
+                    if k[0] == nm and (v["ts_us"] or 0) < cutoff and k[1]
                 ]:
                     del self.data[key]
                     removed += 1
@@ -157,10 +161,21 @@ def run_program_stream(
     store = store or StreamingMetricStore(prog)
 
     def on_batch(batch_df: DataFrame, batch_id: int):
-        lines = streaming_log_lines(batch_df)
-        result = prog.run_batch(spark, lines)
-        store.merge_batch(result.collect())
-        store.n_lines += batch_df.count()
+        from pyspark import StorageLevel
+
+        # persist the batch's lines once: the program plan and the
+        # line count both read the cache, so the source is scanned a
+        # single time per micro-batch (no second action recompute)
+        lines = streaming_log_lines(batch_df).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            result = prog.run_batch(spark, lines)
+            n = lines.count()
+            store.merge_batch(result.collect())
+            store.n_lines += n
+        finally:
+            lines.unpersist()
         if gc_every_batches and store.n_batches % gc_every_batches == 0:
             store.gc()
 

@@ -40,6 +40,11 @@ class DriverStatefulRunner:
         self.prog = prog
         self.interp = Interp(prog.checked, prog.syslog_use_current_year)
         self.now_us = now_us
+        self.syslog_year = None
+        if prog.syslog_use_current_year:
+            from mtail_spark.compiler.gotime import epoch_us_year
+
+            self.syslog_year = epoch_us_year(now_us)
         self.lock = threading.Lock()
         self.streams: dict[str, Runtime] = {}
         self.n_lines = 0
@@ -47,11 +52,29 @@ class DriverStatefulRunner:
     def _runtime(self, key: str) -> Runtime:
         rt = self.streams.get(key)
         if rt is None:
-            rt = Runtime(Store(self.prog.checked), now_us=self.now_us)
+            rt = Runtime(
+                Store(self.prog.checked),
+                now_us=self.now_us,
+                syslog_year=self.syslog_year,
+            )
             rt.filename = key
             rt.line_no = 0
             self.streams[key] = rt
         return rt
+
+    def gc(self, now_us: int | None = None) -> int:
+        """TTL (`del ... after`) + `limit` sweep over every stream's
+        store — the reference runs this hourly per program store
+        (store.go:156-203).  Operates on declared names, hidden
+        metrics included, so cross-line state cannot grow unboundedly
+        in serve mode."""
+        import time as _time
+
+        now_us = now_us if now_us is not None else int(_time.time() * 1_000_000)
+        with self.lock:
+            return sum(
+                rt.store.gc(now_us) for rt in self.streams.values()
+            )
 
     def process(self, pairs) -> None:
         """pairs: iterable of (stream_key, line) in arrival order."""
@@ -125,6 +148,7 @@ def run_stateful_stream(
     trigger: dict | None = None,
     checkpoint: str | None = None,
     order: str = "concat",
+    gc_every_batches: int = 10,
 ):
     """Run a cross-line-state program over a streaming (filename, line)
     relation.  Returns (DriverStatefulRunner, StreamingQuery).
@@ -136,8 +160,12 @@ def run_stateful_stream(
     (TextSocketMicroBatchStream.planInputPartitions).
     """
     runner = runner or DriverStatefulRunner(prog)
+    n_batches = [0]
 
     def on_batch(batch_df: DataFrame, batch_id: int):
+        n_batches[0] += 1
+        if gc_every_batches and n_batches[0] % gc_every_batches == 0:
+            runner.gc()
         rows = batch_df.select(
             F.spark_partition_id().alias("pid"),
             F.monotonically_increasing_id().alias("mid"),
