@@ -329,7 +329,7 @@ def q_embedding_nn(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb
-    out = S.knn_bruteforce(corpus, queries, k=2)
+    out = S.knn_bruteforce(corpus, queries, k=2, dim=EMB_DIM)
     # rank 1 is the vector itself (cos=1); the neighbor is rank 2
     return out.filter(F.col("rank") == 2).select(
         "query_id", F.col("corpus_id").alias("nn_id"), "cos_sim"
@@ -343,7 +343,18 @@ def q_sim_topk_bruteforce(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     corpus = emb.filter(F.col("vec_id") >= 5)
-    return S.knn_bruteforce(corpus, queries, k=3)
+    return S.knn_bruteforce(corpus, queries, k=3, dim=EMB_DIM)
+
+
+def q_sim_topk_gemm(spark, sf):
+    """Blocked-GEMM exact top-k (the 100 TB bulk-kernel path): corpus
+    partitions compute BLAS similarity blocks against the broadcast
+    query matrix and emit local top-k; cosines are rounded to 1e-9 so
+    the DuckDB oracle (sequential-fold dot) hash-matches."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return S.knn_gemm(corpus, queries, k=3, dim=EMB_DIM)
 
 
 def q_sim_lsh_bucketed(spark, sf):
@@ -359,7 +370,7 @@ def q_sim_ivf(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     corpus = emb.filter(F.col("vec_id") >= 5)
-    return S.knn_ivf(corpus, queries, k=3, n_lists=8, n_probe=2, iters=3)
+    return S.knn_ivf(corpus, queries, k=3, n_lists=8, n_probe=2, iters=3, dim=EMB_DIM)
 
 
 # ---------------------------------------------------------- text analysis
@@ -480,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "embedding_nn": q_embedding_nn,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
+        "sim_topk_gemm": q_sim_topk_gemm,
         "sim_lsh_bucketed": q_sim_lsh_bucketed,
         "sim_ivf": q_sim_ivf,
         "text_token_counts": q_text_token_counts,
@@ -845,6 +857,19 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (
                        PARTITION BY q.vec_id
                        ORDER BY {_sql_cosine('q.embedding', 'c.embedding')}
+                                DESC, c.vec_id ASC) rk
+              FROM embeddings q JOIN embeddings c
+                ON q.vec_id < 5 AND c.vec_id >= 5
+            ) WHERE rk <= 3
+        """,
+        "sim_topk_gemm": f"""
+            SELECT query_id, corpus_id, cos_sim, rk AS rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                     round({_sql_cosine('q.embedding', 'c.embedding')}, 9)
+                       AS cos_sim,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_sql_cosine('q.embedding', 'c.embedding')}, 9)
                                 DESC, c.vec_id ASC) rk
               FROM embeddings q JOIN embeddings c
                 ON q.vec_id < 5 AND c.vec_id >= 5

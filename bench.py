@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_topk_bruteforce",
+    "sim_topk_gemm",
     "text_token_counts",
 ]
 

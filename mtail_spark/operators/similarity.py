@@ -22,18 +22,57 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product of two array columns.
+
+    With `dim` known at plan time the sum is UNROLLED into a
+    left-associated chain of element_at multiply-adds: bit-identical
+    to the F.aggregate left fold (and to the DuckDB oracle's
+    list_reduce), but whole-stage-codegen instead of an interpreted
+    CodegenFallback lambda — the VERDICT r1 perf item.  Without dim it
+    falls back to the higher-order-function form."""
+    if dim is not None:
+        out = F.element_at(a, 1).cast("double") * F.element_at(b, 1).cast(
+            "double"
+        )
+        for i in range(2, dim + 1):
+            out = out + F.element_at(a, i).cast("double") * F.element_at(
+                b, i
+            ).cast("double")
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        return F.sqrt(dot(a, a, dim))
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+
+
+def _dot_lits(vec: Column, weights: list[float]) -> Column:
+    """Unrolled dot of an array column with plan-time literal weights
+    (same left-fold order as the HOF form)."""
+    out = F.element_at(vec, 1).cast("double") * F.lit(weights[0])
+    for i, w in enumerate(weights[1:], start=2):
+        out = out + F.element_at(vec, i).cast("double") * F.lit(w)
+    return out
+
+
+def _sqdist_lits(vec: Column, center: list[float]) -> Column:
+    """Unrolled squared euclidean distance to a literal centroid
+    (left-fold order preserved)."""
+    d0 = F.element_at(vec, 1).cast("double") - F.lit(center[0])
+    out = d0 * d0
+    for i, v in enumerate(center[1:], start=2):
+        d = F.element_at(vec, i).cast("double") - F.lit(v)
+        out = out + d * d
+    return out
 
 
 def knn_bruteforce(
@@ -42,28 +81,115 @@ def knn_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Plan shape: broadcast(queries) x corpus -> window top-k.  Ties are
-    broken by neighbor id for determinism.
+    broken by neighbor id for determinism.  Pass `dim` to unroll the
+    cosine into codegen arithmetic (see dot()).
     """
     c = corpus.select(
-        F.col(id_col).alias("corpus_id"), as_double(F.col(vec_col)).alias("cvec")
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec")
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
+    if dim is None:
+        c = c.withColumn("cvec", as_double(F.col("cvec")))
+        q = q.withColumn("qvec", as_double(F.col("qvec")))
     scored = c.join(F.broadcast(q)).select(
         "query_id",
         "corpus_id",
-        cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+        cosine(F.col("qvec"), F.col("cvec"), dim).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("corpus_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cos_sim", "rank")
+    )
+
+
+def knn_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Exact top-k cosine neighbors via a blocked GEMM — the scale
+    path for bulk numeric kernels.
+
+    Shape: the (small) query matrix is captured into a mapInPandas
+    closure; each corpus partition computes an Arrow-batched
+    (batch x nq) similarity matrix with BLAS and emits only its local
+    top-k per query; a final store-sized window picks the global
+    top-k.  The corpus never shuffles and Python sees each corpus row
+    once.
+
+    BLAS summation order differs from a sequential fold in the last
+    ulp, so similarities are ROUNDED to `round_digits` before ranking
+    and output — rank and hash then agree with any engine computing
+    the same rounded cosine (ties broken by corpus id)."""
+    import numpy as np  # noqa: F401  (validated here, used in closure)
+
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    qids_l = [int(r["qid"]) for r in q_rows]
+    qmat_l = [list(r["qv"]) for r in q_rows]
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        qids = np.asarray(qids_l, dtype=np.int64)
+        Q = np.asarray(qmat_l, dtype=np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            ids = pdf["cid"].to_numpy().astype(np.int64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            sims = np.round(Cn @ Qn.T, round_digits)  # nb x nq
+            nb = sims.shape[0]
+            kk = min(k, nb)
+            out_q, out_c, out_s = [], [], []
+            for j in range(len(qids)):
+                col = sims[:, j]
+                if nb > kk:
+                    idx = np.argpartition(-col, kk - 1)[:kk]
+                else:
+                    idx = np.arange(nb)
+                order = np.lexsort((ids[idx], -col[idx]))
+                sel = idx[order][:kk]
+                out_q.append(np.full(len(sel), qids[j]))
+                out_c.append(ids[sel])
+                out_s.append(col[sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "corpus_id": np.concatenate(out_c),
+                    "cos_sim": np.concatenate(out_s),
+                }
+            )
+
+    cand = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    ).mapInPandas(
+        gen, schema="query_id long, corpus_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cos_sim", "rank")
     )
@@ -88,11 +214,11 @@ def make_planes(n_planes: int, dim: int) -> list[list[float]]:
 
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH signature as an n_planes-bit integer:
-    bit p is set when dot(vec, plane_p) > 0."""
+    bit p is set when dot(vec, plane_p) > 0.  Unrolled literal dot —
+    codegen arithmetic, same fold order as the HOF form."""
     sig = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(v) for v in plane])
-        d = dot(vec, plane_col)
+        d = _dot_lits(vec, plane)
         sig = sig + F.when(d > 0, F.lit(2 ** p).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -146,12 +272,7 @@ def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     best_d = None
     best_i = F.lit(0)
     for i, cen in enumerate(centroids):
-        cc = F.array(*[F.lit(v) for v in cen])
-        d = F.aggregate(
-            F.zip_with(vec, cc, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
+        d = _sqdist_lits(vec, cen)
         if best_d is None:
             best_d = d
             best_i = F.lit(i)
@@ -191,7 +312,8 @@ def knn_ivf(
         F.explode(_probe_lists(F.col("qvec"), cents, n_probe)).alias("list_id"),
     )
     scored = c.join(F.broadcast(probes), "list_id").select(
-        "query_id", "corpus_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim")
+        "query_id", "corpus_id",
+        cosine(F.col("qvec"), F.col("cvec"), dim).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("corpus_id").asc()
@@ -207,15 +329,7 @@ def _probe_lists(vec: Column, centroids: list[list[float]], n_probe: int) -> Col
     dists = F.array(
         *[
             F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(v) for v in cen]),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                ).alias("d"),
+                _sqdist_lits(vec, cen).alias("d"),
                 F.lit(i).cast("int").alias("i"),
             )
             for i, cen in enumerate(centroids)
@@ -253,7 +367,7 @@ def knn_lsh(
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id",
         "corpus_id",
-        cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+        cosine(F.col("qvec"), F.col("cvec"), dim).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("corpus_id").asc()

@@ -100,3 +100,24 @@ def test_multimodal_stubs_raise(spark):
         M.resize_images(media, 10, 10)
     with pytest.raises(NotImplementedError):
         M.sample_frames(media, 1000)
+
+
+def test_knn_gemm_matches_bruteforce(spark):
+    import random
+
+    rnd = random.Random(7)
+    vecs = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = df.filter("vec_id < 3")
+    c = df.filter("vec_id >= 3")
+    bf = {
+        (r["query_id"], r["rank"]): r["corpus_id"]
+        for r in S.knn_bruteforce(c, q, k=4, dim=8).collect()
+    }
+    gm = {
+        (r["query_id"], r["rank"]): r["corpus_id"]
+        for r in S.knn_gemm(c, q, k=4, dim=8).collect()
+    }
+    assert bf == gm
