@@ -132,34 +132,57 @@ class CompiledProgram:
         return self._run_fold(spark, log_lines, now_us)
 
     def _run_fold(self, spark, log_lines, now_us: int) -> DataFrame:
+        """Executor-side CHUNKED ordered fold.
+
+        Hash-partition by filename, sort within partitions by
+        (filename, line_no), then stream Arrow batches through
+        per-file interpreter runtimes inside mapInPandas: sequential
+        within a file (the only order the DSL requires), parallel
+        across files, and per-task memory bounded by the Arrow batch
+        size plus the metric stores — a 100 GB file folds in one task
+        but never materializes as one pandas DataFrame (the r1 shape,
+        groupBy(filename).applyInPandas, handed the whole file to one
+        pandas group).
+        """
         from mtail_spark.session import ensure_workers_can_import
 
         ensure_workers_can_import(spark)
         src, name, use_year = self.src, self.name, self.syslog_use_current_year
 
-        def fold(pdf):
+        def fold_chunks(batches):
             import pandas as pd
 
             from mtail_spark.compiler.api import _rows_to_partial
             from mtail_spark.compiler.checker import check as _check
             from mtail_spark.compiler.interp import Interp as _Interp
 
-            pdf = pdf.sort_values("line_no")
-            fname = pdf["filename"].iloc[0] if len(pdf) else ""
             prog = _check(src, name)
             it = _Interp(prog, use_year)
-            rows = it.run_lines(
-                list(zip(pdf["line_no"], pdf["line"])),
-                filename=fname,
-                now_us=now_us,
-            )
-            return pd.DataFrame(
-                _rows_to_partial(rows, fname),
-                columns=[f.name for f in PARTIAL_SCHEMA.fields],
-            )
+            runtimes: dict = {}
+            for pdf in batches:
+                for fname, sub in pdf.groupby("filename", sort=False):
+                    rt = runtimes.get(fname)
+                    if rt is None:
+                        rt = it.new_runtime(now_us=now_us, filename=fname)
+                        runtimes[fname] = rt
+                    it.feed(rt, zip(sub["line_no"], sub["line"]))
+            out = []
+            for fname, rt in runtimes.items():
+                out.append(
+                    pd.DataFrame(
+                        _rows_to_partial(
+                            rt.store.export_rows(name), fname
+                        ),
+                        columns=[f.name for f in PARTIAL_SCHEMA.fields],
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
 
-        partial = log_lines.groupBy("filename").applyInPandas(
-            fold, schema=PARTIAL_SCHEMA
+        partial = (
+            log_lines.repartition(F.col("filename"))
+            .sortWithinPartitions("filename", "line_no")
+            .mapInPandas(fold_chunks, schema=PARTIAL_SCHEMA)
         )
         return merge_partial_stores(partial, self.name)
 

@@ -302,30 +302,39 @@ class Interp:
 
     # ------------------------------------------------------------ running
 
-    def run_lines(self, rows, prog_name=None, now_us=0, filename=""):
-        """rows: iterable of (line_no, line) or (filename, line_no, line).
-        Returns export DatumRows."""
-        store = Store(self.prog)
+    def new_runtime(self, now_us=0, filename="") -> Runtime:
+        """Fresh per-stream fold state (store + line registers)."""
         syslog_year = None
         if self.syslog_use_current_year:
             from mtail_spark.compiler.gotime import epoch_us_year
 
             syslog_year = epoch_us_year(now_us)
-        rt = Runtime(store, now_us,
-                     syslog_year=syslog_year)
+        rt = Runtime(Store(self.prog), now_us, syslog_year=syslog_year)
+        rt.filename = filename
+        return rt
+
+    def feed(self, rt: Runtime, rows) -> None:
+        """Fold (line_no, line) or (filename, line_no, line) rows into
+        an existing runtime — callers may feed a stream in chunks; all
+        cross-line state lives on `rt`."""
         for row in rows:
             if len(row) == 3:
                 rt.filename, rt.line_no, rt.line = row
             else:
                 rt.line_no, rt.line = row
-                rt.filename = filename
             rt.matches = {}
             rt.ts_us = None
             try:
                 self.program(rt)
             except (StopLine, LineError):
                 pass
-        return store.export_rows(prog_name or self.prog.name)
+
+    def run_lines(self, rows, prog_name=None, now_us=0, filename=""):
+        """rows: iterable of (line_no, line) or (filename, line_no, line).
+        Returns export DatumRows."""
+        rt = self.new_runtime(now_us=now_us, filename=filename)
+        self.feed(rt, rows)
+        return rt.store.export_rows(prog_name or self.prog.name)
 
     # ----------------------------------------------------------- compiling
 

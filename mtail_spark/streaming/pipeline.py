@@ -58,9 +58,17 @@ class StreamingMetricStore:
         self.n_batches = 0
         self.n_lines = 0  # engine-internal counter (reference exports
         # its own lines_total / log_count the same way)
+        # exactly-once: checkpoint recovery re-delivers the last
+        # uncommitted micro-batch with the SAME batch_id; merging it
+        # twice would double-count counters
+        self.last_batch_id: int = -1
 
-    def merge_batch(self, rows) -> None:
+    def merge_batch(self, rows, batch_id: int | None = None) -> None:
         with self.lock:
+            if batch_id is not None:
+                if batch_id <= self.last_batch_id:
+                    return  # replayed batch already merged
+                self.last_batch_id = batch_id
             self.n_batches += 1
             for r in rows:
                 key = (r["name"], tuple(sorted((r["labels"] or {}).items())))
@@ -135,6 +143,54 @@ class StreamingMetricStore:
                                           self.n_batches))
             return out
 
+    # ------------------------------------------------- snapshot (restart)
+
+    def save(self, path: str) -> None:
+        """Atomically snapshot the store (written after each committed
+        batch; together with batch_id dedupe this gives exactly-once
+        across process restarts — the streaming checkpoint replays the
+        last uncommitted batch, merge_batch drops it if the snapshot
+        already includes it)."""
+        import json
+        import os
+
+        with self.lock:
+            payload = {
+                "last_batch_id": self.last_batch_id,
+                "n_batches": self.n_batches,
+                "n_lines": self.n_lines,
+                "rows": [
+                    {"key_labels": list(k[1]), **v}
+                    for k, v in self.data.items()
+                ],
+            }
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, path)
+
+    def load(self, path: str) -> bool:
+        """Restore a snapshot; returns False if none exists."""
+        import json
+        import os
+
+        if not os.path.exists(path):
+            return False
+        with open(path) as f:
+            payload = json.load(f)
+        with self.lock:
+            self.last_batch_id = payload["last_batch_id"]
+            self.n_batches = payload["n_batches"]
+            self.n_lines = payload["n_lines"]
+            self.data = {}
+            for row in payload["rows"]:
+                labels_kv = tuple(
+                    (k, v) for k, v in row.pop("key_labels")
+                )
+                r = dict(row)
+                self.data[(r["name"], labels_kv)] = r
+        return True
+
 
 def streaming_log_lines(batch_df: DataFrame) -> DataFrame:
     """A micro-batch of the text file source -> log_lines relation.
@@ -155,10 +211,19 @@ def run_program_stream(
     trigger: dict | None = None,
     checkpoint: str | None = None,
     gc_every_batches: int = 10,
+    store_path: str | None = None,
 ):
     """Start a streaming query running `prog` over text files appearing
-    under `path`.  Returns (store, StreamingQuery)."""
+    under `path`.  Returns (store, StreamingQuery).
+
+    With `checkpoint` + `store_path` set, a restarted query resumes
+    exactly-once: the snapshot is loaded on start, the checkpoint
+    resumes from committed offsets, and the replayed uncommitted batch
+    is deduplicated by batch_id.
+    """
     store = store or StreamingMetricStore(prog)
+    if store_path:
+        store.load(store_path)
 
     def on_batch(batch_df: DataFrame, batch_id: int):
         from pyspark import StorageLevel
@@ -170,14 +235,17 @@ def run_program_stream(
             StorageLevel.MEMORY_AND_DISK
         )
         try:
-            result = prog.run_batch(spark, lines)
-            n = lines.count()
-            store.merge_batch(result.collect())
-            store.n_lines += n
+            if batch_id > store.last_batch_id:
+                result = prog.run_batch(spark, lines)
+                n = lines.count()
+                store.merge_batch(result.collect(), batch_id=batch_id)
+                store.n_lines += n
         finally:
             lines.unpersist()
         if gc_every_batches and store.n_batches % gc_every_batches == 0:
             store.gc()
+        if store_path:
+            store.save(store_path)
 
     stream = spark.readStream.format("text").load(path)
     writer = stream.writeStream.foreachBatch(on_batch)

@@ -238,3 +238,60 @@ gauge m
     rows = [("a.log", 0, "val 5.5")]
     vals = _both(spark, src, "fmod.mtail", rows)
     assert vals[("m", ())].value == 1.5
+
+
+def test_chunked_fold_state_across_arrow_batches(spark):
+    """The fold backend must carry interpreter state across Arrow
+    chunk boundaries of the same file (executor-side chunked fold),
+    and stay correct with multiple files in one partition."""
+    from mtail_spark.store import diff_stores, rows_from_df
+
+    src = """
+hidden gauge last_v by k
+gauge delta by k
+counter n by k
+/^v k=(?P<k>\\w+) n=(?P<n>\\d+)$/ {
+  delta[$k] = $n - last_v[$k]
+  last_v[$k] = $n
+  n[$k]++
+}
+"""
+    prog = compile_program(src, "chunk.mtail")
+    assert not prog.vectorizable
+    rows = []
+    for f in ("a.log", "b.log"):
+        for i in range(2500):
+            rows.append((f, i, f"v k=u{i % 3} n={i}"))
+    df = spark.createDataFrame(
+        rows, "filename string, line_no long, line string"
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "200")
+    try:
+        got = rows_from_df(prog.run_batch(spark, df, backend="fold"))
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # reference: pure-python fold per file, merged like the engine does
+    want = {}
+    for f in ("a.log", "b.log"):
+        lines = [ln for (fn, _, ln) in rows if fn == f]
+        for r in prog.run_local(lines, filename=f):
+            # merge: counters add; gauges LWW by (ts, filename) — ts is
+            # None here so the later filename wins
+            key = (r.name, r.labels)
+            if r.kind == "counter" and key in want:
+                import dataclasses
+
+                prev = want[key]
+                want[key] = dataclasses.replace(
+                    prev, value=prev.value + r.value
+                )
+            else:
+                want[key] = r
+    got_m = {(r.name, r.labels): r for r in got}
+    assert set(got_m) == set(want)
+    for k in want:
+        assert got_m[k].value == want[k].value, (k, got_m[k], want[k])

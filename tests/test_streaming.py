@@ -102,3 +102,55 @@ def test_store_gc_ttl_and_limit():
     assert ("session_start", "new") in keys
     assert ("ends", "a") not in keys
     assert ("ends", "b") in keys and ("ends", "c") in keys
+
+
+def test_exactly_once_restart_recovery(spark, tmp_path):
+    """Kill/restart with checkpoint + store snapshot: the resumed
+    store must equal the one-shot run (no double counting)."""
+    logs = tmp_path / "logs_eo"
+    logs.mkdir()
+    ck = str(tmp_path / "ck_eo")
+    snap = str(tmp_path / "store_eo.json")
+    prog = compile_program(PROG, "eo.mtail")
+
+    (logs / "a.log").write_text("foo\nbar\nfoo\n")
+    store1, q1 = run_program_stream(
+        prog, spark, str(logs), trigger={"availableNow": True},
+        checkpoint=ck, store_path=snap,
+    )
+    q1.awaitTermination(120)
+
+    # process "restart": new store object, same checkpoint + snapshot
+    (logs / "b.log").write_text("foo\nbaz\n")
+    store2, q2 = run_program_stream(
+        prog, spark, str(logs), trigger={"availableNow": True},
+        checkpoint=ck, store_path=snap,
+    )
+    q2.awaitTermination(120)
+
+    got = {
+        tuple((r["labels"] or {}).items()): r["value_i"]
+        for r in store2.rows()
+        if r["name"] == "by_word"
+    }
+    assert got[(("word", "foo"),)] == 3
+    assert got[(("word", "bar"),)] == 1
+    assert got[(("word", "baz"),)] == 1
+    rows = {r["name"]: r for r in store2.rows() if not r["labels"]}
+    assert rows["lines_total"]["value_i"] == 5
+
+
+def test_merge_batch_replay_dedupe():
+    prog = compile_program(PROG, "dedupe.mtail")
+    store = StreamingMetricStore(prog)
+    row = {
+        "prog": "dedupe.mtail", "name": "lines_total", "kind": "counter",
+        "vtype": "Int", "labels": None, "value_i": 7, "value_f": None,
+        "value_s": None, "buckets": None, "bucket_count": None,
+        "bucket_sum": None, "ts_us": None,
+    }
+    store.merge_batch([row], batch_id=0)
+    store.merge_batch([row], batch_id=0)  # checkpoint replay
+    store.merge_batch([row], batch_id=1)
+    vals = {r["name"]: r["value_i"] for r in store.rows(False)}
+    assert vals["lines_total"] == 14
