@@ -98,10 +98,29 @@ class CompiledProgram:
     name: str
     checked: CheckedProgram
     syslog_use_current_year: bool = False
+    _vectorizable: bool | None = None
 
     @property
     def vectorizable(self) -> bool:
-        return not self.checked.cross_line_state
+        """True when the whole program compiles to the DataFrame plan.
+        Cross-line registers (hidden gauge/text set/read/del) are now
+        vectorized via a carry window, so this is a trial compile, not
+        the checker's cross_line_state flag: only shapes the window
+        path cannot express (reads of exported metrics, del on
+        non-registers, register-driven regex subjects) fall back to
+        the ordered fold."""
+        if self._vectorizable is None:
+            from mtail_spark.compiler.codegen import (
+                VectorizeError,
+                Vectorizer,
+            )
+
+            try:
+                Vectorizer(self.checked).compile()
+                self._vectorizable = True
+            except VectorizeError:
+                self._vectorizable = False
+        return self._vectorizable
 
     # ------------------------------------------------------------ local
 

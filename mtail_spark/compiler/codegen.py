@@ -120,6 +120,67 @@ class _Site:
         self.le = le  # str SQL for bucket bound (observe)
 
 
+class _RegOp:
+    """A cross-line-register operation: set/del events feed the
+    carry window, reads are anchor rows that receive the carried
+    value."""
+
+    def __init__(self, seq, reg_id, metric, kind, labels, value=None,
+                 guard=None, read_id=None):
+        self.seq = seq
+        self.reg_id = reg_id
+        self.metric = metric
+        self.kind = kind  # 0=set 1=del 2=read
+        self.labels = labels  # list[str] SQL
+        self.value = value  # str SQL (set only), coerced to metric type
+        self.guard = guard  # str SQL
+        self.read_id = read_id  # int (read only)
+
+
+def _read_metric_names(prog: CheckedProgram) -> set:
+    """Names of metrics READ in expression position (the cross-line
+    registers: hidden state carried between lines)."""
+    out: set = set()
+
+    def walk_expr(e, is_target=False):
+        if isinstance(e, A.IndexedExpr):
+            if not is_target:
+                out.add(e.lhs.name)
+            for ix in e.index:
+                walk_expr(ix)
+        elif isinstance(e, A.BinaryExpr):
+            if e.op in ("=", "+="):
+                walk_expr(e.lhs, is_target=True)
+            else:
+                walk_expr(e.lhs)
+            walk_expr(e.rhs)
+        elif isinstance(e, A.UnaryExpr):
+            walk_expr(e.expr, is_target=e.op in ("++", "--"))
+        elif isinstance(e, A.BuiltinCall):
+            for a in e.args:
+                walk_expr(a)
+
+    def walk_stmt(s):
+        if isinstance(s, A.StmtList):
+            for x in s.stmts:
+                walk_stmt(x)
+        elif isinstance(s, A.CondStmt):
+            if not isinstance(s.cond, A.OtherwiseCond):
+                walk_expr(s.cond)
+            if s.truth:
+                walk_stmt(s.truth)
+            if s.els:
+                walk_stmt(s.els)
+        elif isinstance(s, A.ExprStmt):
+            walk_expr(s.expr)
+        elif isinstance(s, A.DelStmt):
+            for ix in s.target.index:
+                walk_expr(ix)
+
+    walk_stmt(prog.stmts)
+    return out
+
+
 class Vectorizer:
     """CheckedProgram -> (defs SQL, update-event sites)."""
 
@@ -137,6 +198,27 @@ class Vectorizer:
         self.syslog_year = syslog_year
         self.sites: list[_Site] = []
         self.ts_entries: list[tuple[str, str]] = []
+        # Cross-line registers: HIDDEN gauge/text metrics read in
+        # expression position (rsyncd's connection_time[pid],
+        # vsftpd's direction).  Their set/del/read ops become a
+        # window-carried event relation instead of store sites; reads
+        # of anything else raise VectorizeError (fold backend).
+        # op_seq orders every op in statement order so intra-line
+        # set-then-read resolves correctly.
+        self.op_seq = 0
+        self.read_names = _read_metric_names(prog)
+        self.registers: dict[str, int] = {}
+        for n in sorted(self.read_names):
+            mi = prog.metrics.get(n)
+            if (
+                mi is not None
+                and mi.decl.hidden
+                and mi.decl.kind in ("gauge", "text", "timer")
+            ):
+                self.registers[n] = len(self.registers)
+        self.regops: list[_RegOp] = []
+        self.reads: list[_RegOp] = []
+        self._cur_guard: str = "TRUE"
         # Liveness via a KILL SET instead of a recursive alive chain:
         # each `stop` or runtime-error condition contributes one
         # independent kill event; a site is alive iff no kill before it
@@ -193,6 +275,11 @@ class Vectorizer:
             )
             src = f"(SELECT *, {cols} FROM {src}) AS __l{i}"
         return src
+
+    def _next_seq(self) -> int:
+        s = self.op_seq
+        self.op_seq += 1
+        return s
 
     def _alive(self, upto: int | None = None) -> str:
         ks = self.kills if upto is None else self.kills[:upto]
@@ -335,8 +422,35 @@ class Vectorizer:
         if isinstance(e, A.BuiltinCall):
             return self._builtin(e)
         if isinstance(e, A.IndexedExpr):
-            raise VectorizeError("metric read in vectorized program")
+            return self._reg_read(e)
         raise VectorizeError(f"expr {type(e).__name__}")
+
+    def _reg_read(self, e: A.IndexedExpr):
+        """Read of a cross-line register: emit a read-anchor event;
+        the value arrives as a joined per-line column.  A datum that
+        was never set (or was deleted) reads as the typed zero — the
+        reference's GetDatum zero-init (vm.go Dload); the created
+        datum is invisible because registers are hidden."""
+        name = e.lhs.name
+        mi = self.prog.metrics.get(name)
+        reg_id = self.registers.get(name)
+        if mi is None or reg_id is None:
+            raise VectorizeError(f"read of non-register metric {name}")
+        labels = self._label_cols(e)
+        rid = len(self.reads)
+        op = _RegOp(
+            self._next_seq(), reg_id, mi, 2, labels,
+            guard=f"({self._cur_guard} AND {self._alive()})",
+            read_id=rid,
+        )
+        self.reads.append(op)
+        self.regops.append(op)
+        vt = mi.vtype
+        if vt == "Int":
+            return f"coalesce(__reg_r{rid}, CAST(0 AS BIGINT))", "Int"
+        if vt == "Float":
+            return f"coalesce(__reg_r{rid}, CAST(0.0 AS DOUBLE))", "Float"
+        return f"coalesce(__reg_r{rid}, '')", "String"
 
     def _binary(self, e):
         op = e.op
@@ -492,6 +606,27 @@ class Vectorizer:
 
     def compile(self):
         self._block(self.prog.stmts.stmts, "TRUE")
+        if self.reads:
+            import re as _re
+
+            for _name, sql, _d in self.shared:
+                if _re.search(r"__reg_r\d+", sql):
+                    # a register read feeding a regex subject would
+                    # need the join below the shared layer
+                    raise VectorizeError(
+                        "register read feeds a regex subject"
+                    )
+            for op in self.regops:
+                pieces = [op.guard or ""] + list(op.labels)
+                if op.value is not None:
+                    pieces.append(op.value)
+                if _re.search(r"__reg_r\d+", " ".join(pieces)):
+                    # a register op depending on a register READ is a
+                    # sequential value chain — the carry window's
+                    # inputs would need its own outputs
+                    raise VectorizeError(
+                        "register op depends on a register read"
+                    )
 
     def _drain_errs(self, eval_guard: str):
         """Record pending runtime-error conditions as kill events fired
@@ -507,6 +642,7 @@ class Vectorizer:
         otherwise); liveness joins at each site via the kill set."""
         prior: list[str] = []
         for s in stmts:
+            self._cur_guard = guard
             if isinstance(s, A.StmtList):
                 self._block(s.stmts, guard)
             elif isinstance(s, A.CondStmt):
@@ -533,14 +669,46 @@ class Vectorizer:
             elif isinstance(s, A.StopStmt):
                 self.kills.append(f"coalesce({guard}, FALSE)")
             elif isinstance(s, A.DelStmt):
-                raise VectorizeError("del requires the fold backend")
+                self._del_stmt(s, guard)
             else:
                 raise VectorizeError(f"stmt {type(s).__name__}")
+
+    def _del_stmt(self, s: A.DelStmt, guard: str):
+        name = s.target.lhs.name
+        labels = self._label_cols(s.target)
+        self._drain_errs(guard)
+        if s.expiry_s is not None:
+            # `del ... after` marks a TTL; the reference applies it in
+            # the hourly GC sweep, which one-shot runs never reach
+            # (interp do_del does the same).  Label expressions were
+            # still evaluated for runtime-error parity.
+            return
+        if name not in self.registers:
+            raise VectorizeError(f"del of non-register metric {name}")
+        mi = self.prog.metrics[name]
+        g = f"({guard} AND {self._alive()})"
+        self.regops.append(
+            _RegOp(self._next_seq(), self.registers[name], mi, 1, labels,
+                   guard=g)
+        )
+
+    def _reg_write(self, name: str, mi, labels, value: str, guard: str):
+        g = f"({guard} AND {self._alive()})"
+        self.regops.append(
+            _RegOp(self._next_seq(), self.registers[name], mi, 0, labels,
+                   value=value, guard=g)
+        )
 
     def _action(self, e, guard: str):
         if isinstance(e, A.UnaryExpr) and e.op in ("++", "--"):
             t = e.expr
-            mi = self.prog.metrics[t.lhs.name]
+            name = t.lhs.name
+            mi = self.prog.metrics[name]
+            if name in self.registers:
+                # read-modify-write on a register is a sequential
+                # value chain (each write depends on the carried value
+                # being written) — one window pass cannot express it
+                raise VectorizeError(f"register rmw {name}")
             labels = self._label_cols(t)
             self._drain_errs(guard)
             delta = "CAST(1 AS BIGINT)" if e.op == "++" else "CAST(-1 AS BIGINT)"
@@ -548,7 +716,10 @@ class Vectorizer:
             return
         if isinstance(e, A.BinaryExpr) and e.op == "+=":
             t = e.lhs
-            mi = self.prog.metrics[t.lhs.name]
+            name = t.lhs.name
+            mi = self.prog.metrics[name]
+            if name in self.registers:
+                raise VectorizeError(f"register rmw {name}")
             labels = self._label_cols(t)
             v, vt = self._expr(e.rhs)
             self._drain_errs(guard)
@@ -556,7 +727,15 @@ class Vectorizer:
             return
         if isinstance(e, A.BinaryExpr) and e.op == "=":
             t = e.lhs
-            mi = self.prog.metrics[t.lhs.name]
+            name = t.lhs.name
+            mi = self.prog.metrics[name]
+            if name in self.registers:
+                labels = self._label_cols(t)
+                v, vt = self._expr(e.rhs)
+                v, vt = self._coerce_set(mi, v, vt)
+                self._drain_errs(guard)
+                self._reg_write(name, mi, labels, v, guard)
+                return
             labels = self._label_cols(t)
             v, vt = self._expr(e.rhs)
             if mi.decl.kind == "histogram":
@@ -652,7 +831,9 @@ class Vectorizer:
                     f"CASE WHEN {value} <= CAST({mx!r} AS DOUBLE) "
                     f"THEN CAST({mx!r} AS DOUBLE) ELSE {le} END"
                 )
-        self.sites.append(_Site(len(self.sites), mi, op, labels, value, g, ts, le))
+        self.sites.append(
+            _Site(self._next_seq(), mi, op, labels, value, g, ts, le)
+        )
 
 
 def _event_sql(s: _Site, vtype: str) -> str:
@@ -685,6 +866,30 @@ def _event_sql(s: _Site, vtype: str) -> str:
         f"'vf', {vf}, 'vs', {vs}, 'le', {le}, 'ts_us', {s.ts_sql})"
     )
     return f"CASE WHEN {s.guard} THEN {ev} END"
+
+
+def _reg_event_sql(op: _RegOp) -> str:
+    vi = "CAST(NULL AS BIGINT)"
+    vf = "CAST(NULL AS DOUBLE)"
+    vs = "CAST(NULL AS STRING)"
+    if op.kind == 0:
+        if op.metric.vtype == "Float":
+            vf = f"CAST({op.value} AS DOUBLE)"
+        elif op.metric.vtype == "Int":
+            vi = f"CAST({op.value} AS BIGINT)"
+        else:
+            vs = f"CAST({op.value} AS STRING)"
+    labels = (
+        f"array({', '.join(op.labels)})" if op.labels
+        else "CAST(array() AS ARRAY<STRING>)"
+    )
+    rid = op.read_id if op.read_id is not None else -1
+    ev = (
+        f"named_struct('reg', {op.reg_id}, 'seq', {op.seq}, "
+        f"'kind', {op.kind}, 'read_id', {rid}, 'labels', {labels}, "
+        f"'vi', {vi}, 'vf', {vf}, 'vs', {vs})"
+    )
+    return f"CASE WHEN {op.guard} THEN {ev} END"
 
 
 def vectorized_store(
@@ -721,7 +926,80 @@ def vectorized_store(
         sess = log_lines.sparkSession
         log_lines.createOrReplaceTempView(view)
         src = vz.shared_layers_sql(view)
-        flat = sess.sql(f"SELECT filename, line_no, {evs} AS evs FROM {src}")
+        pview = None
+        if vz.reads:
+            # Cross-line registers: a second event relation carries
+            # hidden-metric set/del/read ops; a window per
+            # (filename, register, labels) ordered by (line_no, seq)
+            # resolves each read to the last prior set (del masks),
+            # and the read values join back per line.  This is the
+            # Spark shape for rsyncd-style connection stitching:
+            # parallel across register keys instead of sequential per
+            # file.
+            from pyspark.sql import Window as _W
+
+            revs = (
+                "array("
+                + ", ".join(_reg_event_sql(op) for op in vz.regops)
+                + ")"
+            )
+            reg_flat = sess.sql(
+                f"SELECT filename, line_no, {revs} AS revs FROM {src}"
+            )
+            R = (
+                reg_flat.select(
+                    "filename", "line_no",
+                    F.explode_outer("revs").alias("e"),
+                )
+                .filter(F.col("e").isNotNull())
+                .select(
+                    "filename", "line_no", "e.reg", "e.seq", "e.kind",
+                    "e.read_id", "e.labels", "e.vi", "e.vf", "e.vs",
+                )
+            )
+            w = (
+                _W.partitionBy("filename", "reg", "labels")
+                .orderBy("line_no", "seq")
+                .rowsBetween(_W.unboundedPreceding, -1)
+            )
+            carried = F.last(
+                F.when(
+                    F.col("kind") <= 1, F.struct("kind", "vi", "vf", "vs")
+                ),
+                ignorenulls=True,
+            ).over(w)
+            reads_df = (
+                R.withColumn("c", carried)
+                .filter(F.col("kind") == 2)
+                .select(
+                    "filename", "line_no", "read_id",
+                    F.when(F.col("c.kind") == 0, F.col("c.vi")).alias("cvi"),
+                    F.when(F.col("c.kind") == 0, F.col("c.vf")).alias("cvf"),
+                    F.when(F.col("c.kind") == 0, F.col("c.vs")).alias("cvs"),
+                )
+            )
+            aggs = []
+            for i, rop in enumerate(vz.reads):
+                col = {"Int": "cvi", "Float": "cvf"}.get(
+                    rop.metric.vtype, "cvs"
+                )
+                aggs.append(
+                    F.max(
+                        F.when(F.col("read_id") == i, F.col(col))
+                    ).alias(f"__reg_r{i}")
+                )
+            piv = reads_df.groupBy("filename", "line_no").agg(*aggs)
+            pview = f"__mtail_regs_{abs(id(vz)) % 10**9}"
+            piv.createOrReplaceTempView(pview)
+            flat = sess.sql(
+                f"SELECT t.filename, t.line_no, {evs} AS evs "
+                f"FROM (SELECT * FROM {src}) AS t LEFT JOIN {pview} p "
+                f"ON t.filename = p.filename AND t.line_no = p.line_no"
+            )
+        else:
+            flat = sess.sql(
+                f"SELECT filename, line_no, {evs} AS evs FROM {src}"
+            )
 
         # explode_OUTER, not explode: GenerateExec's whole-stage
         # codegen inlines the (large) generator expression tree into
@@ -783,6 +1061,8 @@ def vectorized_store(
             F.max("last_ts").alias("last_ts"),
         )
         agg_rows = agg.collect()
+        if pview is not None:
+            sess.catalog.dropTempView(pview)
         sess.catalog.dropTempView(view)
 
     # ---- driver-side store assembly (store-sized data)

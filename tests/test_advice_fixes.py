@@ -257,7 +257,8 @@ counter n by k
 }
 """
     prog = compile_program(src, "chunk.mtail")
-    assert not prog.vectorizable
+    # (this register program vectorizes too — the explicit
+    # backend="fold" below is what exercises the chunked fold)
     rows = []
     for f in ("a.log", "b.log"):
         for i in range(2500):
@@ -295,3 +296,63 @@ counter n by k
     assert set(got_m) == set(want)
     for k in want:
         assert got_m[k].value == want[k].value, (k, got_m[k], want[k])
+
+
+def test_register_window_vectorization(spark):
+    """Cross-line hidden-register programs (rsyncd shape) vectorize:
+    set/read/del carried by a window, backends agree on interleaved
+    set -> read -> del -> read-after-del -> re-set sequences."""
+    src = """
+hidden gauge start by pid
+counter total_time
+counter sessions_seen
+/start (?P<pid>\\d+) at (?P<t>\\d+)/ {
+  start[$pid] = $t
+}
+/end (?P<pid>\\d+) at (?P<t>\\d+)/ {
+  total_time += $t - start[$pid]
+  sessions_seen++
+  del start[$pid]
+}
+"""
+    rows = [
+        ("a.log", 0, "start 1 at 100"),
+        ("a.log", 1, "start 2 at 110"),
+        ("a.log", 2, "end 1 at 130"),     # 30
+        ("a.log", 3, "end 2 at 150"),     # 40
+        ("a.log", 4, "end 1 at 160"),     # deleted -> reads 0 -> +160
+        ("a.log", 5, "start 1 at 200"),
+        ("a.log", 6, "end 1 at 230"),     # 30
+    ]
+    vals = _both(spark, src, "regwin.mtail", rows)
+    assert vals[("total_time", ())].value == 30 + 40 + 160 + 30
+    assert vals[("sessions_seen", ())].value == 4
+
+
+def test_scalar_text_register(spark):
+    """vsftpd-shape scalar text register: value persists across lines
+    until overwritten; used as a counter label."""
+    src = """
+hidden text mode
+counter transfers by mode
+/mode (?P<m>\\w+)/ {
+  mode = $m
+}
+/xfer/ {
+  transfers[mode]++
+}
+"""
+    rows = [
+        ("a.log", 0, "xfer"),          # mode == "" (zero-init)
+        ("a.log", 1, "mode up"),
+        ("a.log", 2, "xfer"),
+        ("a.log", 3, "xfer"),
+        ("a.log", 4, "mode down"),
+        ("a.log", 5, "xfer"),
+    ]
+    prog = compile_program(src, "scalarreg.mtail")
+    assert prog.vectorizable
+    vals = _both(spark, src, "scalarreg.mtail", rows)
+    assert vals[("transfers", (("mode", "up"),))].value == 2
+    assert vals[("transfers", (("mode", "down"),))].value == 1
+    assert vals[("transfers", (("mode", ""),))].value == 1

@@ -15,7 +15,9 @@ EX = "/root/reference/examples"
 def test_vsftpd_two_logs_merge(spark, tmp_path):
     src = open(f"{EX}/vsftpd.mtail").read()
     prog = compile_program(src, "vsftpd.mtail")
-    assert not prog.vectorizable  # exercises the fold + merge path
+    # vsftpd now vectorizes (register windows); run_batch below
+    # exercises the default vector path, and a second run pins the
+    # fold + merge path — both must match the per-file run_local sums
 
     singles = {}
     for logf in ("vsftpd_log", "vsftpd_xferlog"):
@@ -34,18 +36,23 @@ def test_vsftpd_two_logs_merge(spark, tmp_path):
     d.mkdir()
     shutil.copy(f"{TD}/vsftpd_log", d / "vsftpd_log")
     shutil.copy(f"{TD}/vsftpd_xferlog", d / "vsftpd_xferlog")
-    merged_df = prog.run_batch(spark, read_log_lines(spark, str(d)))
-    merged = {(r.name, r.labels): r for r in rows_from_df(merged_df)}
+    for backend in ("vector", "fold"):
+        merged_df = prog.run_batch(
+            spark, read_log_lines(spark, str(d)), backend=backend
+        )
+        merged = {(r.name, r.labels): r for r in rows_from_df(merged_df)}
 
-    checked = 0
-    for key in set(singles["vsftpd_log"]) | set(singles["vsftpd_xferlog"]):
-        a = singles["vsftpd_log"].get(key)
-        b = singles["vsftpd_xferlog"].get(key)
-        if (a and a.kind == "counter") or (b and b.kind == "counter"):
-            want = (a.value if a else 0) + (b.value if b else 0)
-            assert merged[key].value == want, (key, want, merged[key])
-            checked += 1
-    assert checked >= 10
+        checked = 0
+        for key in set(singles["vsftpd_log"]) | set(singles["vsftpd_xferlog"]):
+            a = singles["vsftpd_log"].get(key)
+            b = singles["vsftpd_xferlog"].get(key)
+            if (a and a.kind == "counter") or (b and b.kind == "counter"):
+                want = (a.value if a else 0) + (b.value if b else 0)
+                assert merged[key].value == want, (
+                    backend, key, want, merged[key],
+                )
+                checked += 1
+        assert checked >= 10
 
 
 def test_vectorized_multifile(spark, tmp_path):
