@@ -52,6 +52,7 @@ MINHASH_THRESHOLD = 0.5
 SIMHASH_BITS = 32
 LSH_PLANES = 4
 EMB_DIM = 64
+IVF_LISTS = 8
 
 HIST_BUCKETS = [1.0, 4.0, 16.0, 64.0]  # +Inf added implicitly
 
@@ -373,6 +374,19 @@ def q_sim_ivf(spark, sf):
     return S.knn_ivf(corpus, queries, k=3, n_lists=8, n_probe=2, iters=3, dim=EMB_DIM)
 
 
+def q_sim_ivf_fixed(spark, sf):
+    """IVF ANN over a FIXED md5-derived coarse quantizer
+    (similarity.make_centroids): assign -> probe(2) -> exact re-rank
+    as ONE declarative plan, hash-matched against a DuckDB oracle
+    embedding the same centroid literals (VERDICT r1 item 9)."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return S.knn_ivf_fixed(
+        corpus, queries, k=3, n_lists=IVF_LISTS, n_probe=2, dim=EMB_DIM
+    )
+
+
 # ---------------------------------------------------------- text analysis
 
 
@@ -494,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_gemm": q_sim_topk_gemm,
         "sim_lsh_bucketed": q_sim_lsh_bucketed,
         "sim_ivf": q_sim_ivf,
+        "sim_ivf_fixed": q_sim_ivf_fixed,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -649,6 +664,57 @@ def _sql_norm(a: str, dim: int = EMB_DIM) -> str:
 
 def _sql_cosine(a: str, b: str) -> str:
     return f"({_sql_dot(a, b)} / ({_sql_norm(a)} * {_sql_norm(b)}))"
+
+
+def _sql_sqdist_lits(vec: str, center: list[float]) -> str:
+    """Unrolled squared distance to a literal centroid; the same
+    left-fold order as similarity._sqdist_lits so argmin choices are
+    bit-identical across engines."""
+    terms = []
+    for i, v in enumerate(center, start=1):
+        d = f"(CAST({vec}[{i}] AS DOUBLE) - ({v!r}))"
+        terms.append(f"({d} * {d})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sql_ivf_fixed() -> str:
+    """DuckDB mirror of knn_ivf_fixed: same md5-derived centroid
+    literals, nearest-list by first-occurrence argmin (Spark's
+    strictly-less chain keeps the earliest index on ties), probe
+    lists via (dist, index) ordering — Spark's array_sort over
+    struct(d, i)."""
+    cents = S.make_centroids(IVF_LISTS, EMB_DIM)
+    dl = (
+        "["
+        + ", ".join(_sql_sqdist_lits("embedding", c) for c in cents)
+        + "]"
+    )
+    return f"""
+        WITH ca AS (
+          SELECT corpus_id, embedding,
+                 list_position(dl, list_min(dl)) - 1 AS list_id
+          FROM (
+            SELECT vec_id AS corpus_id, embedding, {dl} AS dl
+            FROM embeddings WHERE vec_id >= 5
+          )
+        ), qd AS (
+          SELECT vec_id AS query_id, embedding, {dl} AS dl
+          FROM embeddings WHERE vec_id < 5
+        ), probes AS (
+          SELECT query_id, embedding, i - 1 AS list_id
+          FROM qd, generate_series(1, {IVF_LISTS}) t(i)
+          QUALIFY row_number() OVER (PARTITION BY query_id
+                    ORDER BY dl[i] ASC, i ASC) <= 2
+        )
+        SELECT query_id, corpus_id, cos_sim, rk AS rank FROM (
+          SELECT p.query_id, c.corpus_id,
+                 {_sql_cosine('p.embedding', 'c.embedding')} AS cos_sim,
+                 row_number() OVER (PARTITION BY p.query_id
+                   ORDER BY {_sql_cosine('p.embedding', 'c.embedding')} DESC,
+                            c.corpus_id ASC) rk
+          FROM probes p JOIN ca c ON p.list_id = c.list_id
+        ) WHERE rk <= 3
+    """
 
 
 def _sql_plane_literal(plane: list[float]) -> str:
@@ -875,6 +941,7 @@ def oracle_sql() -> dict[str, str]:
                 ON q.vec_id < 5 AND c.vec_id >= 5
             ) WHERE rk <= 3
         """,
+        "sim_ivf_fixed": _sql_ivf_fixed(),
         "sim_lsh_bucketed": f"""
             WITH q AS (
               SELECT vec_id AS query_id, embedding,

@@ -299,14 +299,63 @@ def knn_ivf(
     n_probe nearest lists.  At scale the list id becomes the corpus
     partitioning key, so a probe touches n_probe/n_lists of the data."""
     cents = kmeans_centroids(corpus, n_lists, id_col, vec_col, iters, dim)
+    return _ivf_rerank(corpus, queries, cents, id_col, vec_col, k, n_probe, dim)
+
+
+def make_centroids(n_lists: int, dim: int) -> list[list[float]]:
+    """Deterministic md5-derived centroids in [-1, 1): a FIXED coarse
+    quantizer whose cells are plan-time literals, reproducible in
+    oracle SQL (same scheme as make_planes).  Trades recall for a
+    fully deterministic, engine-independent index — the hash-matchable
+    counterpart of knn_ivf's trained quantizer."""
+    import hashlib
+
+    cents = []
+    for c in range(n_lists):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"ivf:{c}:{d}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2000001) / 1000000.0 - 1.0)
+        cents.append(row)
+    return cents
+
+
+def knn_ivf_fixed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF top-k over a fixed (deterministic-literal) coarse
+    quantizer — same probe/re-rank plan as knn_ivf but with no
+    training iterations, so the whole query is one declarative plan
+    with a DuckDB-expressible oracle."""
+    cents = make_centroids(n_lists, dim)
+    return _ivf_rerank(corpus, queries, cents, id_col, vec_col, k, n_probe, dim)
+
+
+def _ivf_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_probe: int,
+    dim: int,
+) -> DataFrame:
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), as_double(F.col(vec_col)).alias("cvec")
     ).withColumn("list_id", _nearest_centroid(F.col("cvec"), cents))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
     )
-    # per-query probe lists, computed driver-free via a literal array of
-    # centroid distances per query row
+    # per-query probe lists, computed driver-free via a literal array
+    # of centroid distances per query row
     probes = q.select(
         "query_id", "qvec",
         F.explode(_probe_lists(F.col("qvec"), cents, n_probe)).alias("list_id"),
