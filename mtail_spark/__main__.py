@@ -75,6 +75,10 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=3903,
                     help="HTTP port for /metrics /json /varz /graphite")
     ap.add_argument("--syslog_use_current_year", action="store_true")
+    ap.add_argument("--progs_poll_interval", type=float, default=1.0,
+                    help="seconds between progs-dir reload scans in "
+                         "serve mode (0 disables; SIGHUP always "
+                         "triggers a scan)")
     args = ap.parse_args(argv)
 
     from mtail_spark.session import get_spark
@@ -116,6 +120,7 @@ def main(argv=None):
 
     stores = []
     queries = []
+    pset = None
     if args.address:
         host, port = args.address.rsplit(":", 1)
         from mtail_spark.sources.sockets import read_socket_lines
@@ -130,45 +135,69 @@ def main(argv=None):
             stores.append(runner)
             queries.append(q)
     elif args.logs:
+        from mtail_spark.compiler.api import compile_program
         from mtail_spark.streaming import run_program_stream
+        from mtail_spark.streaming.reload import ProgramSet
         from mtail_spark.streaming.stateful import run_stateful_stream
-        from mtail_spark.streaming.pipeline import streaming_log_lines
 
-        for prog in progs:
+        def start_prog(prog):
+            prog.syslog_use_current_year = args.syslog_use_current_year
             if prog.vectorizable:
-                store, q = run_program_stream(prog, spark, args.logs)
-            else:
-                stream = (
-                    spark.readStream.format("text").load(args.logs)
-                )
-                from pyspark.sql import functions as F
+                return run_program_stream(prog, spark, args.logs)
+            stream = spark.readStream.format("text").load(args.logs)
+            from pyspark.sql import functions as F
 
-                lines = stream.select(
-                    F.input_file_name().alias("filename"),
-                    F.regexp_replace(F.col("value"), "\r$", "").alias("line"),
-                )
-                store, q = run_stateful_stream(prog, spark, lines)
-            stores.append(store)
-            queries.append(q)
+            lines = stream.select(
+                F.input_file_name().alias("filename"),
+                F.regexp_replace(F.col("value"), "\r$", "").alias("line"),
+            )
+            return run_stateful_stream(prog, spark, lines)
+
+        # Hot reload (reference runtime.go:310-332): the ProgramSet
+        # owns the per-program queries; a SIGHUP or the poll watcher
+        # rescans --progs and swaps changed programs live.
+        pset = ProgramSet(compile_program, start_prog)
+        pset.scan(args.progs)
+        if args.progs_poll_interval > 0:
+            pset.watch(args.progs, interval=args.progs_poll_interval)
+        try:
+            import signal
+
+            signal.signal(
+                signal.SIGHUP, lambda *_: pset.scan(args.progs)
+            )
+        except (ValueError, AttributeError, OSError):
+            pass  # non-main thread or platform without SIGHUP
     else:
         ap.error("serve mode needs --logs or --address")
 
-    def provider():
-        rows = []
-        for s in stores:
-            rows.extend(s.rows())
-        return rows
+    if pset is not None:
+        provider = pset.rows
+
+        def active():
+            return pset.any_active()
+    else:
+        def provider():
+            rows = []
+            for s in stores:
+                rows.extend(s.rows())
+            return rows
+
+        def active():
+            return any(q.isActive for q in queries)
 
     srv = MetricsServer(provider, host="0.0.0.0", port=args.port).start()
     print(f"serving on :{srv.port} (/metrics /json /varz /graphite)",
           file=sys.stderr)
     try:
-        while any(q.isActive for q in queries):
+        while active():
             time.sleep(1)
     except KeyboardInterrupt:
         pass
     finally:
         srv.stop()
+        if pset is not None:
+            pset.stop()
         for q in queries:
             q.stop()
     return 0
