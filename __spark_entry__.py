@@ -250,7 +250,10 @@ def q_sessionize_events(spark, sf):
     the batch analog of a streaming session_window."""
     ev = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # events.ts arrives as TIMESTAMP_NTZ (parquet timestamp[us] without UTC
+    # adjustment); session tz is pinned UTC, so the cast is deterministic
+    ts = F.col("ts").cast("timestamp")
+    gap_us = F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w))
     flag = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
     return (
         ev.withColumn("new_session", flag)

@@ -46,6 +46,60 @@ BENCH_QUERIES = [
 ]
 
 
+# Marginal-scaling subset re-run at sf1 (10x fact rows, fixed dims —
+# built by tools/make_bench_sf.py).  Fixed overhead (JVM, plan/codegen)
+# is amortized at this scale, so these times ARE the 100 TB projection.
+SF1_QUERIES = [
+    "mtail_counter_by",
+    "mtail_histogram",
+    "mtail_prog_counters",
+    "mtail_prog_histogram",
+    "tpch_pricing_summary",
+    "join_revenue_by_nation",
+    "window_topk_orders",
+    "sessionize_events",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_gemm",
+    "text_token_counts",
+]
+
+
+def _time_queries(spark, qs, names, sf_dir):
+    warm, cold = {}, {}
+    for name in names:
+        best = first = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            first = dt if first is None else first
+            best = dt if best is None else min(best, dt)
+        warm[name] = round(best, 3)
+        cold[name] = round(first, 3)
+    return warm, cold
+
+
+def _sf1_dir() -> str | None:
+    """Locate (or lazily build) the replicated sf1 bench data."""
+    d = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench", "sf1"),
+    )
+    if os.path.exists(os.path.join(d, "lineitem.parquet")):
+        return d
+    try:
+        from tools.make_bench_sf import build
+
+        build("/root/testdata/sf0.1", d, 10)
+        return d
+    except Exception as e:  # never let sf1 prep break the primary bench
+        print(f"sf1 bench data unavailable: {e}", file=sys.stderr)
+        return None
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -56,29 +110,14 @@ def main():
     # Warm the JVM + parquet footers with a trivial action.
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
-    timings = {}
-    timings_cold = {}
-    total = 0.0
-    for name in BENCH_QUERIES:
-        # The timer covers query CONSTRUCTION + execution: the mtail
-        # program queries do their Spark work eagerly inside
-        # construction (run_batch collects the store), so timing only
-        # the noop write of the returned store-sized frame — as r1
-        # did — misses nearly all their cost.  Best of 2 reports
-        # steady state (run 1 pays one-time plan/codegen costs);
-        # cold (first-run) numbers are reported alongside.
-        best = None
-        first = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            first = dt if first is None else first
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        timings_cold[name] = round(first, 3)
-        total += best
+    # The timer covers query CONSTRUCTION + execution: the mtail
+    # program queries do their Spark work eagerly inside construction
+    # (run_batch collects the store), so timing only the noop write of
+    # the returned store-sized frame — as r1 did — misses nearly all
+    # their cost.  Best of 2 reports steady state (run 1 pays one-time
+    # plan/codegen costs); cold (first-run) numbers alongside.
+    timings, timings_cold = _time_queries(spark, qs, BENCH_QUERIES, sf_dir)
+    total = round(sum(timings.values()), 3)
 
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     result = {
@@ -114,6 +153,18 @@ def main():
             n_events / 1000.0 / max(timings["mtail_prog_counters"], 1e-9), 1
         ),
     }
+
+    sf1 = _sf1_dir()
+    if sf1:
+        warm1, cold1 = _time_queries(spark, qs, SF1_QUERIES, sf1)
+        n1 = spark.read.parquet(f"{sf1}/events.parquet").count()
+        result["sf1_queries"] = warm1
+        result["sf1_queries_cold"] = cold1
+        result["sf1_events_rows"] = n1
+        result["sf1_wall_sec"] = round(sum(warm1.values()), 3)
+        result["sf1_compiled_program_klines_per_sec"] = round(
+            n1 / 1000.0 / max(warm1["mtail_prog_counters"], 1e-9), 1
+        )
     print(json.dumps(result))
 
 

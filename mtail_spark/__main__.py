@@ -63,6 +63,19 @@ def _golden_dump(rows) -> str:
     return "\n".join(out)
 
 
+def _is_spoolable(url: str) -> bool:
+    """fifo:// udp:// unixgram:// URLs, or a path that stats as a FIFO
+    (the reference auto-detects named pipes by stat, logstream.go)."""
+    import stat as _stat
+
+    if url.startswith(("fifo://", "udp://", "unixgram://")):
+        return True
+    try:
+        return _stat.S_ISFIFO(os.stat(url).st_mode)
+    except OSError:
+        return False
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="mtail-spark")
     ap.add_argument("--progs", required=True, help="directory of *.mtail programs")
@@ -104,7 +117,25 @@ def main(argv=None):
             tmp.write(sys.stdin.read())
             tmp.close()
             args.logs = tmp.name
-        lines = read_log_lines(spark, args.logs)
+        if _is_spoolable(args.logs):
+            # FIFO / datagram one-shot: drain the source until it goes
+            # quiet, then read the staged spool (reference one-shot
+            # semantics: read until EOF)
+            import tempfile
+
+            from mtail_spark.sources.spool import (
+                drain_one_shot,
+                open_spooler,
+                spool_lines_batch,
+            )
+
+            spooler = open_spooler(
+                args.logs, tempfile.mkdtemp(prefix="mtail-spool-")
+            )
+            drain_one_shot(spooler)
+            lines = spool_lines_batch(spark, spooler)
+        else:
+            lines = read_log_lines(spark, args.logs)
         all_rows = []
         for prog in progs:
             df = prog.run_batch(spark, lines)
@@ -130,6 +161,30 @@ def main(argv=None):
             stream = read_socket_lines(spark, host, int(port))
             runner, q = run_stateful_stream(
                 prog, spark, stream, order="round_robin",
+                trigger={"processingTime": "1 seconds"},
+            )
+            stores.append(runner)
+            queries.append(q)
+    elif args.logs and _is_spoolable(args.logs):
+        # FIFO / datagram serve mode: driver-side spooler stages lines
+        # into a replayable spool dir; the file streaming source tails
+        # it (checkpointable, unlike the socket source)
+        import tempfile
+
+        from mtail_spark.sources.spool import (
+            open_spooler,
+            spool_lines_stream,
+        )
+        from mtail_spark.streaming.stateful import run_stateful_stream
+
+        spooler = open_spooler(
+            args.logs, tempfile.mkdtemp(prefix="mtail-spool-")
+        )
+        spooler.start()
+        for prog in progs:
+            stream = spool_lines_stream(spark, spooler)
+            runner, q = run_stateful_stream(
+                prog, spark, stream,
                 trigger={"processingTime": "1 seconds"},
             )
             stores.append(runner)

@@ -1,0 +1,99 @@
+"""Materialize a larger benchmark scale from the driver's sf0.1 parquet.
+
+The driver ships sf{0.001,0.01,0.1}; the 100 TB question needs marginal
+numbers at a scale where fixed overhead (JVM warmup, plan/codegen) is
+amortized away.  This tool replicates the sf0.1 fact tables FACTOR
+times with key offsets (distinct primary keys, same dimension tables)
+into .bench/sf1 — the same trick TPC uses for scale factors: fact rows
+grow linearly, dimensions stay fixed.
+
+Replication semantics per table:
+- events:     event_id and user_id offset per replica (user breadth
+              grows 10x, per-user density constant — matches how log
+              volume actually scales: more hosts, not denser hosts)
+- orders:     o_orderkey offset; o_custkey unchanged (dims fixed)
+- lineitem:   l_orderkey offset with the SAME stride as orders so the
+              FK join stays consistent
+- documents:  doc_id offset, text unchanged (replicas become exact
+              dups — a realistic crawl dup rate for dedup operators)
+- embeddings: vec_id offset
+- dims (region nation customer supplier part): copied as-is
+
+Usage: python tools/make_bench_sf.py [--factor 10] [--src /root/testdata/sf0.1]
+                                     [--dst .bench/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+# (table, [key columns to offset]) — stride is max(key)+1 within the table
+FACTS = {
+    "events": ["event_id", "user_id"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+
+def _replicate(tbl: pa.Table, keys: list[str], factor: int,
+               strides: dict[str, int]) -> pa.Table:
+    parts = []
+    for i in range(factor):
+        if i == 0:
+            parts.append(tbl)
+            continue
+        cols = {}
+        for name in tbl.column_names:
+            col = tbl.column(name)
+            if name in keys:
+                col = pc.add(col, i * strides[name])
+            cols[name] = col
+        parts.append(pa.table(cols, schema=None))
+    return pa.concat_tables(parts, promote_options="none")
+
+
+def build(src: str, dst: str, factor: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    # orders and lineitem must share the orderkey stride for FK joins
+    shared_stride: dict[str, int] = {}
+    o = pq.read_table(os.path.join(src, "orders.parquet"))
+    shared_stride["o_orderkey"] = pc.max(o.column("o_orderkey")).as_py() + 1
+    shared_stride["l_orderkey"] = shared_stride["o_orderkey"]
+
+    for t, keys in FACTS.items():
+        tbl = pq.read_table(os.path.join(src, f"{t}.parquet"))
+        strides = {}
+        for k in keys:
+            strides[k] = shared_stride.get(
+                k, pc.max(tbl.column(k)).as_py() + 1
+            )
+        out = _replicate(tbl, keys, factor, strides)
+        pq.write_table(out, os.path.join(dst, f"{t}.parquet"),
+                       compression="snappy")
+        print(f"{t}: {tbl.num_rows} -> {out.num_rows} rows")
+    for t in DIMS:
+        tbl = pq.read_table(os.path.join(src, f"{t}.parquet"))
+        pq.write_table(tbl, os.path.join(dst, f"{t}.parquet"),
+                       compression="snappy")
+        print(f"{t}: {tbl.num_rows} rows (dim, copied)")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--dst",
+        default=os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".bench", "sf1"),
+    )
+    a = ap.parse_args()
+    build(a.src, a.dst, a.factor)
