@@ -910,6 +910,19 @@ def vectorized_store(
         for s in vz.sites
     }
 
+    # The per-line work (regex extraction, strptime, typed casts) is
+    # CPU-heavy, so parallelism must match the cluster even when the
+    # source planned few splits (a snappy parquet or small text file
+    # decompresses 10-30x: byte-based split planning undercounts).
+    # Order is carried as data (filename, line_no), so a round-robin
+    # repartition is semantics-preserving.  Streaming micro-batch
+    # frames skip this (isStreaming) — their partitioning comes from
+    # the source.
+    if not log_lines.isStreaming:
+        par = spark.sparkContext.defaultParallelism
+        if log_lines.rdd.getNumPartitions() < max(2, par // 2):
+            log_lines = log_lines.repartition(par)
+
     agg_rows = []
     if vz.sites:
         ev_sqls = [_event_sql(s, s.metric.vtype) for s in vz.sites]

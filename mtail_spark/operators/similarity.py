@@ -22,15 +22,48 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def cosine_fold_udf():
+    """Vectorized-Arrow cosine kernel with LEFT-FOLD summation.
+
+    numpy accumulates SEQUENTIALLY over dims (dot = dot + x*y, one dim
+    at a time) but vectorized ACROSS rows — bit-identical per row to
+    the F.aggregate left fold and the DuckDB list_reduce oracle, while
+    doing ~dim numpy ops per Arrow batch instead of an interpreted
+    lambda per row or a 3*dim-node Catalyst tree per expression (the
+    unrolled element_at chain cost seconds of py4j construction and
+    janino compilation; measured slower than the HOF it replaced)."""
+    # no type annotations: postponed evaluation (future import) turns
+    # them into strings pandas_udf can't resolve; SCALAR is the default
+    def cos(a, b):
+        import numpy as np
+        import pandas as pd
+
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        n = len(A)
+        d = np.zeros(n)
+        na = np.zeros(n)
+        nb = np.zeros(n)
+        for i in range(A.shape[1]):
+            x, y = A[:, i], B[:, i]
+            d = d + x * y
+            na = na + x * x
+            nb = nb + y * y
+        return pd.Series(d / (np.sqrt(na) * np.sqrt(nb)))
+
+    return F.pandas_udf(cos, "double")
+
+
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Dot product of two array columns.
 
     With `dim` known at plan time the sum is UNROLLED into a
     left-associated chain of element_at multiply-adds: bit-identical
     to the F.aggregate left fold (and to the DuckDB oracle's
-    list_reduce), but whole-stage-codegen instead of an interpreted
-    CodegenFallback lambda — the VERDICT r1 perf item.  Without dim it
-    falls back to the higher-order-function form."""
+    list_reduce).  Without dim it uses the higher-order-function form.
+    Hot paths should prefer cosine_fold_udf / knn_gemm — the unrolled
+    tree is kept for literal-free plan contexts that must stay pure
+    JVM."""
     if dim is not None:
         out = F.element_at(a, 1).cast("double") * F.element_at(b, 1).cast(
             "double"
@@ -55,24 +88,46 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
-def _dot_lits(vec: Column, weights: list[float]) -> Column:
-    """Unrolled dot of an array column with plan-time literal weights
+# Literal-weight kernels are built as ONE SQL string handed to F.expr:
+# building them as Column arithmetic costs 2-3 py4j round-trips per
+# term (seconds of driver time at dim=64), while parsing a 6 KB
+# expression server-side is milliseconds.  Double literals go through
+# CAST('<repr>' AS DOUBLE) because bare decimal literals parse as
+# DECIMAL in Spark SQL; the cast constant-folds at plan time, and
+# repr round-trips exactly, so the runtime literal is bit-identical
+# to F.lit(w).  '+' parses left-associative — the same left-fold
+# order as the HOF form and the DuckDB oracle.
+
+
+def _dlit(w: float) -> str:
+    return f"CAST('{w!r}' AS DOUBLE)"
+
+
+def _sql_dot_lits(vec: str, weights: list[float]) -> str:
+    return "(" + " + ".join(
+        f"(CAST(element_at({vec}, {i}) AS DOUBLE) * {_dlit(w)})"
+        for i, w in enumerate(weights, start=1)
+    ) + ")"
+
+
+def _sql_sqdist_lits(vec: str, center: list[float]) -> str:
+    terms = []
+    for i, v in enumerate(center, start=1):
+        d = f"(CAST(element_at({vec}, {i}) AS DOUBLE) - {_dlit(v)})"
+        terms.append(f"({d} * {d})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _dot_lits(vec: str, weights: list[float]) -> Column:
+    """Dot of an array column (by NAME) with plan-time literal weights
     (same left-fold order as the HOF form)."""
-    out = F.element_at(vec, 1).cast("double") * F.lit(weights[0])
-    for i, w in enumerate(weights[1:], start=2):
-        out = out + F.element_at(vec, i).cast("double") * F.lit(w)
-    return out
+    return F.expr(_sql_dot_lits(vec, weights))
 
 
-def _sqdist_lits(vec: Column, center: list[float]) -> Column:
-    """Unrolled squared euclidean distance to a literal centroid
-    (left-fold order preserved)."""
-    d0 = F.element_at(vec, 1).cast("double") - F.lit(center[0])
-    out = d0 * d0
-    for i, v in enumerate(center[1:], start=2):
-        d = F.element_at(vec, i).cast("double") - F.lit(v)
-        out = out + d * d
-    return out
+def _sqdist_lits(vec: str, center: list[float]) -> Column:
+    """Squared euclidean distance of an array column (by NAME) to a
+    literal centroid (left-fold order preserved)."""
+    return F.expr(_sql_sqdist_lits(vec, center))
 
 
 def knn_bruteforce(
@@ -86,8 +141,10 @@ def knn_bruteforce(
     """Exact top-k cosine neighbors for each query vector.
 
     Plan shape: broadcast(queries) x corpus -> window top-k.  Ties are
-    broken by neighbor id for determinism.  Pass `dim` to unroll the
-    cosine into codegen arithmetic (see dot()).
+    broken by neighbor id for determinism.  With `dim` set, the cosine
+    runs through the Arrow-vectorized left-fold kernel
+    (cosine_fold_udf) — same bits as the HOF fold, ~dim numpy ops per
+    batch; without it, the JVM higher-order-function form.
     """
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec")
@@ -95,13 +152,17 @@ def knn_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    if dim is None:
+    if dim is not None:
+        kernel = cosine_fold_udf()
+        sim = kernel(F.col("qvec"), F.col("cvec"))
+    else:
         c = c.withColumn("cvec", as_double(F.col("cvec")))
         q = q.withColumn("qvec", as_double(F.col("qvec")))
+        sim = cosine(F.col("qvec"), F.col("cvec"), None)
     scored = c.join(F.broadcast(q)).select(
         "query_id",
         "corpus_id",
-        cosine(F.col("qvec"), F.col("cvec"), dim).alias("cos_sim"),
+        sim.alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("corpus_id").asc()
@@ -212,17 +273,17 @@ def make_planes(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
-def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane LSH signature as an n_planes-bit integer:
-    bit p is set when dot(vec, plane_p) > 0.  Unrolled literal dot —
-    codegen arithmetic, same fold order as the HOF form."""
-    sig = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        d = _dot_lits(vec, plane)
-        sig = sig + F.when(d > 0, F.lit(2 ** p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sig
+def hyperplane_signature(vec: str, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH signature of an array column (by NAME) as
+    an n_planes-bit integer: bit p is set when dot(vec, plane_p) > 0.
+    One F.expr of literal dots — codegen arithmetic, same fold order
+    as the HOF form."""
+    bits = " + ".join(
+        f"IF({_sql_dot_lits(vec, plane)} > CAST(0 AS DOUBLE), "
+        f"CAST({2 ** p} AS BIGINT), CAST(0 AS BIGINT))"
+        for p, plane in enumerate(planes)
+    )
+    return F.expr(f"({bits})")
 
 
 def kmeans_centroids(
@@ -247,7 +308,7 @@ def kmeans_centroids(
     centroids = [list(r["vec"]) for r in seeds]
     for _ in range(iters):
         assigned = c.withColumn(
-            "cluster", _nearest_centroid(F.col("vec"), centroids)
+            "cluster", nearest_centroid_udf(centroids)(F.col("vec"))
         )
         sums = (
             assigned.select(
@@ -268,19 +329,71 @@ def kmeans_centroids(
     return centroids
 
 
-def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
-    best_d = None
-    best_i = F.lit(0)
-    for i, cen in enumerate(centroids):
-        d = _sqdist_lits(vec, cen)
-        if best_d is None:
-            best_d = d
-            best_i = F.lit(i)
-        else:
-            cond = d < best_d
-            best_i = F.when(cond, F.lit(i)).otherwise(best_i)
-            best_d = F.when(cond, d).otherwise(best_d)
-    return best_i
+def _sqdist_matrix(A, C):
+    """(n, dim) x (k, dim) -> (n, k) squared distances, accumulated
+    SEQUENTIALLY over dims: per (row, centroid) the adds happen in the
+    same left-fold order as the literal SQL form and the DuckDB
+    oracle, so argmin choices are bit-identical."""
+    import numpy as np
+
+    acc = np.zeros((A.shape[0], C.shape[0]))
+    for i in range(A.shape[1]):
+        diff = A[:, i][:, None] - C[None, :, i]
+        acc = acc + diff * diff
+    return acc
+
+
+def nearest_centroid_udf(centroids: list[list[float]]):
+    """Arrow-batched first-occurrence argmin over centroid distances —
+    np.argmin keeps the earliest index on ties, the same choice as a
+    strictly-less scan and the oracle's list_position(dl,
+    list_min(dl)).  (A Catalyst-literal unrolled form was tried first:
+    k*dim*8 expression nodes cost seconds of analysis + janino per
+    run.)"""
+    cents = [list(c) for c in centroids]
+
+    def assign(v):
+        import numpy as np
+        import pandas as pd
+
+        A = np.stack(v.to_numpy()).astype(np.float64)
+        C = np.asarray(cents, dtype=np.float64)
+        return pd.Series(
+            np.argmin(_sqdist_matrix(A, C), axis=1).astype(np.int32)
+        )
+
+    return F.pandas_udf(assign, "int")
+
+
+def probe_lists_udf(centroids: list[list[float]], n_probe: int):
+    """Arrow-batched n_probe nearest list ids, ordered by (distance,
+    index) — stable argsort breaks ties toward the lower index, same
+    as array_sort over (d, i) structs."""
+    cents = [list(c) for c in centroids]
+
+    def probe(v):
+        import numpy as np
+        import pandas as pd
+
+        A = np.stack(v.to_numpy()).astype(np.float64)
+        C = np.asarray(cents, dtype=np.float64)
+        d = _sqdist_matrix(A, C)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype(np.int32) for row in idx])
+
+    return F.pandas_udf(probe, "array<int>")
+
+
+def _nearest_centroid(vec: str, centroids: list[list[float]]) -> Column:
+    """Pure-JVM first-occurrence argmin (one F.expr) — kept for plan
+    contexts that must avoid Python workers; hot paths use
+    nearest_centroid_udf."""
+    ds = "array(" + ", ".join(
+        _sql_sqdist_lits(vec, cen) for cen in centroids
+    ) + ")"
+    return F.expr(
+        f"CAST(array_position({ds}, array_min({ds})) AS INT) - 1"
+    )
 
 
 def knn_ivf(
@@ -350,19 +463,21 @@ def _ivf_rerank(
 ) -> DataFrame:
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), as_double(F.col(vec_col)).alias("cvec")
-    ).withColumn("list_id", _nearest_centroid(F.col("cvec"), cents))
+    ).withColumn("list_id", nearest_centroid_udf(cents)(F.col("cvec")))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
     )
-    # per-query probe lists, computed driver-free via a literal array
-    # of centroid distances per query row
+    # per-query probe lists, computed driver-free with the centroid
+    # matrix captured in the kernel closure
     probes = q.select(
         "query_id", "qvec",
-        F.explode(_probe_lists(F.col("qvec"), cents, n_probe)).alias("list_id"),
+        F.explode(
+            probe_lists_udf(cents, n_probe)(F.col("qvec"))
+        ).alias("list_id"),
     )
     scored = c.join(F.broadcast(probes), "list_id").select(
         "query_id", "corpus_id",
-        cosine(F.col("qvec"), F.col("cvec"), dim).alias("cos_sim"),
+        cosine_fold_udf()(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("corpus_id").asc()
@@ -374,18 +489,16 @@ def _ivf_rerank(
     )
 
 
-def _probe_lists(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:
-    dists = F.array(
-        *[
-            F.struct(
-                _sqdist_lits(vec, cen).alias("d"),
-                F.lit(i).cast("int").alias("i"),
-            )
-            for i, cen in enumerate(centroids)
-        ]
-    )
-    return F.transform(
-        F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["i"]
+def _probe_lists(vec: str, centroids: list[list[float]], n_probe: int) -> Column:
+    """n_probe nearest list ids for an array column (by NAME), via
+    array_sort over (distance, index) structs — one F.expr."""
+    dists = "array(" + ", ".join(
+        f"named_struct('d', {_sql_sqdist_lits(vec, cen)}, "
+        f"'i', CAST({i} AS INT))"
+        for i, cen in enumerate(centroids)
+    ) + ")"
+    return F.expr(
+        f"transform(slice(array_sort({dists}), 1, {n_probe}), s -> s.i)"
     )
 
 
@@ -409,14 +522,14 @@ def knn_lsh(
     planes = make_planes(n_planes, dim)
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), as_double(F.col(vec_col)).alias("cvec")
-    ).withColumn("bucket", hyperplane_signature(F.col("cvec"), planes))
+    ).withColumn("bucket", hyperplane_signature("cvec", planes))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
-    ).withColumn("bucket", hyperplane_signature(F.col("qvec"), planes))
+    ).withColumn("bucket", hyperplane_signature("qvec", planes))
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id",
         "corpus_id",
-        cosine(F.col("qvec"), F.col("cvec"), dim).alias("cos_sim"),
+        cosine_fold_udf()(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("corpus_id").asc()

@@ -61,8 +61,8 @@ def test_knn_bruteforce_self_is_nearest(spark):
 def test_hyperplane_sig_deterministic(spark):
     planes = S.make_planes(4, 4)
     df = spark.createDataFrame([(1, [0.5, -0.25, 0.1, 0.9])], ["id", "v"])
-    a = df.select(S.hyperplane_signature(S.as_double(F.col("v")), planes).alias("s")).collect()[0]["s"]
-    b = df.select(S.hyperplane_signature(S.as_double(F.col("v")), planes).alias("s")).collect()[0]["s"]
+    a = df.select(S.hyperplane_signature("v", planes).alias("s")).collect()[0]["s"]
+    b = df.select(S.hyperplane_signature("v", planes).alias("s")).collect()[0]["s"]
     assert a == b
     assert 0 <= a < 16
 
