@@ -56,6 +56,14 @@ IVF_LISTS = 8
 
 HIST_BUCKETS = [1.0, 4.0, 16.0, 64.0]  # +Inf added implicitly
 
+# PII regexes restricted to Java-regex/RE2-common syntax (no
+# lookaround/backrefs) so Spark and DuckDB match identically
+from mtail_spark.operators.textstats import PII_PATTERNS as _PII
+
+_PII_EMAIL = _PII["email"]
+_PII_IPV4 = _PII["ipv4"]
+_PII_PHONE = _PII["phone"]
+
 
 def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
     from mtail_spark.session import load_table
@@ -327,6 +335,37 @@ def q_dedup_ngram_jaccard(spark, sf):
     )
 
 
+def q_dedup_embedding(spark, sf):
+    """Embedding-cosine near-dup pairs: hyperplane-bucket candidates,
+    exact left-fold cosine verification."""
+    emb = _t(spark, sf, "embeddings")
+    return S.cosine_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3,
+        n_planes=LSH_PLANES, dim=EMB_DIM,
+    )
+
+
+def q_dedup_groups_cc(spark, sf):
+    """Near-dup pairs -> duplicate GROUPS via iterative min-label
+    connected components; the oracle is a recursive CTE computing the
+    same min-reachable-id fixpoint."""
+    docs = _t(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS,
+        shingle_k=MINHASH_K,
+        threshold=MINHASH_THRESHOLD,
+    )
+    return D.connected_components(pairs).select(
+        "doc_id",
+        "group_id",
+        F.col("group_size").cast("long").alias("group_size"),
+    )
+
+
 def q_embedding_nn(spark, sf):
     """Embedding near-dup probe: exact nearest neighbor (cosine) for
     each of the first 10 vectors."""
@@ -425,6 +464,42 @@ def q_text_fingerprint(spark, sf):
     )
 
 
+def q_text_repetition(spark, sf):
+    """Gopher-style repetition quality signal: fraction of duplicate
+    word bigrams/trigrams per document."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        TX.repetition_ratio(F.col("text"), 2).alias("rep2"),
+        TX.repetition_ratio(F.col("text"), 3).alias("rep3"),
+    )
+
+
+def q_text_pii(spark, sf):
+    """PII detection + redaction.  The documents table carries no real
+    PII, so each doc gets a deterministic synthetic contact suffix
+    (email, IPv4, phone) appended IN BOTH ENGINES before counting and
+    scrubbing; the redacted text is compared by md5."""
+    docs = _t(spark, sf, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call +1-202-555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    base = docs.select("doc_id", t.alias("t"))
+    return base.select(
+        "doc_id",
+        TX.pii_counts(F.col("t"), "email").alias("n_email"),
+        TX.pii_counts(F.col("t"), "ipv4").alias("n_ipv4"),
+        TX.pii_counts(F.col("t"), "phone").alias("n_phone"),
+        F.md5(TX.pii_scrub(F.col("t"))).alias("scrub_md5"),
+    )
+
+
 # ------------------------------------------------------------- multimodal
 
 
@@ -506,6 +581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_groups_cc": q_dedup_groups_cc,
+        "dedup_embedding": q_dedup_embedding,
         "embedding_nn": q_embedding_nn,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_topk_gemm": q_sim_topk_gemm,
@@ -516,6 +593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "text_pii": q_text_pii,
         "curation_pipeline": q_curation_pipeline,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
@@ -892,6 +971,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _sql_minhash_lsh(),
         "curation_pipeline": _sql_curation_pipeline(),
+        "dedup_groups_cc": (
+            "WITH RECURSIVE " + _sql_minhash_cte_block("documents")
+            + """,
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM mh_pairs
+  UNION SELECT id_b, id_a FROM mh_pairs
+),
+reach(n, l) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.n
+),
+lab AS (SELECT n AS doc_id, MIN(l) AS group_id FROM reach GROUP BY n)
+SELECT doc_id, group_id,
+       CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+FROM lab
+"""
+        ),
+        "dedup_embedding": f"""
+            WITH b AS (
+              SELECT vec_id, embedding,
+                     {_sql_hyperplane_sig('embedding')} AS bucket
+              FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                   {_sql_cosine('a.embedding', 'c.embedding')} AS cos_sim
+            FROM b a JOIN b c
+              ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            WHERE {_sql_cosine('a.embedding', 'c.embedding')} >= 0.3
+        """,
         "dedup_simhash": _sql_simhash(),
         "dedup_ngram_jaccard": f"""
             WITH g AS (
@@ -992,6 +1101,52 @@ def oracle_sql() -> dict[str, str]:
                    AS fingerprint
             FROM base
         """,
+        "text_repetition": """
+            WITH base AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                [array_to_string(w[i:i+1], ' ')
+                   for i in generate_series(1, len(w)-1)] AS g2,
+                [array_to_string(w[i:i+2], ' ')
+                   for i in generate_series(1, len(w)-2)] AS g3
+              FROM base
+            )
+            SELECT doc_id,
+              CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+                1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                    / CAST(len(g2) AS DOUBLE) END AS rep2,
+              CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+                1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+                    / CAST(len(g3) AS DOUBLE) END AS rep3
+            FROM g
+        """,
+        "text_pii": (
+            """
+            WITH s AS (
+              SELECT doc_id,
+                concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                       '@example.com from 10.0.',
+                       CAST(doc_id % 256 AS VARCHAR),
+                       '.7 call +1-202-555-01',
+                       lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')) AS t
+              FROM documents
+            )
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(t, '"""
+            + _PII_EMAIL + """')) AS BIGINT) AS n_email,
+              CAST(len(regexp_extract_all(t, '""" + _PII_IPV4
+            + """')) AS BIGINT) AS n_ipv4,
+              CAST(len(regexp_extract_all(t, '""" + _PII_PHONE
+            + """')) AS BIGINT) AS n_phone,
+              md5(regexp_replace(regexp_replace(regexp_replace(t,
+                    '""" + _PII_EMAIL + """', '<EMAIL>', 'g'),
+                    '""" + _PII_IPV4 + """', '<IP>', 'g'),
+                    '""" + _PII_PHONE + """', '<PHONE>', 'g')) AS scrub_md5
+            FROM s
+        """
+        ),
         "multimodal_meta": """
             SELECT source, count(*) AS n_media,
                    CAST(sum(octet_length(encode(md5(text)))) AS BIGINT)

@@ -289,3 +289,69 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Duplicate-GROUP resolution: label every document in the pair
+    graph with the minimum doc id of its connected component
+    (plus the component size) — the step that turns near-dup PAIRS
+    into the keep/drop decision a production dedup actually ships.
+
+    Iterative min-label propagation: each round, every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds (near-dup components are
+    short-diameter in practice; max_iters bounds adversarial chains).
+    Per round: one shuffle join on node id + one min-aggregate — the
+    same plan at 100 TB, with labels localCheckpoint'ed so the
+    iterative lineage never compounds.  Labels only ever decrease, so
+    convergence == no label changed.
+
+    Returns (doc_id, group_id, group_size) for every doc that appears
+    in at least one pair.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        prop = edges.join(
+            labels, edges["a"] == labels["node"]
+        ).select(F.col("b").alias("node"), F.col("label"))
+        new = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("group_id"),
+        F.col("group_size"),
+    )

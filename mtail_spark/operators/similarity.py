@@ -539,3 +539,41 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cos_sim", "rank")
     )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS: candidates restricted to
+    the same deterministic hyperplane bucket (never all-pairs — the
+    bucket is the partition key at scale), verified with the exact
+    left-fold cosine kernel.  Returns (id_a, id_b, cos_sim) with
+    id_a < id_b, cos_sim >= threshold.
+
+    Recall is tuned by n_planes, like any LSH scheme: near-identical
+    vectors land in the same half-space bucket with probability
+    (1 - theta/pi)^n_planes."""
+    planes = make_planes(n_planes, dim)
+    base = df.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", hyperplane_signature("v", planes))
+    l, r = base.alias("l"), base.alias("r")
+    kern = cosine_fold_udf()
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vid") < F.col("r.vid")),
+        )
+        .select(
+            F.col("l.vid").alias("id_a"),
+            F.col("r.vid").alias("id_b"),
+            kern(F.col("l.v"), F.col("r.v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

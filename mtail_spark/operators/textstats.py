@@ -82,3 +82,51 @@ def doc_fingerprint(col: Column, shingle_k: int = 4) -> Column:
     return F.array_min(
         F.transform(word_shingles(col, shingle_k), lambda s: md5_long(s))
     )
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """ALL word n-grams (duplicates kept — repetition analysis needs
+    multiplicity, unlike dedup's distinct shingles).  Zero-width
+    lookahead regex, whole-stage codegen (see dedup.word_shingles)."""
+    s = F.regexp_replace(F.trim(col), r"\s+", " ")
+    kwords = " ".join([r"\S+"] * n)
+    return F.regexp_extract_all(s, F.lit(rf"(?<![^\s])(?=({kwords}))"), 1)
+
+
+def repetition_ratio(col: Column, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram
+    (1 - distinct/total) — the Gopher-style repetition quality signal;
+    boilerplate and degenerate generations score high."""
+    grams = word_ngrams(col, n)
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double")
+        / total.cast("double")
+    )
+
+
+# PII patterns restricted to syntax with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB oracle): no backrefs, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,3}[- ]\d{2,4}[- ]\d{3,4}[- ]?\d{0,4}",
+}
+
+
+def pii_counts(col: Column, kind: str) -> Column:
+    return F.size(
+        F.regexp_extract_all(col, F.lit(PII_PATTERNS[kind]), 0)
+    ).cast("long")
+
+
+def pii_scrub(col: Column) -> Column:
+    """Redact emails, IPv4s, and international-format phone numbers
+    with typed placeholders — the pre-training privacy scrub.  Order
+    fixed (email first: an email never contains an IP-shaped core
+    after redaction) so both engines rewrite identically."""
+    out = F.regexp_replace(col, PII_PATTERNS["email"], "<EMAIL>")
+    out = F.regexp_replace(out, PII_PATTERNS["ipv4"], "<IP>")
+    out = F.regexp_replace(out, PII_PATTERNS["phone"], "<PHONE>")
+    return out

@@ -1,0 +1,79 @@
+"""Round-2 pipeline operators: duplicate-group connected components,
+repetition-ratio quality, PII scrub, embedding-cosine near-dup."""
+
+import pyspark.sql.functions as F
+
+from mtail_spark.operators import dedup as D
+from mtail_spark.operators import similarity as S
+from mtail_spark.operators import textstats as TX
+
+
+def test_connected_components_chains_and_islands(spark):
+    # components: {1,2,3,4} (a chain), {10,11}, pair graph only
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    rows = {
+        r["doc_id"]: (r["group_id"], r["group_size"])
+        for r in D.connected_components(pairs).collect()
+    }
+    assert rows == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+        10: (10, 2), 11: (10, 2),
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 20-node path needs several propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], ["id_a", "id_b"]
+    )
+    out = D.connected_components(pairs).collect()
+    assert len(out) == 21
+    assert {r["group_id"] for r in out} == {0}
+    assert all(r["group_size"] == 21 for r in out)
+
+
+def test_repetition_ratio(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),     # bigrams: ab ba ab ba ab -> 2 distinct/5
+            (2, "all words differ entirely"),
+            (3, "one"),             # shorter than the ngram
+        ],
+        ["id", "t"],
+    )
+    got = {
+        r["id"]: r["rep"]
+        for r in df.select(
+            "id", TX.repetition_ratio(F.col("t"), 2).alias("rep")
+        ).collect()
+    }
+    assert abs(got[1] - (1 - 2 / 5)) < 1e-12
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+
+
+def test_pii_scrub_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob@example.org from 192.168.0.1 call +44 20 7946 0958 ok")],
+        ["id", "t"],
+    )
+    r = df.select(
+        TX.pii_counts(F.col("t"), "email").alias("e"),
+        TX.pii_counts(F.col("t"), "ipv4").alias("i"),
+        TX.pii_counts(F.col("t"), "phone").alias("p"),
+        TX.pii_scrub(F.col("t")).alias("s"),
+    ).collect()[0]
+    assert (r["e"], r["i"], r["p"]) == (1, 1, 1)
+    assert r["s"] == "mail <EMAIL> from <IP> call <PHONE> ok"
+
+
+def test_cosine_dup_pairs_symmetric_identical_vectors(spark):
+    # identical vectors share every bucket and have cosine 1.0
+    rows = [(1, [1.0, 0.0, 2.0, 3.0]), (2, [1.0, 0.0, 2.0, 3.0]),
+            (3, [-5.0, 1.0, 0.0, 0.25])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.cosine_dup_pairs(df, threshold=0.99, n_planes=3, dim=4).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+    assert abs(out[0]["cos_sim"] - 1.0) < 1e-12
