@@ -92,6 +92,12 @@ def main(argv=None):
                     help="seconds between progs-dir reload scans in "
                          "serve mode (0 disables; SIGHUP always "
                          "triggers a scan)")
+    ap.add_argument("--checkpoint_dir",
+                    help="serve mode: directory for streaming "
+                         "checkpoints + store snapshots; a restarted "
+                         "daemon resumes exactly-once (committed "
+                         "offsets + batch_id dedupe), matching the "
+                         "reference's no-double-count restart")
     args = ap.parse_args(argv)
 
     from mtail_spark.session import get_spark
@@ -197,8 +203,20 @@ def main(argv=None):
 
         def start_prog(prog):
             prog.syslog_use_current_year = args.syslog_use_current_year
+            ckpt = snap = None
+            if args.checkpoint_dir:
+                base = os.path.join(
+                    args.checkpoint_dir,
+                    prog.name.replace("/", "_"),
+                )
+                ckpt = os.path.join(base, "offsets")
+                snap = os.path.join(base, "store.json")
+                os.makedirs(base, exist_ok=True)
             if prog.vectorizable:
-                return run_program_stream(prog, spark, args.logs)
+                return run_program_stream(
+                    prog, spark, args.logs,
+                    checkpoint=ckpt, store_path=snap,
+                )
             stream = spark.readStream.format("text").load(args.logs)
             from pyspark.sql import functions as F
 
@@ -206,7 +224,7 @@ def main(argv=None):
                 F.input_file_name().alias("filename"),
                 F.regexp_replace(F.col("value"), "\r$", "").alias("line"),
             )
-            return run_stateful_stream(prog, spark, lines)
+            return run_stateful_stream(prog, spark, lines, checkpoint=ckpt)
 
         # Hot reload (reference runtime.go:310-332): the ProgramSet
         # owns the per-program queries; a SIGHUP or the poll watcher

@@ -153,3 +153,40 @@ def test_cli_one_shot_fifo(tmp_path):
     t.join()
     assert out.returncode == 0, out.stderr[-2000:]
     assert "counter lines_total 3" in out.stdout.strip().splitlines()
+
+
+def test_spool_streaming_serve_path(spark, tmp_path):
+    """FIFO -> spooler -> file streaming source -> stateful runner:
+    the CLI serve-mode pipeline, driven with an availableNow pass."""
+    from mtail_spark.compiler.api import compile_program
+    from mtail_spark.sources.spool import spool_lines_stream
+    from mtail_spark.streaming.stateful import run_stateful_stream
+
+    fifo = str(tmp_path / "serve.fifo")
+    os.mkfifo(fifo)
+    sp = FifoSpooler(
+        fifo, SpoolDir(str(tmp_path / "spool"), flush_secs=0.05)
+    )
+    sp.start()
+    fd = os.open(fifo, os.O_WRONLY)
+    os.write(fd, b"gremlin 10\nwidget 5\ngremlin 3\n")
+    os.close(fd)
+    time.sleep(0.4)
+    sp.stop()
+
+    prog = compile_program(
+        "counter units by kind\n"
+        "/(?P<kind>\\w+) (?P<n>\\d+)/ { units[$kind] += $n }\n",
+        "spool.mtail",
+    )
+    runner, q = run_stateful_stream(
+        prog, spark, spool_lines_stream(spark, sp),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(sorted(r["labels"].items())): r["value_i"]
+        for r in runner.rows()
+        if r["name"] == "units"
+    }
+    assert got == {(("kind", "gremlin"),): 13, (("kind", "widget"),): 5}

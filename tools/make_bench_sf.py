@@ -55,6 +55,15 @@ def _replicate(tbl: pa.Table, keys: list[str], factor: int,
             col = tbl.column(name)
             if name in keys:
                 col = pc.add(col, i * strides[name])
+            elif name == "text" and i % 2 == 1:
+                # odd replicas are PERTURBED near-dups (suffix token
+                # changes a couple of shingles, Jaccard stays high);
+                # even replicas stay exact dups.  A pure exact-replica
+                # corpus gives every doc identical minhash signatures,
+                # an unrealistically dense candidate graph.
+                col = pc.binary_join_element_wise(
+                    col.combine_chunks(), f" replica{i}", ""
+                )
             cols[name] = col
         parts.append(pa.table(cols, schema=None))
     return pa.concat_tables(parts, promote_options="none")
