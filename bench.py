@@ -88,7 +88,10 @@ def _sf1_dir() -> str | None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench", "sf1"),
     )
-    if os.path.exists(os.path.join(d, "lineitem.parquet")):
+    tables = ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split()
+    if all(os.path.exists(os.path.join(d, f"{t}.parquet"))
+           for t in tables):
         return d
     try:
         from tools.make_bench_sf import build
