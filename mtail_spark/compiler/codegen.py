@@ -912,16 +912,12 @@ def vectorized_store(
 
     # The per-line work (regex extraction, strptime, typed casts) is
     # CPU-heavy, so parallelism must match the cluster even when the
-    # source planned few splits (a snappy parquet or small text file
-    # decompresses 10-30x: byte-based split planning undercounts).
-    # Order is carried as data (filename, line_no), so a round-robin
-    # repartition is semantics-preserving.  Streaming micro-batch
-    # frames skip this (isStreaming) — their partitioning comes from
-    # the source.
-    if not log_lines.isStreaming:
-        par = spark.sparkContext.defaultParallelism
-        if log_lines.rdd.getNumPartitions() < max(2, par // 2):
-            log_lines = log_lines.repartition(par)
+    # source planned few splits.  Order is carried as data
+    # (filename, line_no), so the repartition is semantics-preserving;
+    # streaming micro-batch frames are left alone.
+    from mtail_spark.session import ensure_parallelism
+
+    log_lines = ensure_parallelism(log_lines, spark)
 
     agg_rows = []
     if vz.sites:

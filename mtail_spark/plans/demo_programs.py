@@ -65,13 +65,11 @@ def render_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     # Repartition the RAW scan before the CPU-heavy projections
-    # (date_format + concat) so they run cluster-wide: snappy parquet
-    # decompresses 10-30x, so byte-based split planning undercounts
-    # (1M rows planned 3 splits on 32 cores).  line_no comes from
-    # event_id, so ordering survives the shuffle.
-    par = spark.sparkContext.defaultParallelism
-    if ev.rdd.getNumPartitions() < max(2, par // 2):
-        ev = ev.repartition(par)
+    # (date_format + concat) so they run cluster-wide; line_no comes
+    # from event_id, so ordering survives the shuffle.
+    from mtail_spark.session import ensure_parallelism
+
+    ev = ensure_parallelism(ev, spark)
     line = F.concat_ws(
         " ",
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),

@@ -116,3 +116,62 @@ def load_table(spark: SparkSession, sf_dir_: str, name: str):
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     return df
+
+
+def _parse_byte_size(s) -> int:
+    s = str(s).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    units = {"k": 1024, "m": 1024 ** 2, "g": 1024 ** 3, "t": 1024 ** 4}
+    mult = 1
+    if s and s[-1] in units:
+        mult = units[s[-1]]
+        s = s[:-1]
+    return int(float(s)) * mult
+
+
+def ensure_parallelism(df, spark=None):
+    """Repartition a batch DataFrame to cluster parallelism when its
+    scan would plan far fewer splits than cores.
+
+    Split planning is byte-based, but snappy parquet decompresses
+    10-30x and CPU-heavy per-row work (regex extraction, rendering)
+    wants one task per core regardless of input bytes.  The split
+    count is ESTIMATED from input file sizes — analysis-level only;
+    asking the DataFrame itself (df.rdd.getNumPartitions) physically
+    plans and codegens an RDD conversion, ~1.5 s per call on a
+    non-trivial plan.
+
+    Callers must only use this where row order is carried as data
+    columns (our log_lines relation always does).
+    """
+    import math
+    import os
+    from urllib.parse import unquote, urlparse
+
+    if df.isStreaming:
+        return df
+    spark = spark or df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files:
+        return df
+    mpb = _parse_byte_size(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+    )
+    est = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            return df  # remote store: trust the source's planning
+        try:
+            size = os.path.getsize(unquote(u.path))
+        except OSError:
+            return df
+        est += max(1, math.ceil(size / mpb))
+    if est < max(2, par // 2):
+        return df.repartition(par)
+    return df
