@@ -158,6 +158,17 @@ def q_mtail_strptime_hour(spark, sf):
     )
 
 
+def q_mtail_prog_dhcpd(spark, sf):
+    """The reference's heaviest example program (27 metric sites,
+    syslog decorator) over synthetic dhcpd lines rendered from events.
+    No oracle: a 27-site program is not reasonably SQL-expressible
+    (rows-only check); cross-backend semantic parity is covered by
+    tests/test_backend_consistency.py."""
+    from mtail_spark.plans.demo_programs import q_mtail_prog_dhcpd as q
+
+    return q(spark, sf)
+
+
 def q_mtail_prog_counters(spark, sf):
     """A real mtail program (counters + dimensioned counters + strptime)
     compiled by mtail_spark.compiler and executed on the vectorized
@@ -567,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtail_strptime_hour": q_mtail_strptime_hour,
         "mtail_getfilename": q_mtail_getfilename,
         "mtail_prog_counters": q_mtail_prog_counters,
+        "mtail_prog_dhcpd": q_mtail_prog_dhcpd,
         "mtail_prog_gauge": q_mtail_prog_gauge,
         "mtail_prog_histogram": q_mtail_prog_histogram,
         "mtail_prog_stateful": q_mtail_prog_stateful,

@@ -32,6 +32,9 @@ BENCH_QUERIES = [
     "mtail_prog_counters",
     "mtail_prog_gauge",
     "mtail_prog_histogram",
+    # the reference's heaviest example (27 sites; its slowest
+    # benchmark row at ~6 klines/s single-process)
+    "mtail_prog_dhcpd",
     # relational
     "tpch_pricing_summary",
     "join_revenue_by_nation",
@@ -154,6 +157,10 @@ def main():
         # (regex + strptime + dimensioned counters) over rendered lines
         "compiled_program_klines_per_sec": round(
             n_events / 1000.0 / max(timings["mtail_prog_counters"], 1e-9), 1
+        ),
+        # vs the reference's slowest row (dhcpd-class, ~6 klines/s)
+        "dhcpd_klines_per_sec": round(
+            n_events / 1000.0 / max(timings["mtail_prog_dhcpd"], 1e-9), 1
         ),
     }
 

@@ -232,3 +232,79 @@ CROSS JOIN b
 LEFT JOIN cnt ON cnt.event_type = types.event_type AND cnt.le = b.le
 JOIN tot ON tot.event_type = types.event_type
 """
+
+
+# ---------------------------------------------------------------- dhcpd
+# The reference's heaviest example program (27 metric sites, syslog
+# decorator, strptime "Jan _2 15:04:05") — its captured log is absent
+# from the reference checkout, so input lines are RENDERED from the
+# events table: scale tracks SF, message mix tracks event_type.
+# Compiled from the reference source at runtime (read-only); no oracle
+# (a 27-site program is not reasonably SQL-expressible), so the driver
+# records a rows-only check; cross-backend semantic coverage lives in
+# tests/test_backend_consistency.py.
+
+DHCPD_PATH = "/root/reference/examples/dhcpd.mtail"
+
+
+def render_dhcpd_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtail_spark.session import ensure_parallelism, load_table
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"), spark)
+    eid = F.col("event_id")
+    mac = F.format_string(
+        "02:%02x:%02x:%02x:ef:34",
+        (eid % 251).cast("int"),
+        ((eid / F.lit(7)).cast("long") % 249).cast("int"),
+        ((eid / F.lit(53)).cast("long") % 247).cast("int"),
+    )
+    ip = F.format_string(
+        "10.0.%d.%d",
+        ((eid / F.lit(256)).cast("long") % 256).cast("int"),
+        (eid % 256).cast("int"),
+    )
+    msg = (
+        F.when(F.col("event_type") == "purchase",
+               F.format_string("DHCPACK on %s to %s via eth0", ip, mac))
+        .when(F.col("event_type") == "view",
+              F.format_string("DHCPOFFER on %s to %s via eth0", ip, mac))
+        .when(F.col("event_type") == "error",
+              F.format_string(
+                  "DHCPDISCOVER from %s via eth1: network 10.1.0.0/16: "
+                  "no free leases", mac))
+        .when(F.col("event_type") == "click",
+              F.format_string(
+                  "DHCPREQUEST for %s (10.0.0.1) from %s via eth0",
+                  ip, mac))
+        .otherwise(
+            F.format_string("DHCPDISCOVER from %s via eth0", mac))
+    )
+    # "Jan _2 15:04:05": month name, SPACE-padded day, wall time
+    stamp = F.concat(
+        F.date_format("ts", "MMM"), F.lit(" "),
+        F.lpad(F.dayofmonth("ts").cast("string"), 2, " "), F.lit(" "),
+        F.date_format("ts", "HH:mm:ss"),
+    )
+    line = F.concat(stamp, F.lit(" dhcp1 dhcpd[1234]: "), msg)
+    return log_lines_from_df(
+        ev.withColumn("line", line), "line",
+        filename="dhcpd_synth", order_col="event_id",
+    )
+
+
+def q_mtail_prog_dhcpd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    if not os.path.exists(DHCPD_PATH):
+        raise FileNotFoundError(
+            "reference checkout with examples/dhcpd.mtail required"
+        )
+    prog = compile_program(open(DHCPD_PATH).read(), "dhcpd.mtail")
+    store = prog.run_batch(spark, render_dhcpd_lines(spark, sf_dir))
+    return store.select(
+        "name",
+        F.coalesce(
+            F.to_json("labels"), F.lit("{}")
+        ).alias("labels_json"),
+        "value_i",
+    )

@@ -17,8 +17,11 @@ def test_queries_and_oracles_aligned():
     # all but the explicitly rows-only entries have oracles
     rows_only = set(qs) - set(oracles)
     # genuinely non-SQL-expressible ops: mapInPandas decode, iterative
-    # k-means — the driver records a weaker rows-only check for these
-    assert rows_only == {"multimodal_features", "sim_ivf"}
+    # k-means, the 27-site dhcpd program — the driver records a weaker
+    # rows-only check for these
+    assert rows_only == {
+        "multimodal_features", "sim_ivf", "mtail_prog_dhcpd"
+    }
 
 
 def test_all_queries_execute_smoke(spark, sf_smoke):
