@@ -284,6 +284,32 @@ def q_sessionize_events(spark, sf):
     )
 
 
+def q_session_window_native(spark, sf):
+    """Spark's native session_window operator (streaming-compatible
+    gap-merge sessions) in batch mode: a new session starts when the
+    gap since the previous event is >= 30 minutes; session end =
+    last event + gap.  The oracle rebuilds the same sessions with
+    lag + running-sum session ids."""
+    ev = _t(spark, sf, "events")
+    ts = F.col("ts").cast("timestamp")
+    return (
+        ev.groupBy(
+            F.session_window(ts, "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents(F.col("value"))).cast("long").alias("sum_cents"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
 def q_tumbling_window_counts(spark, sf):
     """Tumbling 1-hour event-time windows (streaming-compatible)."""
     ev = _t(spark, sf, "events")
@@ -586,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_topk_orders": q_window_topk_orders,
         "sessionize_events": q_sessionize_events,
+        "session_window_native": q_session_window_native,
         "tumbling_window_counts": q_tumbling_window_counts,
         "set_ops_users": q_set_ops_users,
         "distinct_users_by_type": q_distinct_users_by_type,
@@ -958,6 +985,32 @@ def oracle_sql() -> dict[str, str]:
                      THEN 1 ELSE 0 END AS new_session
               FROM events
             ) GROUP BY user_id
+        """,
+        "session_window_native": f"""
+            WITH e AS (
+              SELECT user_id, ts, event_id,
+                     CAST({cents.format(x='value')} AS BIGINT) AS cents,
+                     CASE WHEN lag(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                          IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                          >= 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events
+            ), s AS (
+              SELECT *, sum(new_s) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sid
+              FROM e
+            )
+            SELECT user_id,
+                   CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+                   CAST(epoch_us(max(ts)) AS BIGINT) + 1800000000
+                     AS session_end_us,
+                   count(*) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM s GROUP BY user_id, sid
         """,
         "tumbling_window_counts": f"""
             SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -68,11 +68,14 @@ SF1_QUERIES = [
 ]
 
 
-def _time_queries(spark, qs, names, sf_dir):
+def _time_queries(spark, qs, names, sf_dir, repeats=3):
+    """best-of-N warm + first-run cold per query; N=3 keeps the
+    per-round number stable against GC/codegen jitter (measured
+    run-to-run spread at sf0.1 was ~2x on sub-second queries)."""
     warm, cold = {}, {}
     for name in names:
         best = first = None
-        for _ in range(2):
+        for _ in range(repeats):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -166,7 +169,7 @@ def main():
 
     sf1 = _sf1_dir()
     if sf1:
-        warm1, cold1 = _time_queries(spark, qs, SF1_QUERIES, sf1)
+        warm1, cold1 = _time_queries(spark, qs, SF1_QUERIES, sf1, repeats=2)
         n1 = spark.read.parquet(f"{sf1}/events.parquet").count()
         result["sf1_queries"] = warm1
         result["sf1_queries_cold"] = cold1
