@@ -77,3 +77,50 @@ def test_cosine_dup_pairs_symmetric_identical_vectors(spark):
     out = S.cosine_dup_pairs(df, threshold=0.99, n_planes=3, dim=4).collect()
     assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
     assert abs(out[0]["cos_sim"] - 1.0) < 1e-12
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property check vs a reference union-find on a pseudo-random
+    pair graph (deterministic seed)."""
+    import random
+
+    rng = random.Random(20260813)
+    nodes = list(range(1, 61))
+    pairs = []
+    for _ in range(45):
+        a, b = rng.sample(nodes, 2)
+        pairs.append((min(a, b), max(a, b)))
+    pairs = sorted(set(pairs))
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    expected = {}
+    for a, b in pairs:
+        expected[a] = find(a)
+        expected[b] = find(b)
+    sizes = {}
+    for n, g in expected.items():
+        sizes[g] = sizes.get(g, 0) + 1
+
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {
+        r["doc_id"]: (r["group_id"], r["group_size"])
+        for r in D.connected_components(df).collect()
+    }
+    assert got == {
+        n: (g, sizes[g]) for n, g in expected.items()
+    }
