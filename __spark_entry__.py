@@ -665,9 +665,11 @@ def _sql_minhash_cte_block(source: str) -> str:
     (must expose doc_id, text); final CTE is `mh_pairs`."""
     h, b, k, thr = MINHASH_HASHES, MINHASH_BANDS, MINHASH_K, MINHASH_THRESHOLD
     r = h // b
+    # universal-hash derived family (mirrors dedup.minhash_lsh_pairs):
+    # hash_j(s) = h1(s) + j*h2(s), lanes from one md5
     sig_items = ", ".join(
-        "list_min([CAST(concat('0x', substr(hh, {off}, 8)) AS BIGINT) "
-        "for hh in hstrs])".format(off=8 * j + 1)
+        "list_min([h1s[i] + {j} * h2s[i] "
+        "for i in generate_series(1, len(h1s))])".format(j=j)
         for j in range(h)
     )
     band_selects = "\nUNION ALL\n".join(
@@ -691,8 +693,10 @@ mh_base AS (
   SELECT doc_id, {_sql_shingles('text', k)} AS shingles FROM mh_base
 ), hs AS (
   SELECT doc_id, shingles,
-         [concat(md5(s), md5(concat(s, '#')), md5(concat(s, '##')),
-                 md5(concat(s, '###'))) for s in shingles] AS hstrs
+         [CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)
+            for s in shingles] AS h1s,
+         [CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT)
+            for s in shingles] AS h2s
   FROM sh
 ), sig AS (
   SELECT doc_id, shingles, [{sig_items}] AS sig FROM hs

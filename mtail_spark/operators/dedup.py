@@ -96,44 +96,54 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    from pyspark import StorageLevel
 
+    # NOT persisted: the relation feeds three consumers, but shingling
+    # is codegen-cheap (regexp_extract_all), while caching a
+    # corpus-scale array<string> relation is memory-hostile at 100 TB
+    # and repeated persist() calls on equivalent plans layered
+    # cache-on-cache (InMemoryRelation over InMemoryRelation), making
+    # every re-run slower than the last.  Recompute from the scan —
+    # the standard scale choice.
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), shingle_k).alias("shingles"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # materialized once: shingling is an interpreted higher-order
-    # transform, and this relation feeds three consumers (hashing,
-    # banding, verification)
+    )
     # Signature via explode + groupBy-min rather than array lambdas:
     # higher-order functions evaluate interpreted per element, while
     # this shape is whole-stage codegen with map-side partial min —
     # also exactly the plan that scales (shuffle carries one row per
     # doc x 16 longs).
-    h = F.concat(
-        F.md5(F.col("s")),
-        F.md5(F.concat(F.col("s"), F.lit("#"))),
-        F.md5(F.concat(F.col("s"), F.lit("##"))),
-        F.md5(F.concat(F.col("s"), F.lit("###"))),
+    #
+    # The num_hashes hash family is UNIVERSAL-HASH DERIVED (Broder's
+    # classic construction): ONE md5 per shingle split into two
+    # 32-bit lanes h1, h2, with hash_j = h1 + j*h2.  One digest + long
+    # arithmetic replaces 4 md5s + 16 string mins; fixed-width agg
+    # buffers cut the signature stage ~7x at sf1 (string min buffers
+    # copy the whole UnsafeRow per update).  max j*h2 < 2^36, no
+    # overflow.
+    # explode_OUTER on purpose: whole-stage-codegen GenerateExec
+    # inlines the generator expression and re-evaluates the shingling
+    # regex per OUTPUT row (O(shingles^2) per doc); outer routes to
+    # the row-at-a-time GenerateExec which evaluates the array once
+    # per input row (same trick as compiler/codegen.py's event
+    # explode).  word_shingles never yields an empty array, so outer
+    # adds no null rows — the filter is belt-and-braces.
+    hashed = (
+        sh.select("doc_id", F.explode_outer("shingles").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .withColumn("h", F.md5("s"))
+        .withColumn(
+            "h1", F.conv(F.substring("h", 1, 8), 16, 10).cast("long")
+        )
+        .withColumn(
+            "h2", F.conv(F.substring("h", 9, 8), 16, 10).cast("long")
+        )
     )
-    hashed = sh.select(
-        "doc_id", F.explode("shingles").alias("s")
-    ).withColumn("h", h)
-    # min over the fixed-width lowercase-hex substring is the same
-    # ordering as min over its numeric value ('0'-'9' < 'a'-'f'), so
-    # convert AFTER the aggregate: per-group conv instead of per-row,
-    # and a far smaller generated aggregate function (the 16-way
-    # min(conv(...)) shape paid ~4s of one-time Janino compilation).
-    sig_cols = [
-        F.min(F.substring(F.col("h"), 8 * j + 1, 8)).alias(f"m{j}")
-        for j in range(num_hashes)
-    ]
-    sigs = hashed.groupBy("doc_id").agg(*sig_cols).select(
-        "doc_id",
+    sigs = hashed.groupBy("doc_id").agg(
         *[
-            F.conv(F.col(f"m{j}"), 16, 10).cast("long").alias(f"sig{j}")
+            F.min(F.col("h1") + F.lit(j) * F.col("h2")).alias(f"sig{j}")
             for j in range(num_hashes)
-        ],
+        ]
     )
 
     # Band keys straight off the signature columns — no join back to
@@ -158,7 +168,9 @@ def minhash_lsh_pairs(
     # persist: the candidate self-join consumes buckets TWICE; without
     # this the whole shingle->hash->min pipeline runs once per side.
     # bands x docs rows of (id, band, 32-char key) — corpus-fraction
-    # sized, safe to cache at 100 TB.
+    # sized NARROW relation, safe to cache at 100 TB.
+    from pyspark import StorageLevel
+
     buckets = sigs.select(
         "doc_id", F.explode(band_structs).alias("bb")
     ).select("doc_id", "bb.band", "bb.bkey").persist(

@@ -36,7 +36,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: executors live in the driver JVM, so the driver
+        # heap IS the cluster memory — size it like one (32 threads x
+        # cached relations spill/GC-thrash in a small heap)
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEM", "24g"))
         # Broadcast joins for dimension tables up to 64 MB — at 100 TB the
         # fact side never moves for dim joins.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -55,15 +55,37 @@ def _replicate(tbl: pa.Table, keys: list[str], factor: int,
             col = tbl.column(name)
             if name in keys:
                 col = pc.add(col, i * strides[name])
-            elif name == "text" and i % 2 == 1:
-                # odd replicas are PERTURBED near-dups (suffix token
-                # changes a couple of shingles, Jaccard stays high);
-                # even replicas stay exact dups.  A pure exact-replica
-                # corpus gives every doc identical minhash signatures,
-                # an unrealistically dense candidate graph.
-                col = pc.binary_join_element_wise(
-                    col.combine_chunks(), f" replica{i}", ""
-                )
+            elif name == "text":
+                # Realistic dup mix per base doc (~30% dup rate, the
+                # high end of real crawls): replica 2 stays an EXACT
+                # dup, replica 4 a perturbed NEAR dup, every other
+                # replica gets a doc-unique suffix making it DISTINCT.
+                # (A pure exact-replica corpus put every doc in a
+                # 10-member dup group — 45 candidate pairs each — and
+                # the minhash bench measured that artifact, not the
+                # operator.)
+                chunk = col.combine_chunks()
+                if i == 2:
+                    pass  # exact dup
+                elif i == 4:
+                    col = pc.binary_join_element_wise(
+                        chunk, f" replica{i}", ""
+                    )
+                else:
+                    # rewrite most words with replica-unique character
+                    # substitutions: nearly every 3-word shingle
+                    # changes (a shingle survives only if none of its
+                    # words contain e/a/o), so Jaccard vs the base is
+                    # ~0 — genuinely distinct docs at the SAME length
+                    # (a suffix append leaves Jaccard ~0.9; word
+                    # interleaving doubles doc length)
+                    col = pc.replace_substring(
+                        pc.replace_substring(
+                            pc.replace_substring(chunk, "e", f"{i}"),
+                            "a", f"x{i}",
+                        ),
+                        "o", "q",
+                    )
             cols[name] = col
         parts.append(pa.table(cols, schema=None))
     return pa.concat_tables(parts, promote_options="none")
