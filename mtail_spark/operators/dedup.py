@@ -243,10 +243,17 @@ def simhash_table(
     """SimHash as explode + groupBy bit-vote sums: whole-stage codegen
     with map-side combine (array lambdas evaluate interpreted per
     element).  Returns (<id_col>, simhash)."""
+    # explode_outer: the codegen Generate would re-split the text per
+    # OUTPUT token (see minhash_lsh_pairs); outer routes to the
+    # once-per-row path.  words() never yields an empty array.
     toks = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(words(F.col(text_col)))).alias("t"),
-    ).withColumn("h", md5_long(F.col("t")))
+        F.explode_outer(
+            F.array_distinct(words(F.col(text_col)))
+        ).alias("t"),
+    ).filter(F.col("t").isNotNull()).withColumn(
+        "h", md5_long(F.col("t"))
+    )
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(
