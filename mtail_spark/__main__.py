@@ -158,6 +158,20 @@ def main(argv=None):
     stores = []
     queries = []
     pset = None
+
+    def _prog_ckpt(prog):
+        """Per-program checkpoint dir under --checkpoint_dir (None
+        when checkpointing is off).  The socket source is not
+        replayable, but offsets still dedupe the in-flight batch; the
+        spool/file sources get full exactly-once replay."""
+        if not args.checkpoint_dir:
+            return None
+        base = os.path.join(
+            args.checkpoint_dir, prog.name.replace("/", "_")
+        )
+        os.makedirs(base, exist_ok=True)
+        return os.path.join(base, "offsets")
+
     if args.address:
         host, port = args.address.rsplit(":", 1)
         from mtail_spark.sources.sockets import read_socket_lines
@@ -168,6 +182,7 @@ def main(argv=None):
             runner, q = run_stateful_stream(
                 prog, spark, stream, order="round_robin",
                 trigger={"processingTime": "1 seconds"},
+                checkpoint=_prog_ckpt(prog),
             )
             stores.append(runner)
             queries.append(q)
@@ -192,6 +207,7 @@ def main(argv=None):
             runner, q = run_stateful_stream(
                 prog, spark, stream,
                 trigger={"processingTime": "1 seconds"},
+                checkpoint=_prog_ckpt(prog),
             )
             stores.append(runner)
             queries.append(q)
