@@ -42,3 +42,86 @@ def test_tumbling_window_with_watermark(spark, tmp_path):
     assert got[(0, "GET")] == 2
     assert got[(5, "POST")] == 1
     assert got[(5, "GET")] == 1
+
+
+def test_windows_module_sliding_stream(spark, tmp_path):
+    from mtail_spark.streaming.windows import windowed_agg
+
+    logs = tmp_path / "logs2"
+    logs.mkdir()
+    (logs / "a.log").write_text(
+        "2024-01-01T00:01:00 GET /a\n"
+        "2024-01-01T00:04:00 GET /b\n"
+        "2024-01-01T00:09:00 POST /c\n"
+    )
+    stream = spark.readStream.format("text").load(str(logs))
+    parsed = stream.select(
+        F.to_timestamp(
+            F.regexp_extract("value", r"^(\S+) ", 1),
+            "yyyy-MM-dd'T'HH:mm:ss",
+        ).alias("ts"),
+        F.regexp_extract("value", r"^\S+ (\w+)", 1).alias("verb"),
+    )
+    agg = windowed_agg(
+        parsed, "ts", "10 minutes", slide="5 minutes",
+        keys=["verb"], watermark="15 minutes",
+    )
+    results = []
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: results.extend(df.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"].minute, r["verb"]): r["n"] for r in results
+    }
+    # sliding 10m/5m: GETs at :01 and :04 land in windows [55,05) and
+    # [00,10); the POST at :09 in [00,10) and [05,15)
+    assert got[(0, "GET")] == 2
+    assert got[(55, "GET")] == 2
+    assert got[(0, "POST")] == 1
+    assert got[(5, "POST")] == 1
+
+
+def test_windows_module_session_stream(spark, tmp_path):
+    from mtail_spark.streaming.windows import session_windowed_agg
+
+    logs = tmp_path / "logs3"
+    logs.mkdir()
+    (logs / "a.log").write_text(
+        "2024-01-01T00:01:00 u1\n"
+        "2024-01-01T00:02:00 u1\n"
+        "2024-01-01T01:00:00 u1\n"
+    )
+    stream = spark.readStream.format("text").load(str(logs))
+    parsed = stream.select(
+        F.to_timestamp(
+            F.regexp_extract("value", r"^(\S+) ", 1),
+            "yyyy-MM-dd'T'HH:mm:ss",
+        ).alias("ts"),
+        F.regexp_extract("value", r"^\S+ (\w+)", 1).alias("user"),
+    )
+    agg = session_windowed_agg(
+        parsed, "ts", "30 minutes", keys=["user"],
+        watermark="1 second",
+    )
+    results = []
+    # session windows require APPEND mode: only sessions the watermark
+    # has sealed are emitted.  Watermark reaches 00:59:59, so the
+    # merged [00:01, 00:32) session is final; the 01:00 session's
+    # state is still open and correctly withheld.
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: results.extend(df.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .start()
+    )
+    q.awaitTermination(120)
+    sess = sorted(
+        (r["session_start"].minute, r["n"]) for r in results
+    )
+    assert sess == [(1, 2)]
