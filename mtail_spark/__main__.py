@@ -142,10 +142,20 @@ def main(argv=None):
             lines = spool_lines_batch(spark, spooler)
         else:
             lines = read_log_lines(spark, args.logs)
+        if len(progs) > 1:
+            # N programs share one scan: persist the line relation
+            # once (single persist call on one DataFrame object — the
+            # repeated-persist cache-layering trap doesn't apply).
+            # MEMORY_AND_DISK spills rather than OOMs on huge logs.
+            from pyspark import StorageLevel
+
+            lines = lines.persist(StorageLevel.MEMORY_AND_DISK)
         all_rows = []
         for prog in progs:
             df = prog.run_batch(spark, lines)
             all_rows.extend(r.asDict() for r in df.collect())
+        if len(progs) > 1:
+            lines.unpersist()
         if args.format == "json":
             print(to_json(all_rows))
         else:
