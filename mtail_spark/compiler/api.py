@@ -150,6 +150,46 @@ class CompiledProgram:
             return vectorized_store(self, spark, log_lines, now_us=now_us)
         return self._run_fold(spark, log_lines, now_us)
 
+    def _fold_prefilter_patterns(self) -> list[str] | None:
+        """Regex prefilter for the ordered fold.
+
+        When EVERY top-level statement is a plain `/re/ { ... }` block
+        (no `else`, no `otherwise`, no top-level expression
+        conditions, pattern applied to the line itself), a line that
+        matches none of the patterns is a guaranteed interpreter
+        no-op: no block runs, so no metric or register changes.  Those
+        lines can then be dropped JVM-side — inside the scan stage,
+        before the Arrow transfer and the per-line Python interpreter
+        — which is the difference between folding every line and
+        folding only the relevant ones at 100 TB.  Declarations are
+        runtime no-ops; decorators are already spliced by the checker.
+        Returns java-regex patterns, or None when filtering is unsafe.
+        """
+        from mtail_spark.compiler import ast as A
+        from mtail_spark.compiler.checker import strip_group_names
+
+        pats = []
+        for s in self.checked.stmts.stmts:
+            if isinstance(s, (A.VarDecl, A.ConstDef, A.DecoDecl)):
+                continue
+            if isinstance(s, A.CondStmt) and s.els is None:
+                cond = s.cond
+                # a bare /re/ cond parses as MATCH(PatternLit)
+                if (
+                    isinstance(cond, A.UnaryExpr)
+                    and cond.op == "MATCH"
+                    and isinstance(cond.expr, A.PatternLit)
+                ):
+                    cond = cond.expr
+                if isinstance(cond, A.PatternLit):
+                    info = self.checked.regexes[cond.regex_id]
+                    if info.subject is not None:
+                        return None
+                    pats.append(strip_group_names(info.pattern))
+                    continue
+            return None
+        return pats or None
+
     def _run_fold(self, spark, log_lines, now_us: int) -> DataFrame:
         """Executor-side CHUNKED ordered fold.
 
@@ -167,6 +207,13 @@ class CompiledProgram:
 
         ensure_workers_can_import(spark)
         src, name, use_year = self.src, self.name, self.syslog_use_current_year
+
+        pats = self._fold_prefilter_patterns()
+        if pats:
+            cond = F.col("line").rlike(pats[0])
+            for p in pats[1:]:
+                cond = cond | F.col("line").rlike(p)
+            log_lines = log_lines.filter(cond)
 
         def fold_chunks(batches):
             import pandas as pd
