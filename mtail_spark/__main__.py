@@ -92,6 +92,10 @@ def main(argv=None):
                     help="seconds between progs-dir reload scans in "
                          "serve mode (0 disables; SIGHUP always "
                          "triggers a scan)")
+    ap.add_argument("--one_shot_timeout_secs", type=float, default=30.0,
+                    help="one-shot FIFO/datagram drain deadline; the "
+                         "drain ends early on source EOF (writer "
+                         "close / zero-length datagram)")
     ap.add_argument("--checkpoint_dir",
                     help="serve mode: directory for streaming "
                          "checkpoints + store snapshots; a restarted "
@@ -138,7 +142,8 @@ def main(argv=None):
             spooler = open_spooler(
                 args.logs, tempfile.mkdtemp(prefix="mtail-spool-")
             )
-            drain_one_shot(spooler)
+            drain_one_shot(spooler,
+                           timeout_secs=args.one_shot_timeout_secs)
             lines = spool_lines_batch(spark, spooler)
         else:
             lines = read_log_lines(spark, args.logs)

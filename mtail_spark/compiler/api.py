@@ -163,7 +163,12 @@ class CompiledProgram:
         — which is the difference between folding every line and
         folding only the relevant ones at 100 TB.  Declarations are
         runtime no-ops; decorators are already spliced by the checker.
-        Returns java-regex patterns, or None when filtering is unsafe.
+        Patterns are prefixed with `(?U)` (UNICODE_CHARACTER_CLASS)
+        so Java's `\\d`/`\\w`/`\\b` agree with the Python `re`
+        semantics the fold interpreter uses — without it a line with
+        non-ASCII digits/word chars would be dropped JVM-side yet
+        counted by the interpreter.  Returns java-regex patterns, or
+        None when filtering is unsafe.
         """
         from mtail_spark.compiler import ast as A
         from mtail_spark.compiler.checker import strip_group_names
@@ -185,10 +190,26 @@ class CompiledProgram:
                     info = self.checked.regexes[cond.regex_id]
                     if info.subject is not None:
                         return None
-                    pats.append(strip_group_names(info.pattern))
+                    pats.append("(?U)" + strip_group_names(info.pattern))
                     continue
             return None
         return pats or None
+
+    @staticmethod
+    def _java_compilable(spark, pats: list[str]) -> bool:
+        """True iff every pattern compiles under java.util.regex.
+
+        The prefilter runs JVM-side while the interpreter matches with
+        Python `re`; a pattern that Python accepts but Java rejects
+        would fail the whole scan stage at runtime, so the filter is
+        disabled (correct, just unfiltered) rather than risked."""
+        try:
+            jre = spark._jvm.java.util.regex.Pattern
+            for p in pats:
+                jre.compile(p)
+            return True
+        except Exception:
+            return False
 
     def _run_fold(self, spark, log_lines, now_us: int) -> DataFrame:
         """Executor-side CHUNKED ordered fold.
@@ -209,6 +230,8 @@ class CompiledProgram:
         src, name, use_year = self.src, self.name, self.syslog_use_current_year
 
         pats = self._fold_prefilter_patterns()
+        if pats and not self._java_compilable(spark, pats):
+            pats = None
         if pats:
             cond = F.col("line").rlike(pats[0])
             for p in pats[1:]:

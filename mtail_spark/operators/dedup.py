@@ -310,6 +310,20 @@ def ngram_jaccard_pairs(
     )
 
 
+def _unpersist_local_checkpoint(df: DataFrame) -> None:
+    """Release a superseded localCheckpoint's storage blocks.
+
+    `df.localCheckpoint()` persists the dataset's INTERNAL RDD (the
+    one inside the resulting LogicalRDD plan node); `df.rdd` would
+    wrap it in an unpersisted conversion RDD, so unpersist must reach
+    through the analyzed plan.  Best-effort: a plan-shape change just
+    leaves the blocks to the ContextCleaner, as before."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -345,6 +359,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
         prop = edges.join(
             labels, edges["a"] == labels["node"]
@@ -362,10 +377,18 @@ def connected_components(
             .limit(1)
             .count()
         )
+        _unpersist_local_checkpoint(labels)
         labels = new
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "rounds (a component's diameter exceeds max_iters); "
+            "results would be wrong — raise max_iters"
+        )
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("group_size")
     )

@@ -46,7 +46,18 @@ def cosine_fold_udf():
             d = d + x * y
             na = na + x * x
             nb = nb + y * y
-        return pd.Series(d / (np.sqrt(na) * np.sqrt(nb)))
+        den = np.sqrt(na) * np.sqrt(nb)
+        # zero-norm vectors: the JVM expression this kernel replaced
+        # produced NULL (div-by-zero), which sorts LAST under
+        # ORDER BY DESC — numpy's 0/0 NaN would sort FIRST (Spark
+        # orders NaN above every double), promoting degenerate
+        # embeddings to top neighbor.  Preserve the NULL semantics.
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = d / den
+        # pandas NaN marks missing for float64; pyarrow's from_pandas
+        # conversion turns it into an Arrow null, which Spark reads
+        # as SQL NULL (verified in tests/test_similarity.py)
+        return pd.Series(out).mask(den == 0.0)
 
     return F.pandas_udf(cos, "double")
 

@@ -16,6 +16,17 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
+def _default_driver_mem(cap_gb: int = 24) -> str:
+    """min(cap_gb, ~60% of physical RAM), floor 2g.  SPARK_DRIVER_MEM
+    always overrides."""
+    try:
+        total = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        gb = max(2, min(cap_gb, int(total * 0.6 / (1 << 30))))
+    except (ValueError, OSError, AttributeError):
+        gb = 8
+    return f"{gb}g"
+
+
 def get_spark(
     app_name: str = "mtail-spark",
     cpus: int | None = None,
@@ -38,9 +49,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # local mode: executors live in the driver JVM, so the driver
         # heap IS the cluster memory — size it like one (32 threads x
-        # cached relations spill/GC-thrash in a small heap)
+        # cached relations spill/GC-thrash in a small heap), but never
+        # assume a big bench host: cap at ~60% of physical RAM so the
+        # JVM + Arrow workers don't get OOM-killed on small machines
         .config("spark.driver.memory",
-                os.environ.get("SPARK_DRIVER_MEM", "24g"))
+                os.environ.get("SPARK_DRIVER_MEM", _default_driver_mem()))
         # Broadcast joins for dimension tables up to 64 MB — at 100 TB the
         # fact side never moves for dim joins.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

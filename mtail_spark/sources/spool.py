@@ -88,6 +88,10 @@ class _SpoolerBase(threading.Thread):
         self.sourcename = sourcename
         self.spool = spool
         self._halt = threading.Event()
+        # Set when the source signals end-of-stream (fifo writer
+        # close after connecting; zero-length datagram) — the
+        # reference's one-shot termination condition.
+        self.eof = threading.Event()
         self._partial = b""
 
     def stop(self, timeout: float = 5.0) -> None:
@@ -132,17 +136,27 @@ class FifoSpooler(_SpoolerBase):
 
     def run(self) -> None:
         fd = os.open(self.pathname, os.O_RDONLY | os.O_NONBLOCK)
+        saw_writer = False
         try:
             while not self._halt.is_set():
                 try:
                     chunk = os.read(fd, _READ_BUF)
                 except BlockingIOError:
+                    # EAGAIN: a writer holds the pipe open but has
+                    # nothing buffered — that counts as "connected"
+                    saw_writer = True
                     chunk = None
                 if chunk:
+                    saw_writer = True
                     self._emit(chunk)
                 else:
-                    # EOF (writer closed) or nothing buffered: the
-                    # fifo stays open for future writers
+                    if chunk == b"" and saw_writer:
+                        # read()==0 after a writer connected means the
+                        # writer closed: the reference's one-shot EOF
+                        # (fifostream.go).  Serve mode keeps polling —
+                        # the fifo stays open for future writers.
+                        self.eof.set()
+                        saw_writer = False
                     self.spool.flush()
                     time.sleep(self.poll_secs)
         finally:
@@ -181,6 +195,10 @@ class DatagramSpooler(_SpoolerBase):
                     continue
                 if chunk:
                     self._emit(chunk)
+                else:
+                    # zero-length datagram = sender's explicit EOF
+                    # signal (reference dgramstream.go one-shot mode)
+                    self.eof.set()
         finally:
             self.sock.close()
             if self.scheme == "unixgram" and os.path.exists(self.address):
@@ -248,14 +266,28 @@ def spool_lines_batch(spark: SparkSession, spooler) -> DataFrame:
 
 def drain_one_shot(spooler, idle_secs: float = 0.5,
                    timeout_secs: float = 30.0) -> None:
-    """Run a spooler until its source goes quiet (reference one-shot
-    mode: read until EOF / zero-byte datagram), then finalize."""
+    """Run a spooler until its source signals EOF (fifo writer close /
+    zero-byte datagram — the reference's one-shot termination,
+    fifostream.go / dgramstream.go), then finalize.
+
+    Quiescence (`idle_secs` with no new bytes) remains as a fallback
+    for senders that never signal EOF (plain UDP producers).  If the
+    deadline passes while the source is still actively producing, a
+    warning is logged — lines after the cutoff are NOT read."""
+    import logging
+
     spooler.start()
     deadline = time.monotonic() + timeout_secs
     last_seq = -1
     quiet_since = time.monotonic()
-    while time.monotonic() < deadline:
-        time.sleep(idle_secs / 2)
+    active_at_deadline = False
+    while not spooler.eof.is_set():
+        if time.monotonic() >= deadline:
+            active_at_deadline = (
+                time.monotonic() - quiet_since < idle_secs)
+            break
+        if spooler.eof.wait(timeout=idle_secs / 2):
+            break
         seq = (spooler.spool._seq, spooler.spool._buf_bytes,
                len(spooler._partial))
         if seq != last_seq:
@@ -263,4 +295,11 @@ def drain_one_shot(spooler, idle_secs: float = 0.5,
             quiet_since = time.monotonic()
         elif time.monotonic() - quiet_since >= idle_secs:
             break
+    if active_at_deadline:
+        logging.getLogger("mtail_spark.spool").warning(
+            "one-shot drain of %s hit the %.1fs deadline while the "
+            "source was still producing; remaining input was not read "
+            "(raise --one_shot_timeout_secs)",
+            spooler.sourcename, timeout_secs,
+        )
     spooler.stop()
