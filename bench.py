@@ -69,22 +69,24 @@ SF1_QUERIES = [
 
 
 def _time_queries(spark, qs, names, sf_dir, repeats=3):
-    """best-of-N warm + first-run cold per query; N=3 keeps the
-    per-round number stable against GC/codegen jitter (measured
-    run-to-run spread at sf0.1 was ~2x on sub-second queries)."""
-    warm, cold = {}, {}
+    """median-of-N warm (primary), best-of-N, and first-run cold per
+    query.  The median is the per-round comparison number — single
+    best-of runs swung ~2x between rounds on sub-second queries
+    (GC/codegen jitter); the min is the capability number."""
+    import statistics
+
+    med, best, cold = {}, {}, {}
     for name in names:
-        best = first = None
+        ts = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            first = dt if first is None else first
-            best = dt if best is None else min(best, dt)
-        warm[name] = round(best, 3)
-        cold[name] = round(first, 3)
-    return warm, cold
+            ts.append(time.perf_counter() - t0)
+        med[name] = round(statistics.median(ts), 3)
+        best[name] = round(min(ts), 3)
+        cold[name] = round(ts[0], 3)
+    return med, best, cold
 
 
 def _sf1_dir() -> str | None:
@@ -125,7 +127,9 @@ def main():
     # the returned store-sized frame — as r1 did — misses nearly all
     # their cost.  Best of 2 reports steady state (run 1 pays one-time
     # plan/codegen costs); cold (first-run) numbers alongside.
-    timings, timings_cold = _time_queries(spark, qs, BENCH_QUERIES, sf_dir)
+    timings, timings_min, timings_cold = _time_queries(
+        spark, qs, BENCH_QUERIES, sf_dir
+    )
     total = round(sum(timings.values()), 3)
 
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
@@ -134,6 +138,7 @@ def main():
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
         "queries_cold": timings_cold,
         "sf": sf,
         "events_rows": n_events,
@@ -169,9 +174,12 @@ def main():
 
     sf1 = _sf1_dir()
     if sf1:
-        warm1, cold1 = _time_queries(spark, qs, SF1_QUERIES, sf1, repeats=2)
+        warm1, min1, cold1 = _time_queries(
+            spark, qs, SF1_QUERIES, sf1, repeats=3
+        )
         n1 = spark.read.parquet(f"{sf1}/events.parquet").count()
         result["sf1_queries"] = warm1
+        result["sf1_queries_min"] = min1
         result["sf1_queries_cold"] = cold1
         result["sf1_events_rows"] = n1
         result["sf1_wall_sec"] = round(sum(warm1.values()), 3)

