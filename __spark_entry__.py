@@ -310,6 +310,41 @@ def q_session_window_native(spark, sf):
     )
 
 
+def q_session_window_stream(spark, sf):
+    """The SAME gap-merge sessionization as session_window_native, but
+    executed through Structured Streaming: the events table replays as
+    a file stream, Spark's session_window operator merges sessions in
+    the state store across micro-batches, and the final table is
+    returned.  Checked against the identical lag+running-sum oracle —
+    streaming and batch must agree exactly (reference parity target:
+    mtail's tailer produces identical stores whether a log is read
+    one-shot or tailed live)."""
+    from mtail_spark.streaming.windows import (
+        run_replay_to_table,
+        stream_table,
+    )
+
+    ev = stream_table(spark, f"{sf}/events.parquet")
+    ts = F.col("ts").cast("timestamp")
+    agg = (
+        ev.groupBy(
+            F.session_window(ts, "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents(F.col("value"))).cast("long").alias("sum_cents"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "sum_cents",
+        )
+    )
+    return run_replay_to_table(agg, "session_window_stream")
+
+
 def q_tumbling_window_counts(spark, sf):
     """Tumbling 1-hour event-time windows (streaming-compatible)."""
     ev = _t(spark, sf, "events")
@@ -613,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk_orders": q_window_topk_orders,
         "sessionize_events": q_sessionize_events,
         "session_window_native": q_session_window_native,
+        "session_window_stream": q_session_window_stream,
         "tumbling_window_counts": q_tumbling_window_counts,
         "set_ops_users": q_set_ops_users,
         "distinct_users_by_type": q_distinct_users_by_type,
@@ -866,6 +902,37 @@ def _sql_ngram_shingles(text: str, n: int) -> str:
     )
 
 
+# Shared by session_window_native (batch) and session_window_stream
+# (streaming replay): lag + running-sum session reconstruction; cents
+# via round(value*100), matching the Spark side bit-for-bit.
+_ORACLE_SESSION_WINDOW = """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CAST(CAST(round(value * 100) AS BIGINT) AS BIGINT) AS cents,
+             CASE WHEN lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  >= 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT *, sum(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    )
+    SELECT user_id,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(max(ts)) AS BIGINT) + 1800000000
+             AS session_end_us,
+           count(*) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM s GROUP BY user_id, sid
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     cents = "CAST(round({x} * 100) AS BIGINT)"
     k_expr = (
@@ -990,32 +1057,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             ) GROUP BY user_id
         """,
-        "session_window_native": f"""
-            WITH e AS (
-              SELECT user_id, ts, event_id,
-                     CAST({cents.format(x='value')} AS BIGINT) AS cents,
-                     CASE WHEN lag(ts) OVER
-                            (PARTITION BY user_id ORDER BY ts, event_id)
-                          IS NULL
-                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER
-                            (PARTITION BY user_id ORDER BY ts, event_id)
-                          >= 1800000000
-                     THEN 1 ELSE 0 END AS new_s
-              FROM events
-            ), s AS (
-              SELECT *, sum(new_s) OVER (
-                PARTITION BY user_id ORDER BY ts, event_id
-                ROWS UNBOUNDED PRECEDING) AS sid
-              FROM e
-            )
-            SELECT user_id,
-                   CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
-                   CAST(epoch_us(max(ts)) AS BIGINT) + 1800000000
-                     AS session_end_us,
-                   count(*) AS n_events,
-                   CAST(sum(cents) AS BIGINT) AS sum_cents
-            FROM s GROUP BY user_id, sid
-        """,
+        "session_window_native": _ORACLE_SESSION_WINDOW,
         "tumbling_window_counts": f"""
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n,
@@ -1223,4 +1265,8 @@ FROM lab
             FROM documents GROUP BY source
         """,
         # multimodal_features: mapInPandas decode path — rows-only check.
+    } | {
+        # the streaming replay must produce the exact sessions the
+        # batch operator (and therefore the batch oracle) produces
+        "session_window_stream": _ORACLE_SESSION_WINDOW,
     }

@@ -56,6 +56,59 @@ def windowed_agg(
     )
 
 
+def stream_table(spark, path: str) -> DataFrame:
+    """Replay a parquet table as a file STREAM (the schema comes from
+    a static footer read; nanosecond timestamps are normalized exactly
+    like session.load_table so stream and batch plans see identical
+    columns)."""
+    from mtail_spark.session import _nanos_ts_columns
+
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    import os
+
+    ns_cols = _nanos_ts_columns(path)
+    schema = spark.read.parquet(path).schema
+    stream_path = path
+    if os.path.isfile(path):
+        # the file streaming source requires a directory or glob; turn
+        # a plain file path into the glob that matches exactly it
+        stream_path = path[:-1] + "[" + path[-1] + "]"
+    df = spark.readStream.schema(schema).parquet(stream_path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def run_replay_to_table(stream_df: DataFrame, name: str) -> DataFrame:
+    """Run a streaming aggregation to completion over a finite replay
+    (Trigger.AvailableNow) in COMPLETE output mode against the memory
+    sink, and return the final result as a batch DataFrame.
+
+    Complete mode keeps every session/window in the state store, which
+    is exactly right for a finite replay whose FINAL table is the
+    answer (and what the oracle can check).  A production unbounded
+    stream would instead use append mode + a watermark writing to
+    parquet/Kafka — windowed_agg/session_windowed_agg support that via
+    their `watermark` argument; state is then bounded by the watermark
+    horizon, not stream length."""
+    import uuid
+
+    qname = f"{name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(qname)
+
+
 def session_windowed_agg(
     df: DataFrame,
     ts_col: str,

@@ -125,3 +125,20 @@ def test_windows_module_session_stream(spark, tmp_path):
         (r["session_start"].minute, r["n"]) for r in results
     )
     assert sess == [(1, 2)]
+
+
+def test_parquet_replay_equals_batch(spark):
+    """stream_table + run_replay_to_table: a finite parquet replay
+    through the native session operator must equal the batch plan
+    row-for-row (the same guarantee the parity gate checks via the
+    DuckDB oracle for session_window_stream)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        map(tuple, entry.q_session_window_stream(spark, sf).collect())
+    )
+    want = sorted(
+        map(tuple, entry.q_session_window_native(spark, sf).collect())
+    )
+    assert got == want and len(got) > 0
