@@ -92,6 +92,21 @@ def main(argv=None):
                     help="seconds between progs-dir reload scans in "
                          "serve mode (0 disables; SIGHUP always "
                          "triggers a scan)")
+    ap.add_argument("--graphite_host_port",
+                    help="serve mode: push graphite plaintext to "
+                         "HOST:PORT (TCP) every --metric_push_interval")
+    ap.add_argument("--statsd_hostport",
+                    help="serve mode: push statsd lines to HOST:PORT "
+                         "(UDP) every --metric_push_interval")
+    ap.add_argument("--collectd_socketpath",
+                    help="serve mode: write collectd PUTVAL commands "
+                         "to this unixsock path every "
+                         "--metric_push_interval")
+    ap.add_argument("--metric_push_interval", type=float, default=60.0,
+                    help="seconds between metric pushes")
+    ap.add_argument("--metric_push_write_deadline", type=float,
+                    default=10.0,
+                    help="per-push socket write deadline in seconds")
     ap.add_argument("--one_shot_timeout_secs", type=float, default=30.0,
                     help="one-shot FIFO/datagram drain deadline; the "
                          "drain ends early on source EOF (writer "
@@ -293,12 +308,23 @@ def main(argv=None):
     srv = MetricsServer(provider, host="0.0.0.0", port=args.port).start()
     print(f"serving on :{srv.port} (/metrics /json /varz /graphite)",
           file=sys.stderr)
+    from mtail_spark.exporters.push import PushScheduler
+
+    pusher = PushScheduler(
+        provider,
+        interval_secs=args.metric_push_interval,
+        graphite_hostport=args.graphite_host_port,
+        statsd_hostport=args.statsd_hostport,
+        collectd_socketpath=args.collectd_socketpath,
+        write_deadline_secs=args.metric_push_write_deadline,
+    ).start()
     try:
         while active():
             time.sleep(1)
     except KeyboardInterrupt:
         pass
     finally:
+        pusher.stop(final_push=True)
         srv.stop()
         if pset is not None:
             pset.stop()

@@ -104,3 +104,94 @@ def test_http_server():
         assert code == 200
     finally:
         srv.stop()
+
+
+def test_push_scheduler(tmp_path):
+    """PushScheduler pushes correct graphite (TCP), statsd (UDP) and
+    collectd (unixsock) payloads on interval (reference
+    export.go:211-262 StartMetricPush)."""
+    import socket
+    import threading
+    import time
+
+    from mtail_spark.exporters.push import PushScheduler
+
+    # graphite: TCP listener collecting every connection's payload
+    g_payloads = []
+    g_srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    g_srv.bind(("127.0.0.1", 0))
+    g_srv.listen(8)
+    g_srv.settimeout(5)
+
+    def g_accept():
+        while True:
+            try:
+                conn, _ = g_srv.accept()
+            except OSError:
+                return
+            with conn:
+                buf = b""
+                while chunk := conn.recv(65536):
+                    buf += chunk
+                g_payloads.append(buf.decode())
+
+    threading.Thread(target=g_accept, daemon=True).start()
+
+    # statsd: UDP socket
+    s_srv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s_srv.bind(("127.0.0.1", 0))
+    s_srv.settimeout(5)
+
+    # collectd: unix stream socket
+    c_path = str(tmp_path / "collectd.sock")
+    c_srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    c_srv.bind(c_path)
+    c_srv.listen(8)
+    c_srv.settimeout(5)
+    c_payloads = []
+
+    def c_accept():
+        while True:
+            try:
+                conn, _ = c_srv.accept()
+            except OSError:
+                return
+            with conn:
+                buf = b""
+                while chunk := conn.recv(65536):
+                    buf += chunk
+                c_payloads.append(buf.decode())
+
+    threading.Thread(target=c_accept, daemon=True).start()
+
+    push = PushScheduler(
+        lambda: ROWS,
+        interval_secs=0.2,
+        graphite_hostport=f"127.0.0.1:{g_srv.getsockname()[1]}",
+        statsd_hostport=f"127.0.0.1:{s_srv.getsockname()[1]}",
+        collectd_socketpath=c_path,
+        hostname="h1",
+        prefix="mtail.",
+    ).start()
+    assert push.configured
+    deadline = time.time() + 5
+    while time.time() < deadline and len(g_payloads) < 2:
+        time.sleep(0.05)
+    push.stop()
+    g_srv.close()
+    c_srv.close()
+
+    # >= 2 pushes arrived on interval
+    assert len(g_payloads) >= 2
+    assert "mtail.p.mtail.hits_total.op.get 7 1300000000" in g_payloads[0]
+
+    datagrams = []
+    try:
+        s_srv.settimeout(1)
+        for _ in range(3):
+            datagrams.append(s_srv.recvfrom(65536)[0].decode())
+    except socket.timeout:
+        pass
+    s_srv.close()
+    assert "mtail.p.mtail.hits_total.op.get:7|c" in datagrams
+    assert any("PUTVAL" in p and "h1" in p for p in c_payloads)
