@@ -20,8 +20,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# wholetext materializes each file as ONE row, so a file bigger than
+# this routes to the splittable path automatically — a 100 GB log
+# would otherwise OOM a single executor before any fold saw it
+WHOLETEXT_MAX_BYTES = 256 << 20
+
+
+def _local_paths(path: str) -> list[str]:
+    import glob as _glob
+    import os
+
+    if os.path.isdir(path):
+        return [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if os.path.isfile(os.path.join(path, f))
+        ]
+    return [p for p in _glob.glob(path) if os.path.isfile(p)]
+
+
+def _any_huge_file(path: str, threshold: int) -> bool:
+    import os
+
+    for p in _local_paths(path):
+        try:
+            if os.path.getsize(p) > threshold:
+                return True
+        except OSError:
+            pass
+    return False
+
+
 def read_log_lines(
-    spark: SparkSession, path: str, exact_order: bool = True
+    spark: SparkSession, path: str, exact_order: bool | None = None
 ) -> DataFrame:
     """Batch-read text logs as the log_lines relation.
 
@@ -34,7 +65,16 @@ def read_log_lines(
     increases with (input split, row offset) — per-file order holds
     because the text source lists a file's splits in offset order.
     Right for huge append-only logs where order only matters locally.
+
+    exact_order=None (the default) picks automatically: wholetext
+    unless any matched local file exceeds WHOLETEXT_MAX_BYTES, so a
+    huge log can never OOM an executor by materializing as one row.
+    Both paths yield identical per-file ORDER (all order-sensitive
+    semantics key on it); only the line_no VALUES differ (0-based vs
+    monotonic id), which nothing downstream depends on.
     """
+    if exact_order is None:
+        exact_order = not _any_huge_file(path, WHOLETEXT_MAX_BYTES)
     if exact_order:
         df = spark.read.text(path, wholetext=True).withColumn(
             "filename", F.input_file_name()

@@ -67,3 +67,56 @@ def test_vectorized_multifile(spark, tmp_path):
     df = prog.run_batch(spark, read_log_lines(spark, str(tmp_path)))
     vals = {r["name"]: r["value_i"] for r in df.collect()}
     assert vals["n"] == 3 and vals["total"] == 6
+
+
+def test_auto_route_by_file_size(spark, tmp_path, monkeypatch):
+    """A file over WHOLETEXT_MAX_BYTES must auto-route to the
+    splittable reader, and the resulting STORE must be identical to
+    the wholetext path's on the same input."""
+    import mtail_spark.sources.logs as logs
+    from mtail_spark.compiler.api import compile_program
+
+    # multi-MB fixture: interleaved matching/non-matching lines
+    p = tmp_path / "big.log"
+    with open(p, "w") as f:
+        for i in range(120_000):
+            f.write(f"ev type{i % 5} val={i % 997}\n")
+            if i % 3 == 0:
+                f.write("noise line\n")
+    assert p.stat().st_size > 1 << 20
+
+    prog = compile_program(
+        """
+counter vals by t
+gauge last by t
+/^ev (?P<t>\\S+) val=(?P<v>\\d+)/ {
+  vals[$t] += $v
+  last[$t] = $v
+}
+""",
+        "route.mtail",
+    )
+
+    def store(df):
+        return sorted(
+            (r["name"], str(r["labels"]), r["value_i"])
+            for r in prog.run_batch(spark, df).collect()
+        )
+
+    whole = store(logs.read_log_lines(spark, str(p), exact_order=True))
+
+    # drop the threshold under the fixture size: auto must take the
+    # splittable path (observable via the plan: no wholetext -> the
+    # scan relation has no single-row wholetext option; check via the
+    # line_no domain instead — mono ids exceed the line count)
+    monkeypatch.setattr(logs, "WHOLETEXT_MAX_BYTES", 1 << 20)
+    auto_df = logs.read_log_lines(spark, str(p))
+    split = store(auto_df)
+    assert split == whole and len(split) == 10
+    # the threshold logic itself: over -> splittable, under -> wholetext
+    assert logs._any_huge_file(str(p), 1 << 20)
+    assert not logs._any_huge_file(str(p), 256 << 20)
+    # and the auto plan really is the splittable one (mono-id
+    # ordering instead of the wholetext posexplode)
+    plan = auto_df._jdf.queryExecution().analyzed().toString().lower()
+    assert "monotonically" in plan and "posexplode" not in plan
