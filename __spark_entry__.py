@@ -169,6 +169,16 @@ def q_mtail_prog_dhcpd(spark, sf):
     return q(spark, sf)
 
 
+def q_mtail_prog_dhcpd_core(spark, sf):
+    """The SQL-mirrorable slice of the dhcpd store (same full program
+    run; rows filtered to the plain counter sites + scalar zero-inits
+    the oracle rebuilds from the rendering) — hash-checked, while the
+    full 27-site store stays rows-only."""
+    from mtail_spark.plans.demo_programs import q_mtail_prog_dhcpd_core as q
+
+    return q(spark, sf)
+
+
 def q_mtail_prog_counters(spark, sf):
     """A real mtail program (counters + dimensioned counters + strptime)
     compiled by mtail_spark.compiler and executed on the vectorized
@@ -609,8 +619,10 @@ def q_multimodal_meta(spark, sf):
 
 
 def q_multimodal_features(spark, sf):
-    """mapInPandas decode/featurize plumbing (deterministic fake
-    decode; no SQL oracle — checked rows-only)."""
+    """mapInPandas decode/featurize plumbing.  The fake decode is a
+    deterministic byte-histogram fold (payload = utf-8 of md5 hex),
+    so the full feature VECTOR is oracle-checkable: DuckDB rebuilds
+    each float32 component with the same left-fold order and cast."""
     docs = _t(spark, sf, "documents")
     media = M.synthesize_media(docs, "doc_id", "text")
     feats = M.extract_features(media, out_dim=8)
@@ -618,6 +630,10 @@ def q_multimodal_features(spark, sf):
         "media_id",
         "n_bytes",
         F.size("feature").cast("long").alias("dim"),
+        *[
+            F.element_at("feature", j + 1).cast("double").alias(f"f{j}")
+            for j in range(8)
+        ],
     )
 
 
@@ -640,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtail_getfilename": q_mtail_getfilename,
         "mtail_prog_counters": q_mtail_prog_counters,
         "mtail_prog_dhcpd": q_mtail_prog_dhcpd,
+        "mtail_prog_dhcpd_core": q_mtail_prog_dhcpd_core,
         "mtail_prog_gauge": q_mtail_prog_gauge,
         "mtail_prog_histogram": q_mtail_prog_histogram,
         "mtail_prog_stateful": q_mtail_prog_stateful,
@@ -902,6 +919,32 @@ def _sql_ngram_shingles(text: str, n: int) -> str:
     )
 
 
+def _sql_multimodal_features() -> str:
+    """DuckDB mirror of multimodal._fake_decode over the synthesized
+    payload (utf-8 bytes of md5 hex): feature[j] left-folds
+    byte/255.0 over positions i % 8 == j in ascending i — the same
+    accumulation order as the Python stub — then casts through REAL
+    to match the Arrow float32 feature column."""
+    comps = []
+    for j in range(8):
+        ps = ", ".join(str(j + 1 + 8 * k) for k in range(4))
+        fold = (
+            f"list_reduce([ord(substr(h, p, 1)) / 255.0 "
+            f"for p in [{ps}]], (x, y) -> x + y)"
+        )
+        comps.append(f"CAST(CAST({fold} AS REAL) AS DOUBLE) AS f{j}")
+    cols = ",\n           ".join(comps)
+    return f"""
+        WITH m AS (SELECT doc_id AS media_id, md5(text) AS h
+                   FROM documents)
+        SELECT media_id,
+               CAST(strlen(h) AS BIGINT) AS n_bytes,
+               CAST(8 AS BIGINT) AS dim,
+           {cols}
+        FROM m
+    """
+
+
 # Shared by session_window_native (batch) and session_window_stream
 # (streaming replay): lag + running-sum session reconstruction; cents
 # via round(value*100), matching the Spark side bit-for-bit.
@@ -1005,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "mtail_prog_counters": _demo().ORACLE_COUNTERS,
+        "mtail_prog_dhcpd_core": _demo().ORACLE_DHCPD_CORE,
         "mtail_prog_gauge": _demo().ORACLE_GAUGE,
         "mtail_prog_histogram": _demo().ORACLE_HIST,
         "mtail_prog_stateful": _demo().ORACLE_STATEFUL,
@@ -1264,7 +1308,7 @@ FROM lab
                      AS total_bytes
             FROM documents GROUP BY source
         """,
-        # multimodal_features: mapInPandas decode path — rows-only check.
+        "multimodal_features": _sql_multimodal_features(),
     } | {
         # the streaming replay must produce the exact sessions the
         # batch operator (and therefore the batch oracle) produces

@@ -292,6 +292,87 @@ def render_dhcpd_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dhcpd sites whose firing condition + labels the synthetic render
+# determines exactly (plain counter sites over rendered fields), plus
+# every zero-init scalar counter — the subset a SQL oracle can mirror.
+# The remaining sites (mac/ip/network caprefs on message shapes the
+# render never emits) stay covered by the rows-only full-program row.
+DHCPD_CORE_METRICS = (
+    "request_total",
+    "dhcpdiscovers",
+    "dhcpdiscover_nofree",
+    "config_file_errors",
+    "peer_disconnects",
+    "bind_xid_mismatch",
+    "duplicate_lease",
+    "bad_udp_checksum",
+    "unknown_subnet",
+    "update_rejected",
+    "failover_peer_timeout",
+    "ip_already_in_use",
+    "invalid_state_transition",
+    "lease_conflicts",
+)
+
+
+# DuckDB mirror of the core slice.  The rendering (render_dhcpd_lines)
+# fully determines which sites fire per event row:
+#   command  : event_type -> first word of the message, lowercased
+#   discover : error + otherwise event types render DHCPDISCOVER
+#   nofree   : only the 'error' render carries ': no free leases'
+#              with network 10.1.0.0/16
+#   scalars  : never fire -> zero-init rows at value 0
+# event_id // 7 etc. use floor division: Spark's (col / 7).cast(long)
+# truncates toward zero and event_id >= 0.
+_DHCPD_SCALARS = (
+    "config_file_errors", "peer_disconnects", "bind_xid_mismatch",
+    "duplicate_lease", "bad_udp_checksum", "unknown_subnet",
+    "update_rejected", "failover_peer_timeout", "ip_already_in_use",
+    "invalid_state_transition", "lease_conflicts",
+)
+
+ORACLE_DHCPD_CORE = f"""
+    WITH ev AS (
+      SELECT event_id,
+             event_type,
+             CASE event_type
+               WHEN 'purchase' THEN 'dhcpack'
+               WHEN 'view' THEN 'dhcpoffer'
+               WHEN 'error' THEN 'dhcpdiscover'
+               WHEN 'click' THEN 'dhcprequest'
+               ELSE 'dhcpdiscover' END AS command,
+             printf('02:%02x:%02x:%02x:ef:34',
+                    event_id % 251,
+                    (event_id // 7) % 249,
+                    (event_id // 53) % 247) AS mac
+      FROM events
+    )
+    SELECT 'request_total' AS name,
+           '{{"command":"' || command || '"}}' AS labels_json,
+           count(*) AS value_i
+    FROM ev GROUP BY command
+    UNION ALL
+    SELECT 'dhcpdiscovers', '{{"mac":"' || mac || '"}}', count(*)
+    FROM ev WHERE command = 'dhcpdiscover' GROUP BY mac
+    UNION ALL
+    SELECT 'dhcpdiscover_nofree', '{{"network":"10.1.0.0/16"}}', count(*)
+    FROM ev WHERE event_type = 'error' HAVING count(*) > 0
+    UNION ALL
+    SELECT s, '{{}}', CAST(0 AS BIGINT)
+    FROM (VALUES {", ".join(f"('{s}')" for s in _DHCPD_SCALARS)}) t(s)
+"""
+
+
+def q_mtail_prog_dhcpd_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checkable slice of the dhcpd store: the full 27-site
+    program runs unchanged; only the returned rows are filtered to
+    DHCPD_CORE_METRICS, which the DuckDB oracle rebuilds from the
+    event rendering (command mapping, per-mac discover counts,
+    no-free-leases network, scalar zero-inits)."""
+    full = q_mtail_prog_dhcpd(spark, sf_dir)
+    return full.filter(F.col("name").isin(*DHCPD_CORE_METRICS))
+
+
 def q_mtail_prog_dhcpd(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
