@@ -75,10 +75,16 @@ def _time_queries(spark, qs, names, sf_dir, repeats=3):
     (GC/codegen jitter); the min is the capability number."""
     import statistics
 
+    from mtail_spark.session import reset_scan_tuning
+
     med, best, cold = {}, {}, {}
     for name in names:
         ts = []
         for _ in range(repeats):
+            # each query tunes scan split sizing for its own data;
+            # start every measurement from the session default so one
+            # query's tuning can't poison the next
+            reset_scan_tuning(spark)
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -201,25 +201,54 @@ def ensure_parallelism(df, spark=None):
     enough = max(2, par // 2)
     if rgs is None:
         return df if est >= enough else df.repartition(par)
-    if min(est, rgs) >= enough:
-        return df
     if rgs >= enough:
-        # Enough row groups, too few byte-splits: shrinking
-        # spark.sql.files.maxPartitionBytes re-plans the scan to
-        # cluster parallelism with NO shuffle (the conf is consulted
-        # lazily at action time).  A 1.4 s round-robin exchange of
-        # 1M rows becomes a free parallel scan.  Sticky for the
-        # session, but it only ever shrinks, and the row-group check
-        # above keeps later estimates honest.
+        # Enough row groups: tuning spark.sql.files.maxPartitionBytes
+        # re-plans the scan to cluster parallelism with NO shuffle
+        # (the conf is consulted lazily at action time).  A 1.4 s
+        # round-robin exchange of 1M rows becomes a free parallel
+        # scan.  The conf is session-global, so size it for THIS
+        # dataset in BOTH directions each call — a value left behind
+        # by a smaller dataset would plan hundreds of empty splits
+        # here (~3 ms of task latency each, measured +1.6 s on a
+        # 64-row-group scan planned at a stale 128 KB).
         # ~3 splits per core: row-group boundaries make byte-splits
         # uneven (a task reads 1-3 whole groups), so finer tasks
         # smooth the stragglers; measured 1.4x on the 27-site dhcpd
         # program vs one-split-per-core
-        want = max(total // (par * 3), 131072)
-        if want < mpb:
+        want = min(max(total // (par * 3), 131072),
+                   _default_scan_mpb(spark))
+        if want != mpb:
             spark.conf.set("spark.sql.files.maxPartitionBytes", str(want))
         return df
+    if est >= enough:
+        return df
     return df.repartition(par)
+
+
+_DEFAULT_MPB: dict = {}
+
+
+def _default_scan_mpb(spark) -> int:
+    """The session's original spark.sql.files.maxPartitionBytes,
+    remembered before ensure_parallelism first tunes it."""
+    key = id(spark.sparkContext)
+    if key not in _DEFAULT_MPB:
+        _DEFAULT_MPB[key] = _parse_byte_size(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+        )
+    return _DEFAULT_MPB[key]
+
+
+def reset_scan_tuning(spark) -> None:
+    """Restore the original maxPartitionBytes.  ensure_parallelism
+    sizes the (session-global) conf for the dataset it is handed;
+    callers running unrelated scans afterwards in the same session
+    (bench harness, mixed pipelines) call this to shed the tuning."""
+    key = id(spark.sparkContext)
+    if key in _DEFAULT_MPB:
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(_DEFAULT_MPB[key])
+        )
 
 
 def _count_row_groups(paths, cap: int = 64) -> int | None:
