@@ -126,7 +126,7 @@ class _RegOp:
     value."""
 
     def __init__(self, seq, reg_id, metric, kind, labels, value=None,
-                 guard=None, read_id=None):
+                 guard=None, read_id=None, const_val=None):
         self.seq = seq
         self.reg_id = reg_id
         self.metric = metric
@@ -135,6 +135,11 @@ class _RegOp:
         self.value = value  # str SQL (set only), coerced to metric type
         self.guard = guard  # str SQL
         self.read_id = read_id  # int (read only)
+        # compile-time constant of a set's RHS when known (used by the
+        # self-cycle relaxation in _stratify)
+        self.const_val = const_val
+
+
 
 
 def _read_metric_names(prog: CheckedProgram) -> set:
@@ -218,6 +223,27 @@ class Vectorizer:
                 self.registers[n] = len(self.registers)
         self.regops: list[_RegOp] = []
         self.reads: list[_RegOp] = []
+        # Dimensioned registers (declared with keys, e.g. rsyncd's
+        # connection_time by pid) resolve through the event-relation
+        # carry window; SCALAR registers resolve as chained window
+        # COLUMNS over the line relation itself (_plan_registers) —
+        # no explode/pivot/join, one sort per file shared by every
+        # register and stratum.
+        self.dim_regs: set = {
+            rid for n, rid in self.registers.items()
+            if prog.metrics[n].decl.keys
+        }
+        self.dim_regops: list[_RegOp] = []
+        self.dim_reads: list[_RegOp] = []
+        # One dict per dependency stratum (see _plan_registers):
+        # {"fired": [(reg_id, fired CASE sql)], "nulls": [(reg_id,
+        # typed-NULL sql)], "reads": [(colname, read CASE sql)]}
+        self.scalar_strata: list[dict] = []
+        # rid -> (cmp_op, const, cmp_sql) for bare-scalar-register vs
+        # constant compares (candidate self-cycle relaxations; see
+        # _relax_self_cycle for the soundness argument — the domain
+        # rules make the compare's polarity in the guard irrelevant)
+        self.read_cmp: dict[int, tuple] = {}
         self._cur_guard: str = "TRUE"
         # Liveness via a KILL SET instead of a recursive alive chain:
         # each `stop` or runtime-error condition contributes one
@@ -487,10 +513,34 @@ class Vectorizer:
                 self._pending_errs[i] = f"({gate} AND {self._pending_errs[i]})"
             sqlop = "AND" if op == "&&" else "OR"
             return f"({lb} {sqlop} {rb})", "Bool"
+        n0 = len(self.reads)
         l, lt = self._expr(e.lhs)
+        n1 = len(self.reads)
         r, rt = self._expr(e.rhs)
+        n2 = len(self.reads)
         if op in ("<", "<=", ">", ">=", "==", "!="):
             sqlop = {"==": "=", "!=": "!="}.get(op, op)
+            if op in ("==", "!="):
+                # bare-scalar-register vs constant: remember the read
+                # id, constant, and exact SQL for _relax_self_cycle
+                def _bare_reg(x):
+                    return (
+                        isinstance(x, A.IndexedExpr)
+                        and not x.index
+                        and x.lhs.name in self.registers
+                    )
+
+                rid = k = None
+                if (n1 == n0 + 1 and _bare_reg(e.lhs)
+                        and _const_eval(e.rhs) is not None):
+                    rid, k = n0, _const_eval(e.rhs)
+                elif (n2 == n1 + 1 and _bare_reg(e.rhs)
+                        and _const_eval(e.lhs) is not None):
+                    rid, k = n1, _const_eval(e.lhs)
+                if rid is not None and lt != "String" and rt != "String":
+                    cmp_sql = f"({self._num(l, lt)} {sqlop} {self._num(r, rt)})"
+                    self.read_cmp[rid] = (sqlop, k, cmp_sql)
+                    return cmp_sql, "Bool"
             if lt == "String" and rt == "String":
                 # Polymorphic compare: when BOTH sides parse as numbers
                 # compare numerically, else compare as strings
@@ -633,17 +683,379 @@ class Vectorizer:
                     raise VectorizeError(
                         "register read feeds a regex subject"
                     )
-            for op in self.regops:
-                pieces = [op.guard or ""] + list(op.labels)
-                if op.value is not None:
-                    pieces.append(op.value)
-                if _re.search(r"__reg_r\d+", " ".join(pieces)):
-                    # a register op depending on a register READ is a
-                    # sequential value chain — the carry window's
-                    # inputs would need its own outputs
+            self._plan_registers()
+
+    # ------------------------------------------- register stratification
+
+    @staticmethod
+    def _read_refs(*sqls) -> set:
+        import re as _re
+
+        out: set = set()
+        for s in sqls:
+            if s:
+                out.update(int(m) for m in _re.findall(r"__reg_r(\d+)", s))
+        return out
+
+    def _op_deps(self, op: _RegOp) -> set:
+        """Read ids a register event's SQL depends on.  Read anchors
+        only depend through their LABELS (their guards were forced
+        TRUE when register-dependent, and the value is produced by
+        the window, not the projection)."""
+        if op.kind == 2:
+            return self._read_refs(*op.labels)
+        return self._read_refs(op.guard, op.value, *op.labels)
+
+    def _typed_zero(self, mi):
+        return {"Int": 0, "Float": 0.0}.get(mi.vtype, "")
+
+    def _relax_self_cycle(self, reg_id: int, self_rids: set) -> None:
+        """Substitute TRUE for self-read compares in a register's write
+        guards when provably value-preserving.  Sound when every write
+        to the register stores a compile-time constant and, for each
+        write `R = c` whose guard embeds a compare `R == K` (resp.
+        `R != K`), the register's value domain D — typed zero plus
+        every written constant — satisfies D <= {K, c} (resp. K == c).
+        Then whenever the compare is FALSE at its anchor, the anchor
+        value already equals c, so any divergence between the
+        substituted and true guard fires/suppresses only no-op writes;
+        whenever it is TRUE, substitution equals evaluation.  The
+        compare's polarity inside the guard (else branches, otherwise
+        negations, NOT(kill) wrappers) therefore doesn't matter.
+        mtail example: mysql_slowqueries.mtail's
+        `partial == 1 { partial = 0 ... }` over domain {0, 1}."""
+        writes = [
+            op for op in self.regops
+            if op.reg_id == reg_id and op.kind != 2
+        ]
+        if any(op.kind == 1 for op in writes):
+            raise VectorizeError("register del in self-dependent cycle")
+        if any(op.labels for op in writes):
+            raise VectorizeError("dimensioned register self-cycle")
+        if any(op.const_val is None for op in writes):
+            raise VectorizeError("non-constant write in register self-cycle")
+        mi = writes[0].metric
+        domain = {self._typed_zero(mi)}
+        domain.update(op.const_val for op in writes)
+        for op in writes:
+            if self._read_refs(op.value) & self_rids:
+                raise VectorizeError("register value reads itself")
+            srefs = self._read_refs(op.guard) & self_rids
+            for rid in srefs:
+                cmp = self.read_cmp.get(rid)
+                if cmp is None:
                     raise VectorizeError(
-                        "register op depends on a register read"
+                        "register self-read outside a relaxable compare"
                     )
+                cop, k, cmp_sql = cmp
+                if cop == "=":
+                    if not domain <= {k, op.const_val}:
+                        raise VectorizeError(
+                            "register self-cycle domain not collapsible"
+                        )
+                elif cop == "!=":
+                    if k != op.const_val:
+                        raise VectorizeError(
+                            "register self-cycle domain not collapsible"
+                        )
+                else:
+                    raise VectorizeError("register self-read compare op")
+                op.guard = op.guard.replace(cmp_sql, "TRUE")
+            if self._read_refs(op.guard) & self_rids:
+                raise VectorizeError(
+                    "register self-read survives relaxation"
+                )
+
+    def _zero_lit(self, mi) -> str:
+        return {
+            "Int": "CAST(0 AS BIGINT)",
+            "Float": "CAST(0.0 AS DOUBLE)",
+        }.get(mi.vtype, "''")
+
+    def _cast_reg(self, mi, sql: str) -> str:
+        t = {"Int": "BIGINT", "Float": "DOUBLE"}.get(mi.vtype, "STRING")
+        return f"CAST({sql} AS {t})"
+
+    def _write_case(self, ops, tail: str, mi) -> str:
+        """Reverse-seq CASE over fired set/del ops (del reads back as
+        the typed zero — registers are hidden, so 'deleted' and
+        'zero-initialized on next read' are observationally equal)."""
+        if not ops:
+            return tail
+        arms = "".join(
+            f"WHEN {op.guard} THEN "
+            + (self._zero_lit(mi) if op.kind == 1
+               else self._cast_reg(mi, op.value))
+            + " "
+            for op in sorted(ops, key=lambda o: -o.seq)
+        )
+        return f"CASE {arms}ELSE {tail} END"
+
+    def _plan_registers(self, max_strata: int = 6) -> None:
+        """Resolve register reads.
+
+        SCALAR registers (no keys) become window COLUMNS on the line
+        relation: per register a carried value
+        `last(<fired-write CASE>, true) OVER (PARTITION BY filename
+        ORDER BY line_no ROWS UNBOUNDED PRECEDING TO 1 PRECEDING)`,
+        and per read an inline CASE over same-line earlier-seq writes
+        falling back to the carry.  Registers whose writes read other
+        registers stack as chained window layers (strata) over the
+        SAME sort — mysql_slowqueries' user -> tmp_*/partial ->
+        service chain is three layers, one file-order sort total.
+        Self-cycles are first removed by _relax_self_cycle; remaining
+        cycles are genuinely sequential value chains -> fold backend.
+
+        DIMENSIONED registers (rsyncd's connection_time[pid]) keep the
+        event-relation carry window (explode -> window per (filename,
+        reg, labels) -> pivot -> join): their partition key is the
+        label value, which only exists per event row.  Their ops may
+        read scalar registers (those are line columns below the event
+        projection); reads of other dimensioned registers only appear
+        in anchor guards, where emitting the anchor unconditionally is
+        a sound superset (every consumer of the read re-gates)."""
+        read_reg = {op.read_id: op.reg_id for op in self.reads}
+        dim = self.dim_regs
+
+        # --- dimensioned: validate + collect for the event machinery
+        for op in self.regops:
+            if op.reg_id not in dim:
+                continue
+            if op.kind == 2:
+                if any(
+                    read_reg[r] in dim
+                    for r in self._read_refs(*op.labels)
+                ):
+                    raise VectorizeError(
+                        "dimensioned read label reads a dimensioned register"
+                    )
+                if any(
+                    read_reg[r] in dim
+                    for r in self._read_refs(op.guard)
+                ):
+                    op.guard = "TRUE"
+                self.dim_reads.append(op)
+            else:
+                if any(
+                    read_reg[r] in dim for r in self._op_deps(op)
+                ):
+                    raise VectorizeError(
+                        "dimensioned register op depends on a dimensioned read"
+                    )
+            self.dim_regops.append(op)
+
+        # --- scalar: self-relax, stratify, emit layers
+        scalar = {op.reg_id for op in self.regops} - dim
+        scalar |= {read_reg[r] for r in read_reg} - dim
+        for g in sorted(scalar):
+            self_rids = set()
+            for op in self.regops:
+                if op.reg_id == g and op.kind != 2:
+                    self_rids |= {
+                        r for r in self._op_deps(op)
+                        if read_reg[r] == g
+                    }
+            if self_rids:
+                self._relax_self_cycle(g, self_rids)
+        deps: dict[int, set] = {g: set() for g in scalar}
+        for op in self.regops:
+            if op.reg_id in dim:
+                continue
+            for r in self._op_deps(op):
+                h = read_reg[r]
+                if h in dim:
+                    raise VectorizeError(
+                        "scalar register op depends on a dimensioned read"
+                    )
+                deps[op.reg_id].add(h)
+        stratum: dict[int, int] = {}
+        remaining = dict(deps)
+        level = 0
+        while remaining:
+            ready = [
+                g for g, ds in remaining.items()
+                if all(h in stratum for h in ds)
+            ]
+            if not ready:
+                raise VectorizeError("register dependency cycle")
+            if level >= max_strata:
+                raise VectorizeError("register strata exceed limit")
+            for g in ready:
+                stratum[g] = level
+                del remaining[g]
+            level += 1
+
+        by_reg: dict[int, list] = {g: [] for g in scalar}
+        metric_of: dict[int, object] = {}
+        for op in self.regops:
+            if op.reg_id in scalar:
+                metric_of.setdefault(op.reg_id, op.metric)
+                if op.kind != 2:
+                    by_reg[op.reg_id].append(op)
+        self.scalar_strata = []
+        for k in range(level):
+            regs_k = sorted(g for g in scalar if stratum[g] == k)
+            st = {"fired": [], "nulls": [], "reads": []}
+            for g in regs_k:
+                mi = metric_of[g]
+                ops = by_reg[g]
+                if ops:
+                    st["fired"].append(
+                        (g, self._write_case(ops, "NULL", mi))
+                    )
+                else:
+                    st["nulls"].append((g, self._cast_reg(mi, "NULL")))
+                for rop in self.reads:
+                    if rop.reg_id != g:
+                        continue
+                    prior = [o for o in ops if o.seq < rop.seq]
+                    st["reads"].append(
+                        (
+                            f"__reg_r{rop.read_id}",
+                            self._write_case(
+                                prior, f"__carry{g}", mi
+                            ),
+                        )
+                    )
+            self.scalar_strata.append(st)
+
+    # Rows per carry chunk.  Parallelism within a single log file
+    # scales as lines/CHUNK; the cross-chunk exchange scales as
+    # files*chunks rows — both fine from 1 MB to 100 GB files.
+    CHUNK_LINES = 32768
+
+    def chunked_base_sql(self, view: str) -> str:
+        """Bucket the RAW line relation into fixed-size chunks of the
+        per-file order and hash-exchange on (filename, __chunk).
+
+        This runs BELOW the shared regex layers on purpose: the raw
+        relation is three narrow columns, so (a) the exchange ships
+        ~line-sized rows instead of the regex-extracted wide relation
+        (measured 113 MiB vs 1.5 GiB per 1M syslog lines), and (b)
+        every chunk-summary branch needs exactly these columns, so
+        column pruning cannot specialize the exchange per branch and
+        Spark reuses ONE shuffle for all of them."""
+        return (
+            "(SELECT /*+ REPARTITION(filename, __chunk) */ * FROM "
+            f"(SELECT *, CAST(FLOOR(line_no / {self.CHUNK_LINES}) AS BIGINT)"
+            f" AS __chunk FROM {view}) AS __cki) AS __ck"
+        )
+
+    def scalar_layers_sql(self, base: str, chunked: bool = True) -> str:
+        """Resolve scalar-register carries.
+
+        chunked=True — a chunk-parallel two-phase prefix scan over the
+        chunk-partitioned relation (chunked_base_sql):
+
+        1. per chunk, the carry is a window over ROWS UNBOUNDED
+           PRECEDING AND 1 PRECEDING — parallel across chunks, and
+           the chunk exchange already provides the required
+           distribution, so no further full-data exchange is planned;
+        2. per chunk, the LAST fired write (hash-aggregable
+           max-of-(line_no, value) struct over non-null fired values)
+           forms a summary relation of files*chunks rows;
+        3. a tiny per-file window over the summaries computes each
+           chunk's incoming value (classic scan combine: "last
+           non-null" is associative), broadcast-joined back;
+        4. a row's carry = coalesce(within-chunk carry, chunk prefix).
+
+        Strata chain left-to-right on the same partitioning; the
+        summary branches re-derive their inputs from the (reused)
+        chunk exchange with regex columns pruned to what each
+        stratum's write guards need.
+
+        chunked=False — one window per file (`PARTITION BY filename`),
+        which serializes each file through a single task.  That is the
+        faster plan for small inputs (goldens, streaming micro-
+        batches): no summary branches, no joins, one sort shared by
+        every stratum.  vectorized_store picks by estimated input
+        size; a 100 GB file MUST take the chunked path or the whole
+        relation lands on one core."""
+        if not getattr(self, "scalar_strata", None):
+            return base
+        src = base
+        if not chunked:
+            fwin = (
+                "OVER (PARTITION BY filename ORDER BY line_no "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            )
+            for k, st in enumerate(self.scalar_strata):
+                cols = [
+                    f"last({sql}, true) {fwin} AS __carry{g}"
+                    for g, sql in st["fired"]
+                ] + [f"{sql} AS __carry{g}" for g, sql in st["nulls"]]
+                if cols:
+                    src = (
+                        f"(SELECT *, {', '.join(cols)} FROM {src})"
+                        f" AS __d{k}"
+                    )
+                if st["reads"]:
+                    rsel = ", ".join(
+                        f"{sql} AS {name}" for name, sql in st["reads"]
+                    )
+                    src = f"(SELECT *, {rsel} FROM {src}) AS __r{k}"
+            return src
+        lwin = (
+            "OVER (PARTITION BY a.filename, a.__chunk ORDER BY a.line_no "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        )
+        pwin = (
+            "OVER (PARTITION BY filename ORDER BY __chunk "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        )
+        for k, st in enumerate(self.scalar_strata):
+            if st["fired"]:
+                fsel = ", ".join(
+                    f"{sql} AS __f{g}" for g, sql in st["fired"]
+                )
+                a = f"(SELECT *, {fsel} FROM {src})"
+                # max over a (line_no, value) struct = last fired
+                # write in the chunk; declarative max stays in
+                # HashAggregate (max_by planned a per-branch
+                # SortAggregate over the full line relation)
+                ssel = ", ".join(
+                    f"max(IF(__f{g} IS NOT NULL, "
+                    f"struct(line_no AS o, __f{g} AS v), NULL)).v"
+                    f" AS __s{g}"
+                    for g, _sql in st["fired"]
+                )
+                s = (
+                    f"(SELECT filename, __chunk, {ssel} FROM {a} AS __a{k} "
+                    "GROUP BY filename, __chunk)"
+                )
+                psel = ", ".join(
+                    f"last(__s{g}, true) {pwin} AS __p{g}"
+                    for g, _sql in st["fired"]
+                )
+                p = f"(SELECT filename, __chunk, {psel} FROM {s} AS __s{k})"
+                csel = ", ".join(
+                    f"coalesce(last(a.__f{g}, true) {lwin}, p.__p{g})"
+                    f" AS __carry{g}"
+                    for g, _sql in st["fired"]
+                )
+                nsel = "".join(
+                    f", {sql} AS __carry{g}" for g, sql in st["nulls"]
+                )
+                src = (
+                    f"(SELECT /*+ BROADCAST(p) */ a.*, {csel}{nsel} "
+                    f"FROM {a} a LEFT JOIN {p} p "
+                    "ON a.filename = p.filename AND a.__chunk = p.__chunk"
+                    f") AS __d{k}"
+                )
+            elif st["nulls"]:
+                nsel = ", ".join(
+                    f"{sql} AS __carry{g}" for g, sql in st["nulls"]
+                )
+                src = f"(SELECT *, {nsel} FROM {src}) AS __d{k}"
+            if st["reads"]:
+                rsel = ", ".join(
+                    f"{sql} AS {name}" for name, sql in st["reads"]
+                )
+                src = f"(SELECT *, {rsel} FROM {src}) AS __r{k}"
+        return src
+
+    def _kill(self, sql: str) -> None:
+        self.kills.append(sql)
 
     def _drain_errs(self, eval_guard: str):
         """Record pending runtime-error conditions as kill events fired
@@ -652,7 +1064,7 @@ class Vectorizer:
             return
         err = " OR ".join(self._pending_errs)
         self._pending_errs = []
-        self.kills.append(f"coalesce(({eval_guard}) AND ({err}), FALSE)")
+        self._kill(f"coalesce(({eval_guard}) AND ({err}), FALSE)")
 
     def _block(self, stmts, guard: str):
         """Compile with STRUCTURAL guards only (cond nesting, else,
@@ -684,7 +1096,7 @@ class Vectorizer:
             elif isinstance(s, A.ExprStmt):
                 self._action(s.expr, guard)
             elif isinstance(s, A.StopStmt):
-                self.kills.append(f"coalesce({guard}, FALSE)")
+                self._kill(f"coalesce({guard}, FALSE)")
             elif isinstance(s, A.DelStmt):
                 self._del_stmt(s, guard)
             else:
@@ -709,11 +1121,12 @@ class Vectorizer:
                    guard=g)
         )
 
-    def _reg_write(self, name: str, mi, labels, value: str, guard: str):
+    def _reg_write(self, name: str, mi, labels, value: str, guard: str,
+                   const_val=None):
         g = f"({guard} AND {self._alive()})"
         self.regops.append(
             _RegOp(self._next_seq(), self.registers[name], mi, 0, labels,
-                   value=value, guard=g)
+                   value=value, guard=g, const_val=const_val)
         )
 
     def _action(self, e, guard: str):
@@ -751,7 +1164,8 @@ class Vectorizer:
                 v, vt = self._expr(e.rhs)
                 v, vt = self._coerce_set(mi, v, vt)
                 self._drain_errs(guard)
-                self._reg_write(name, mi, labels, v, guard)
+                self._reg_write(name, mi, labels, v, guard,
+                                const_val=_const_eval(e.rhs))
                 return
             labels = self._label_cols(t)
             v, vt = self._expr(e.rhs)
@@ -811,7 +1225,7 @@ class Vectorizer:
         # aborts the rest of the line (reference vm.go:97-129)
         g = f"({guard} AND {self._alive()})"
         self.ts_entries.append((f"({g} AND {parsed} IS NOT NULL)", us))
-        self.kills.append(
+        self._kill(
             f"coalesce({guard} AND {parsed} IS NULL, FALSE)"
         )
 
@@ -933,14 +1347,27 @@ def vectorized_store(
         for s in vz.sites
     }
 
+    # Scalar-register programs route by input size: big inputs take
+    # the chunk-parallel prefix scan (their parallelism comes from the
+    # chunk exchange — a second raw shuffle would be pure waste),
+    # small inputs and micro-batches (size unknown -> None) keep the
+    # cheaper per-file window.
+    chunk_registers = False
+    if vz.scalar_strata:
+        from mtail_spark.session import estimated_local_input_bytes
+
+        nbytes = estimated_local_input_bytes(log_lines)
+        chunk_registers = nbytes is not None and nbytes > 64 * 1024 * 1024
+
     # The per-line work (regex extraction, strptime, typed casts) is
     # CPU-heavy, so parallelism must match the cluster even when the
     # source planned few splits.  Order is carried as data
     # (filename, line_no), so the repartition is semantics-preserving;
     # streaming micro-batch frames are left alone.
-    from mtail_spark.session import ensure_parallelism
+    if not chunk_registers:
+        from mtail_spark.session import ensure_parallelism
 
-    log_lines = ensure_parallelism(log_lines, spark)
+        log_lines = ensure_parallelism(log_lines, spark)
 
     agg_rows = []
     if vz.sites:
@@ -957,22 +1384,34 @@ def vectorized_store(
         # temp views the outer session cannot see
         sess = log_lines.sparkSession
         log_lines.createOrReplaceTempView(view)
-        src = vz.shared_layers_sql(view)
-        pview = None
-        if vz.reads:
-            # Cross-line registers: a second event relation carries
-            # hidden-metric set/del/read ops; a window per
+        # Scalar registers resolve as window-column layers on the line
+        # relation itself (see _plan_registers / scalar_layers_sql).
+        # Big inputs: raw lines are chunk-partitioned once, regex
+        # extraction runs above that exchange, and every stratum's
+        # carry windows share the same distribution.
+        if chunk_registers:
+            src = vz.scalar_layers_sql(
+                vz.shared_layers_sql(vz.chunked_base_sql(view))
+            )
+        else:
+            src = vz.scalar_layers_sql(
+                vz.shared_layers_sql(view), chunked=False
+            )
+        pviews = []
+        if vz.dim_regops:
+            # DIMENSIONED cross-line registers: a second event relation
+            # carries hidden-metric set/del/read ops; a window per
             # (filename, register, labels) ordered by (line_no, seq)
             # resolves each read to the last prior set (del masks),
             # and the read values join back per line.  This is the
             # Spark shape for rsyncd-style connection stitching:
-            # parallel across register keys instead of sequential per
-            # file.
+            # parallel across register label values instead of
+            # sequential per file.
             from pyspark.sql import Window as _W
 
             revs = (
                 "array("
-                + ", ".join(_reg_event_sql(op) for op in vz.regops)
+                + ", ".join(_reg_event_sql(op) for op in vz.dim_regops)
                 + ")"
             )
             reg_flat = sess.sql(
@@ -1011,18 +1450,21 @@ def vectorized_store(
                 )
             )
             aggs = []
-            for i, rop in enumerate(vz.reads):
+            for rop in vz.dim_reads:
                 col = {"Int": "cvi", "Float": "cvf"}.get(
                     rop.metric.vtype, "cvs"
                 )
                 aggs.append(
                     F.max(
-                        F.when(F.col("read_id") == i, F.col(col))
-                    ).alias(f"__reg_r{i}")
+                        F.when(
+                            F.col("read_id") == rop.read_id, F.col(col)
+                        )
+                    ).alias(f"__reg_r{rop.read_id}")
                 )
             piv = reads_df.groupBy("filename", "line_no").agg(*aggs)
             pview = f"__mtail_regs_{abs(id(vz)) % 10**9}"
             piv.createOrReplaceTempView(pview)
+            pviews.append(pview)
             flat = sess.sql(
                 f"SELECT t.filename, t.line_no, {evs} AS evs "
                 f"FROM (SELECT * FROM {src}) AS t LEFT JOIN {pview} p "
@@ -1093,8 +1535,8 @@ def vectorized_store(
             F.max("last_ts").alias("last_ts"),
         )
         agg_rows = agg.collect()
-        if pview is not None:
-            sess.catalog.dropTempView(pview)
+        for pv in pviews:
+            sess.catalog.dropTempView(pv)
         sess.catalog.dropTempView(view)
 
     # ---- driver-side store assembly (store-sized data)

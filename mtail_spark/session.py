@@ -266,3 +266,28 @@ def _count_row_groups(paths, cap: int = 64) -> int | None:
         except Exception:
             return None
     return n
+
+
+def estimated_local_input_bytes(df) -> int | None:
+    """Total bytes of a DataFrame's local input files, or None when
+    the inputs aren't local files (remote stores, streaming
+    micro-batches, in-memory relations).  Analysis-level only — no
+    job, no physical planning."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    from urllib.parse import unquote, urlparse
+
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            return None
+        try:
+            total += os.path.getsize(unquote(u.path))
+        except OSError:
+            return None
+    return total

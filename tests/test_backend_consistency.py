@@ -205,3 +205,27 @@ def test_remaining_examples_execute_vectorized(spark):
         df = _lines_df(spark, lines)
         rows = prog.run_batch(spark, df).collect()
         assert rows is not None, name
+
+
+def test_mysql_register_chunk_boundaries(spark, monkeypatch):
+    """mysql_slowqueries: scalar register state must flow across carry
+    chunks.  A tiny CHUNK_LINES forces a chunk boundary inside nearly
+    every slow-query record, so each register read crosses the
+    chunk-prefix path (codegen.Vectorizer.scalar_layers_sql) instead
+    of the within-chunk window."""
+    from mtail_spark import session as _session
+    from mtail_spark.compiler.codegen import Vectorizer
+
+    monkeypatch.setattr(Vectorizer, "CHUNK_LINES", 3)
+    # in-memory relations report no input files; force the big-input
+    # route so the chunked scan (not the per-file window) is exercised
+    monkeypatch.setattr(
+        _session, "estimated_local_input_bytes", lambda df: 1 << 30
+    )
+    src = open(f"{EX}/mysql_slowqueries.mtail").read()
+    lines = open(
+        f"{TD}/mysql_slowqueries.log", errors="replace"
+    ).read().split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()
+    _consistent(spark, src, "mysql_slowqueries.mtail", lines)
