@@ -50,6 +50,20 @@ def _internal_rows(prog_name: str, n_lines: int, n_batches: int) -> list[dict]:
 
 
 class StreamingMetricStore:
+    """Serving store for the streaming daemon.
+
+    Driver-RAM by design, exactly like the reference's in-process
+    store (reference internal/metrics/store.go): the store holds the
+    AGGREGATED output, whose cardinality is the number of live metric
+    label tuples — not stream length — and every exporter needs a
+    consistent point-in-time view of all of it anyway.  What bounds it
+    under high-cardinality label spaces is the program's own `limit N`
+    eviction and `del ... after` TTLs (gc below, tested at 1M tuples
+    in tests/test_streaming.py).  A label space that needs more than
+    driver RAM even after `limit` is not a serving store workload —
+    route it through the batch path, where the same program's store is
+    a distributed DataFrame aggregation end to end."""
+
     def __init__(self, prog: CompiledProgram):
         self.prog = prog
         self.lock = threading.Lock()

@@ -154,3 +154,42 @@ def test_merge_batch_replay_dedupe():
     store.merge_batch([row], batch_id=1)
     vals = {r["name"]: r["value_i"] for r in store.rows(False)}
     assert vals["lines_total"] == 14
+
+
+def test_store_limit_bounds_million_cardinality():
+    """The serving store is driver-RAM like the reference's (store.go);
+    `limit N` is what bounds it under high-cardinality label spaces.
+    Stream 1M distinct label tuples through merge_batch in micro-batch
+    sized slices with gc() after each commit (the daemon's cadence,
+    streaming/reload.py) and check the store never exceeds
+    limit + one batch of growth, ending at exactly the cap."""
+    prog = compile_program(
+        "counter hits by id limit 1000\n/(?P<id>\\w+)/ { hits[$id]++ }\n",
+        "cardinality.mtail",
+    )
+    store = StreamingMetricStore(prog)
+    total, batch = 1_000_000, 100_000
+    t0 = time.monotonic()
+    for b in range(total // batch):
+        rows = [
+            {
+                "prog": "cardinality.mtail", "name": "hits",
+                "kind": "counter", "vtype": "Int",
+                "labels": {"id": f"k{b * batch + i}"},
+                "value_i": 1, "value_f": None, "value_s": None,
+                "buckets": None, "bucket_count": None,
+                "bucket_sum": None, "ts_us": b * batch + i,
+            }
+            for i in range(batch)
+        ]
+        store.merge_batch(rows, batch_id=b)
+        store.gc(now_us=0)
+        assert len(store.data) <= 1000 + batch
+    dt = time.monotonic() - t0
+    n = len([k for k in store.data if k[0] == "hits"])
+    assert n == 1000
+    # newest keys survive (eviction is oldest-ts first)
+    assert ("hits", (("id", f"k{total - 1}"),)) in store.data
+    assert ("hits", (("id", "k0"),)) not in store.data
+    # sanity: 1M tuples must stream through in interactive time
+    assert dt < 60, f"1M-cardinality merge+gc took {dt:.1f}s"
