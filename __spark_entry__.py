@@ -204,9 +204,20 @@ def q_mtail_prog_histogram(spark, sf):
 
 
 def q_mtail_prog_stateful(spark, sf):
-    """Cross-line hidden-metric state through the ordered-fold backend
-    (applyInPandas per file); oracle is the lag-window dual."""
+    """Cross-line hidden-metric state, dimensioned (rsyncd pattern),
+    vectorized via the event-relation carry window; oracle is the
+    lag-window dual."""
     from mtail_spark.plans.demo_programs import q_mtail_prog_stateful as q
+
+    return q(spark, sf)
+
+
+def q_mtail_prog_txn(spark, sf):
+    """Cross-line hidden-metric state, scalar (mysql_slowqueries
+    pattern): stratified carry-window columns with self-cycle
+    relaxation and a register-read metric label; oracle replays the
+    record algebra over events."""
+    from mtail_spark.plans.demo_programs import q_mtail_prog_txn as q
 
     return q(spark, sf)
 
@@ -660,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtail_prog_gauge": q_mtail_prog_gauge,
         "mtail_prog_histogram": q_mtail_prog_histogram,
         "mtail_prog_stateful": q_mtail_prog_stateful,
+        "mtail_prog_txn": q_mtail_prog_txn,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_topk_orders": q_window_topk_orders,
@@ -1052,6 +1064,7 @@ def oracle_sql() -> dict[str, str]:
         "mtail_prog_gauge": _demo().ORACLE_GAUGE,
         "mtail_prog_histogram": _demo().ORACLE_HIST,
         "mtail_prog_stateful": _demo().ORACLE_STATEFUL,
+        "mtail_prog_txn": _demo().ORACLE_TXN,
         "tpch_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

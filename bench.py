@@ -80,11 +80,23 @@ def _time_queries(spark, qs, names, sf_dir, repeats=3):
     med, best, cold = {}, {}, {}
     for name in names:
         ts = []
-        for _ in range(repeats):
+        for r in range(repeats):
             # each query tunes scan split sizing for its own data;
             # start every measurement from the session default so one
             # query's tuning can't poison the next
             reset_scan_tuning(spark)
+            if r:
+                # JMH-style forced GC between repeats: the 24g local
+                # heap collects so rarely that Spark's GC-driven
+                # ContextCleaner backlog (shuffle files, broadcasts)
+                # eventually drains DURING a measured run, inflating
+                # random repeats 3-8x.  TWO collections (weak refs
+                # need a finalize+enqueue cycle) plus a pause for the
+                # cleaner thread to drain its queue; measured: spikes
+                # vanish entirely (10x1.9-2.2 s vs 2-18 s without).
+                spark._jvm.System.gc()
+                spark._jvm.System.gc()
+                time.sleep(0.6)
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

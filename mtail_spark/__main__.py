@@ -76,7 +76,35 @@ def _is_spoolable(url: str) -> bool:
         return False
 
 
+def _devtool(argv) -> int:
+    """`fmt` / `dot` subcommands (reference cmd/mfmt, cmd/mdot)."""
+    ap = argparse.ArgumentParser(prog=f"mtail-spark {argv[0]}")
+    ap.add_argument("prog", help="mtail program file")
+    if argv[0] == "fmt":
+        ap.add_argument("--write", action="store_true",
+                        help="rewrite the file in place")
+    args = ap.parse_args(argv[1:])
+    src = open(args.prog).read()
+    from mtail_spark.compiler.unparse import dot_source, format_source
+
+    if argv[0] == "dot":
+        sys.stdout.write(dot_source(src, os.path.basename(args.prog)))
+        return 0
+    out = format_source(src)
+    if getattr(args, "write", False):
+        open(args.prog, "w").write(out)
+    else:
+        sys.stdout.write(out)
+    return 0
+
+
 def main(argv=None):
+    # dev-tool subcommands (reference cmd/mfmt, cmd/mdot): no Spark
+    # session, print to stdout, exit
+    argv_ = sys.argv[1:] if argv is None else argv
+    if argv_ and argv_[0] in ("fmt", "dot"):
+        return _devtool(argv_)
+
     ap = argparse.ArgumentParser(prog="mtail-spark")
     ap.add_argument("--progs", required=True, help="directory of *.mtail programs")
     ap.add_argument("--logs", help="log file glob to read/tail")

@@ -136,10 +136,11 @@ gauge k_delta by user
 
 
 def q_mtail_prog_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-line hidden-metric state (the rsyncd/mysql pattern) through
-    the ordered-fold backend: per-user delta between consecutive
-    events.  The SQL oracle is a lag window — the relational dual of
-    the DSL's mutable-state idiom."""
+    """Cross-line hidden-metric state, DIMENSIONED (the rsyncd
+    pattern, one carry per label value): per-user delta between
+    consecutive events, vectorized through the event-relation carry
+    window (codegen.py).  The SQL oracle is a lag window — the
+    relational dual of the DSL's mutable-state idiom."""
     prog = compile_program(STATEFUL_PROG, "demo_stateful.mtail")
     assert prog.checked.cross_line_state
     store = prog.run_batch(spark, render_lines(spark, sf_dir))
@@ -148,6 +149,119 @@ def q_mtail_prog_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_i").alias("k_delta"),
         F.col("ts_us"),
     )
+
+
+TXN_PROG = """
+hidden text cur_user
+hidden gauge pending
+hidden gauge tmp_cents
+
+counter cents_by_user by user
+counter commits_total
+counter skipped_commits
+
+/^(?P<dt>\\S+) BEGIN user=(?P<user>\\d+)/ {
+  strptime($dt, "2006-01-02T15:04:05")
+  cur_user = $user
+  pending = 1
+  tmp_cents = 0
+}
+
+/^(?P<dt>\\S+) AMOUNT cents=(?P<cents>\\d+)/ {
+  strptime($dt, "2006-01-02T15:04:05")
+  tmp_cents = $cents
+}
+
+/^(?P<dt>\\S+) COMMIT/ {
+  strptime($dt, "2006-01-02T15:04:05")
+  pending == 1 {
+    pending = 0
+    cents_by_user[cur_user] += tmp_cents
+    commits_total++
+  } else {
+    skipped_commits++
+  }
+}
+"""
+
+
+def render_txn_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-line transaction records from the events table: BEGIN /
+    AMOUNT / COMMIT per event, with the COMMIT dropped every 7th
+    event (state leaks into the next record) and a spurious second
+    COMMIT every 11th (hits the pending==0 else branch — unless the
+    real COMMIT was the dropped one, in which case it salvages the
+    record)."""
+    from mtail_spark.session import ensure_parallelism, load_table
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"), spark)
+    dt = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
+    cents = F.round(F.col("value") * 100).cast("long").cast("string")
+    eid = F.col("event_id")
+    slots = F.array(
+        F.concat(dt, F.lit(" BEGIN user="), F.col("user_id").cast("string")),
+        F.concat(dt, F.lit(" AMOUNT cents="), cents),
+        F.when(eid % 7 != 0, F.concat(dt, F.lit(" COMMIT"))),
+        F.when(eid % 11 == 0, F.concat(dt, F.lit(" COMMIT"))),
+    )
+    lines = (
+        ev.select("event_id", F.posexplode(slots).alias("slot", "line"))
+        .filter(F.col("line").isNotNull())
+        .withColumn("ord", eid * 4 + F.col("slot"))
+    )
+    return log_lines_from_df(
+        lines, "line", filename="txns", order_col="ord"
+    )
+
+
+def q_mtail_prog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-line hidden-metric state, SCALAR (the mysql_slowqueries
+    pattern): keyless text/gauge registers resolved as stratified
+    carry-window columns over the line relation, including the
+    provably value-preserving pending==1 self-cycle relaxation and a
+    register-read metric label (codegen.py _plan_registers /
+    _relax_self_cycle).  The oracle replays the record algebra
+    directly over events."""
+    prog = compile_program(TXN_PROG, "demo_txn.mtail")
+    assert prog.checked.cross_line_state
+    store = prog.run_batch(spark, render_txn_lines(spark, sf_dir))
+    return store.select(
+        "name",
+        F.coalesce(F.col("labels")["user"], F.lit("")).alias("user"),
+        F.col("value_i"),
+        F.col("ts_us"),
+    )
+
+
+# A COMMIT fires iff pending==1 when it runs: the slot-2 COMMIT always
+# (its record's BEGIN precedes it), the slot-3 spurious COMMIT only
+# when slot-2 was dropped (event_id%7==0).  Registers hold the current
+# record's user/cents at both, so firing events contribute (user_id,
+# cents) — the whole line machine collapses to event-level algebra.
+ORACLE_TXN = f"""
+WITH r AS ({ORACLE_RENDER}),
+f AS (
+  SELECT *,
+         (event_id % 7 <> 0) OR (event_id % 11 = 0 AND event_id % 7 = 0)
+           AS fires,
+         (event_id % 11 = 0 AND event_id % 7 <> 0) AS skipped
+  FROM r
+)
+SELECT 'cents_by_user' AS name, CAST(user_id AS VARCHAR) AS user,
+       CAST(sum(cents) AS BIGINT) AS value_i,
+       CAST(arg_max(ts_us, event_id) AS BIGINT) AS ts_us
+FROM f WHERE fires GROUP BY user_id
+UNION ALL
+SELECT 'commits_total', '',
+       (SELECT count(*) FROM f WHERE fires),
+       (SELECT CAST(arg_max(ts_us, event_id) AS BIGINT)
+        FROM f WHERE fires)
+UNION ALL
+SELECT 'skipped_commits', '',
+       (SELECT count(*) FROM f WHERE skipped),
+       (SELECT CAST(arg_max(ts_us, event_id) AS BIGINT)
+        FROM f WHERE skipped)
+"""
 
 
 ORACLE_STATEFUL = f"""

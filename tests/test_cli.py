@@ -23,3 +23,21 @@ def test_cli_one_shot(tmp_path):
     assert "counter lines_total 3" in lines
     assert "counter words {w=foo} 2" in lines
     assert "counter words {w=bar} 1" in lines
+
+
+def test_fmt_and_dot_subcommands(tmp_path, capsys):
+    """Dev-tool parity: `fmt` prints canonical source (idempotent,
+    reference cmd/mfmt), `dot` prints a graphviz digraph (cmd/mdot)."""
+    from mtail_spark.__main__ import main
+
+    p = tmp_path / "t.mtail"
+    p.write_text("counter   c\n\n/x/ { c++ }\n")
+    assert main(["fmt", str(p)]) == 0
+    out = capsys.readouterr().out
+    assert out == "counter c\n/x/ {\n  c++\n}\n"
+    assert main(["dot", str(p)]) == 0
+    dot = capsys.readouterr().out
+    assert dot.startswith('digraph "t.mtail"') and "VarDecl" in dot
+    # --write formats in place
+    assert main(["fmt", "--write", str(p)]) == 0
+    assert p.read_text() == out
