@@ -204,6 +204,13 @@ def main():
         result["sf1_compiled_program_klines_per_sec"] = round(
             n1 / 1000.0 / max(warm1["mtail_prog_counters"], 1e-9), 1
         )
+        # capability number: best-of-N.  Host CPU contention (this is
+        # a shared VM) swings identical back-to-back runs 1.7-3.5 s;
+        # the min is the reproducible engine cost, the median the
+        # expected cost under that day's noise.  BENCH.md discusses.
+        result["sf1_compiled_program_klines_per_sec_best"] = round(
+            n1 / 1000.0 / max(min1["mtail_prog_counters"], 1e-9), 1
+        )
     print(json.dumps(result))
 
 
