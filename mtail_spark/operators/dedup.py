@@ -97,6 +97,15 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
 
+    # Shingling + hashing is CPU-heavy and runs MAP-SIDE (partial min
+    # before the signature exchange), so it inherits the SCAN's split
+    # count — snappy parquet byte-planning gave a 50k-doc corpus 2
+    # splits on 32 cores (measured: the whole hash family computed on
+    # 2 tasks).  Retune split sizing to cluster parallelism first.
+    from mtail_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df, df.sparkSession)
+
     # NOT persisted: the relation feeds three consumers, but shingling
     # is codegen-cheap (regexp_extract_all), while caching a
     # corpus-scale array<string> relation is memory-hostile at 100 TB
@@ -243,6 +252,9 @@ def simhash_table(
     """SimHash as explode + groupBy bit-vote sums: whole-stage codegen
     with map-side combine (array lambdas evaluate interpreted per
     element).  Returns (<id_col>, simhash)."""
+    from mtail_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df, df.sparkSession)
     # explode_outer: the codegen Generate would re-split the text per
     # OUTPUT token (see minhash_lsh_pairs); outer routes to the
     # once-per-row path.  words() never yields an empty array.
