@@ -176,6 +176,15 @@ def ensure_parallelism(df, spark=None):
         return df
     if not files:
         return df
+    # idempotence: composed pipelines (render helper + run_batch) both
+    # call this; a second round-robin exchange of the same rows is
+    # pure shuffle waste.  The parsed logical plan is available
+    # without planning a job.
+    try:
+        if "Repartition" in df._jdf.queryExecution().analyzed().toString():
+            return df
+    except Exception:
+        pass
     mpb = _parse_byte_size(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
     )
