@@ -229,3 +229,46 @@ def test_mysql_register_chunk_boundaries(spark, monkeypatch):
     if lines and lines[-1] == "":
         lines.pop()
     _consistent(spark, src, "mysql_slowqueries.mtail", lines)
+
+
+def test_text_timer_gauge_lastwrite_split(spark):
+    """Exported text/timer/gauge metrics resolve through the
+    last-write (struct max_by) branch of the split event aggregation
+    (codegen.vectorized_store) while counters take the all-primitive
+    hash branch — one program with both kinds, multiple files, so the
+    cross-file (ts, filename) merge is exercised too."""
+    src = (
+        "counter hits by w\n"
+        "text last_word\n"
+        "timer took_ms\n"
+        "gauge level\n"
+        "/^(?P<ts>\\d+) (?P<w>\\w+) (?P<ms>\\d+)/ {\n"
+        "  settime($ts)\n"
+        "  hits[$w]++\n"
+        "  last_word = $w\n"
+        "  took_ms = $ms\n"
+        "  level = $ms * 2\n"
+        "}\n"
+    )
+    prog = compile_program(src, "textkinds.mtail")
+    assert prog.vectorizable
+    rows = [
+        ("a.log", 0, "100 alpha 5"),
+        ("a.log", 1, "300 gamma 9"),
+        ("b.log", 0, "200 beta 7"),
+    ]
+    df = spark.createDataFrame(
+        rows, "filename string, line_no long, line string"
+    )
+    from mtail_spark.store import diff_stores, rows_from_df
+
+    vec = rows_from_df(prog.run_batch(spark, df, backend="vector"))
+    fold = rows_from_df(prog.run_batch(spark, df, backend="fold"))
+    d = diff_stores(fold, vec)
+    assert d.ok, d.render()
+    by = {(r.name, r.labels): r for r in vec}
+    # cross-file: latest settime (300, a.log) wins for last-write kinds
+    assert by[("last_word", ())].value == "gamma"
+    assert by[("took_ms", ())].value == 9
+    assert by[("level", ())].value == 18
+    assert by[("hits", (("w", "alpha"),))].value == 1
