@@ -111,8 +111,25 @@ def main(argv=None):
     ap.add_argument("--address", help="HOST:PORT socket source (serve mode)")
     ap.add_argument("--one_shot", action="store_true",
                     help="read logs once, dump the store, exit")
-    ap.add_argument("--format", default="golden", choices=["golden", "json"],
+    ap.add_argument("--format", "--one_shot_format", dest="format",
+                    default="golden",
+                    choices=["golden", "json", "prometheus"],
                     help="one-shot dump format")
+    ap.add_argument("--compile_only", action="store_true",
+                    help="compile the programs, report errors, exit")
+    ap.add_argument("--dump_ast", action="store_true",
+                    help="dump each program's AST as graphviz dot to "
+                         "stdout after parsing (reference --dump_ast)")
+    ap.add_argument("--ignore_filename_regex_pattern",
+                    help="skip log files whose BASENAME matches this "
+                         "regex (reference flag of the same name)")
+    ap.add_argument("--emit_prog_label", default=True,
+                    action=argparse.BooleanOptionalAction,
+                    help="emit the 'prog' label in variable exports")
+    ap.add_argument("--emit_metric_timestamp", default=False,
+                    action=argparse.BooleanOptionalAction,
+                    help="emit the recorded timestamp of a metric in "
+                         "/metrics output")
     ap.add_argument("--port", type=int, default=3903,
                     help="HTTP port for /metrics /json /varz /graphite")
     ap.add_argument("--syslog_use_current_year", action="store_true")
@@ -147,6 +164,36 @@ def main(argv=None):
                          "reference's no-double-count restart")
     args = ap.parse_args(argv)
 
+    if args.dump_ast:
+        # parse-level dump, no Spark session (reference --dump_ast)
+        from mtail_spark.compiler.unparse import dot_source
+
+        for path in sorted(
+            glob.glob(os.path.join(args.progs, "*.mtail"))
+        ):
+            sys.stdout.write(
+                dot_source(open(path).read(), os.path.basename(path))
+            )
+        if not args.compile_only and not (args.one_shot or args.logs
+                                          or args.address):
+            return 0
+    if args.compile_only:
+        # compile + report, no Spark session (reference --compile_only)
+        from mtail_spark.compiler.api import compile_program
+
+        ok = True
+        for path in sorted(
+            glob.glob(os.path.join(args.progs, "*.mtail"))
+        ):
+            name = os.path.basename(path)
+            try:
+                compile_program(open(path).read(), name)
+                print(f"{name}: OK")
+            except Exception as e:
+                ok = False
+                print(f"{name}: {e}", file=sys.stderr)
+        return 0 if ok else 1
+
     from mtail_spark.session import get_spark
 
     spark = get_spark("mtail-spark")
@@ -170,7 +217,23 @@ def main(argv=None):
             tmp.write(sys.stdin.read())
             tmp.close()
             args.logs = tmp.name
-        if _is_spoolable(args.logs):
+        if args.ignore_filename_regex_pattern and not _is_spoolable(
+            args.logs
+        ):
+            # reference flag: drop files whose basename matches
+            import re as _re
+
+            pat = _re.compile(args.ignore_filename_regex_pattern)
+            matched = [
+                f for f in glob.glob(args.logs)
+                if not pat.search(os.path.basename(f))
+            ]
+            if not matched:
+                print("no log files after ignore filter",
+                      file=sys.stderr)
+                return 1
+            args.logs = matched
+        if isinstance(args.logs, str) and _is_spoolable(args.logs):
             # FIFO / datagram one-shot: drain the source until it goes
             # quiet, then read the staged spool (reference one-shot
             # semantics: read until EOF)
@@ -206,6 +269,14 @@ def main(argv=None):
             lines.unpersist()
         if args.format == "json":
             print(to_json(all_rows))
+        elif args.format == "prometheus":
+            from mtail_spark.exporters import to_prometheus
+
+            print(to_prometheus(
+                all_rows,
+                omit_prog_label=not args.emit_prog_label,
+                emit_timestamps=args.emit_metric_timestamp,
+            ))
         else:
             print(_golden_dump(all_rows))
         return 0
@@ -333,7 +404,11 @@ def main(argv=None):
         def active():
             return any(q.isActive for q in queries)
 
-    srv = MetricsServer(provider, host="0.0.0.0", port=args.port).start()
+    srv = MetricsServer(
+        provider, host="0.0.0.0", port=args.port,
+        emit_prog_label=args.emit_prog_label,
+        emit_metric_timestamp=args.emit_metric_timestamp,
+    ).start()
     print(f"serving on :{srv.port} (/metrics /json /varz /graphite)",
           file=sys.stderr)
     from mtail_spark.exporters.push import PushScheduler

@@ -20,15 +20,27 @@ from mtail_spark.exporters.formats import (
 
 
 class MetricsServer:
-    def __init__(self, rows_provider, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, rows_provider, host: str = "127.0.0.1", port: int = 0,
+                 emit_prog_label: bool = True,
+                 emit_metric_timestamp: bool = False):
         provider = rows_provider
+        omit = not emit_prog_label
+
+        def _prom(rows):
+            return to_prometheus(
+                rows, omit_prog_label=omit,
+                emit_timestamps=emit_metric_timestamp,
+            )
+
+        def _varz(rows):
+            return to_varz(rows, omit_prog_label=omit)
 
         class Handler(BaseHTTPRequestHandler):
             def do_GET(self):  # noqa: N802
                 routes = {
-                    "/metrics": ("text/plain; version=0.0.4", to_prometheus),
+                    "/metrics": ("text/plain; version=0.0.4", _prom),
                     "/json": ("application/json", to_json),
-                    "/varz": ("text/plain", to_varz),
+                    "/varz": ("text/plain", _varz),
                     "/graphite": ("text/plain", to_graphite),
                 }
                 hit = routes.get(self.path.split("?")[0])

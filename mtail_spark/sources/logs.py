@@ -26,10 +26,12 @@ from pyspark.sql import functions as F
 WHOLETEXT_MAX_BYTES = 256 << 20
 
 
-def _local_paths(path: str) -> list[str]:
+def _local_paths(path) -> list[str]:
     import glob as _glob
     import os
 
+    if isinstance(path, (list, tuple)):
+        return [p for p in path if os.path.isfile(p)]
     if os.path.isdir(path):
         return [
             os.path.join(path, f)

@@ -41,3 +41,40 @@ def test_fmt_and_dot_subcommands(tmp_path, capsys):
     # --write formats in place
     assert main(["fmt", "--write", str(p)]) == 0
     assert p.read_text() == out
+
+
+def test_compile_only_and_dump_ast(tmp_path, capsys):
+    from mtail_spark.__main__ import main
+
+    d = tmp_path / "progs"
+    d.mkdir()
+    (d / "good.mtail").write_text("counter c\n/x/ { c++ }\n")
+    assert main(["--progs", str(d), "--compile_only"]) == 0
+    assert "good.mtail: OK" in capsys.readouterr().out
+    (d / "bad.mtail").write_text("counter c\n/x/ { undeclared++ }\n")
+    assert main(["--progs", str(d), "--compile_only"]) == 1
+    assert main(["--progs", str(d), "--dump_ast"]) == 0
+    assert 'digraph "good.mtail"' in capsys.readouterr().out
+
+
+def test_one_shot_prometheus_and_ignore_pattern(tmp_path, spark, capsys):
+    """--one_shot_format prometheus with --no-emit_prog_label and
+    --ignore_filename_regex_pattern (reference cmd/mtail flags)."""
+    from mtail_spark.__main__ import main
+
+    d = tmp_path / "progs"
+    d.mkdir()
+    (d / "p.mtail").write_text("counter lines_total\n// { lines_total++ }\n")
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "a.log").write_text("one\ntwo\n")
+    (logs / "skip.gz.log").write_text("three\nfour\nfive\n")
+    rc = main([
+        "--progs", str(d), "--logs", str(logs / "*.log"), "--one_shot",
+        "--one_shot_format", "prometheus", "--no-emit_prog_label",
+        "--ignore_filename_regex_pattern", r"\.gz",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "lines_total 2" in out       # skip.gz.log filtered out
+    assert 'prog="' not in out          # prog label suppressed
