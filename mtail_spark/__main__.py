@@ -133,6 +133,10 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=3903,
                     help="HTTP port for /metrics /json /varz /graphite")
     ap.add_argument("--syslog_use_current_year", action="store_true")
+    ap.add_argument("--override_timezone",
+                    help="IANA timezone for strptime wall clocks whose "
+                         "layout carries no zone (reference flag; "
+                         "default UTC)")
     ap.add_argument("--progs_poll_interval", type=float, default=1.0,
                     help="seconds between progs-dir reload scans in "
                          "serve mode (0 disables; SIGHUP always "
@@ -200,6 +204,7 @@ def main(argv=None):
     progs = _load_programs(args.progs)
     for p in progs:
         p.syslog_use_current_year = args.syslog_use_current_year
+        p.override_timezone = args.override_timezone
 
     if args.one_shot:
         if not args.logs:

@@ -98,6 +98,9 @@ class CompiledProgram:
     name: str
     checked: CheckedProgram
     syslog_use_current_year: bool = False
+    # IANA zone for zone-less strptime wall clocks (reference
+    # --override_timezone); None = UTC
+    override_timezone: str | None = None
     _vectorizable: bool | None = None
 
     @property
@@ -126,7 +129,8 @@ class CompiledProgram:
 
     def run_local(self, lines, filename: str = "", now_us: int = 0):
         """Pure-Python one-shot fold (testing / tiny inputs)."""
-        it = Interp(self.checked, self.syslog_use_current_year)
+        it = Interp(self.checked, self.syslog_use_current_year,
+                    tz=self.override_timezone)
         return it.run_lines(
             list(enumerate(lines)), filename=filename, now_us=now_us
         )
@@ -228,6 +232,7 @@ class CompiledProgram:
 
         ensure_workers_can_import(spark)
         src, name, use_year = self.src, self.name, self.syslog_use_current_year
+        tz = self.override_timezone
 
         pats = self._fold_prefilter_patterns()
         if pats and not self._java_compilable(spark, pats):
@@ -246,7 +251,7 @@ class CompiledProgram:
             from mtail_spark.compiler.interp import Interp as _Interp
 
             prog = _check(src, name)
-            it = _Interp(prog, use_year)
+            it = _Interp(prog, use_year, tz=tz)
             runtimes: dict = {}
             for pdf in batches:
                 for fname, sub in pdf.groupby("filename", sort=False):

@@ -194,7 +194,11 @@ class Vectorizer:
         prog: CheckedProgram,
         now_us: int = 0,
         syslog_year: int | None = None,
+        tz: str | None = None,
     ):
+        # IANA zone for zone-less strptime wall clocks (reference
+        # --override_timezone); None = UTC
+        self.tz = tz
         self.prog = prog
         self.now_us = now_us
         # --syslog_use_current_year: patch yearless strptime results to
@@ -1221,6 +1225,15 @@ class Vectorizer:
                 f"({us} - CASE WHEN month({parsed}) <= 2 "
                 f"THEN {sh1} ELSE {sh3} END)"
             )
+        if self.tz and "zone" not in fields:
+            # --override_timezone: the (possibly year-patched) wall
+            # clock is local time in tz; an explicit zone in the
+            # layout wins (Go ParseInLocation).  DST resolves at the
+            # final date — mirrors gotime.parse_go_time_us.
+            us = (
+                f"unix_micros(to_utc_timestamp(timestamp_micros({us}),"
+                f" {sq(self.tz)}))"
+            )
         # runtime-error-kills-line: a failed parse (executed + null)
         # aborts the rest of the line (reference vm.go:97-129)
         g = f"({guard} AND {self._alive()})"
@@ -1339,7 +1352,10 @@ def vectorized_store(
         from mtail_spark.compiler.gotime import epoch_us_year
 
         syslog_year = epoch_us_year(now_us)
-    vz = Vectorizer(prog, now_us=now_us, syslog_year=syslog_year)
+    vz = Vectorizer(
+        prog, now_us=now_us, syslog_year=syslog_year,
+        tz=getattr(compiled, "override_timezone", None),
+    )
     vz.compile()
 
     site_meta = {

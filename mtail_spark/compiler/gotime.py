@@ -142,11 +142,23 @@ def normalize_spaces(s: str) -> str:
     return re.sub(r" +", " ", s)
 
 
-def parse_go_time_us(value: str, layout: str, now_year: int | None = None):
+def parse_go_time_us(
+    value: str,
+    layout: str,
+    now_year: int | None = None,
+    tz: str | None = None,
+):
     """Parse `value` with a Go layout; returns epoch µs (UTC) or raises
     ValueError — matching Go time.Parse semantics for the fields the
     DSL corpus uses (year defaults to 0 when absent; yearless results
-    are patched to now_year only when given, reference vm.go:309-332)."""
+    are patched to now_year only when given, reference vm.go:309-332).
+
+    tz: interpret a zone-LESS wall-clock in this IANA timezone instead
+    of UTC (reference --override_timezone / time.ParseInLocation,
+    vm.go:312-313).  An explicit zone in the layout always wins.  The
+    zone offset is evaluated at the FINAL date (after any yearless
+    patch, proxy year 1 for unpatched year-0 results) — DST rules
+    then match the date the datum actually carries."""
     from datetime import datetime, timezone
 
     pyfmt, fields = to_python(layout)
@@ -165,7 +177,22 @@ def parse_go_time_us(value: str, layout: str, now_year: int | None = None):
     else:
         shift = 0
     if dt.tzinfo is None:
-        dt = dt.replace(tzinfo=timezone.utc)
+        if tz:
+            from zoneinfo import ZoneInfo
+
+            if year is None:
+                final_year = now_year if now_year is not None else 1
+            else:
+                final_year = max(year, 1)
+            local = datetime(
+                final_year, dt.month, dt.day, dt.hour, dt.minute,
+                dt.second, dt.microsecond, tzinfo=ZoneInfo(tz),
+            )
+            dt = dt.replace(
+                tzinfo=timezone(local.utcoffset())
+            )
+        else:
+            dt = dt.replace(tzinfo=timezone.utc)
     base_us = civil_to_epoch_us(
         dt.year, dt.month, dt.day, dt.hour, dt.minute, dt.second, dt.microsecond
     ) - int(dt.utcoffset().total_seconds()) * US

@@ -290,7 +290,9 @@ class Runtime:
 class Interp:
     """AST -> closure compiler + fold executor."""
 
-    def __init__(self, prog: CheckedProgram, syslog_use_current_year=False):
+    def __init__(self, prog: CheckedProgram, syslog_use_current_year=False,
+                 tz: str | None = None):
+        self.tz = tz
         self.prog = prog
         self.syslog_use_current_year = syslog_use_current_year
         self.res = {r.id: re.compile(r.pattern) for r in prog.regexes}
@@ -619,13 +621,15 @@ class Interp:
             f = self._c_expr(args[0])
             layout = args[1].value
             use_year = self.syslog_use_current_year
+            tz = self.tz
 
-            def strptime(rt, f=f, layout=layout, use_year=use_year):
+            def strptime(rt, f=f, layout=layout, use_year=use_year, tz=tz):
                 v = f(rt)
                 try:
                     rt.ts_us = parse_go_time_us(
                         str(v), layout,
                         now_year=rt.syslog_year if use_year else None,
+                        tz=tz,
                     )
                 except ValueError as ex:
                     raise LineError(f"strptime failed: {ex}")

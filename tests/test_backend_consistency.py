@@ -272,3 +272,52 @@ def test_text_timer_gauge_lastwrite_split(spark):
     assert by[("took_ms", ())].value == 9
     assert by[("level", ())].value == 18
     assert by[("hits", (("w", "alpha"),))].value == 1
+
+
+def test_override_timezone(spark):
+    """--override_timezone: a zone-less wall clock parses as local
+    time in the given IANA zone, DST-aware, identically on both
+    backends (reference time.ParseInLocation, vm.go:312-313); an
+    explicit zone offset in the layout wins over the override."""
+    from mtail_spark.compiler.gotime import civil_to_epoch_us
+
+    src = (
+        "gauge ts\n"
+        "/^(?P<d>\\d+-\\d+-\\d+ \\d+:\\d+:\\d+)/ {\n"
+        '  strptime($d, "2006-01-02 15:04:05")\n'
+        "  ts = timestamp()\n}\n"
+    )
+    prog = compile_program(src, "tz.mtail")
+    prog.override_timezone = "America/New_York"
+    lines = [
+        "2024-01-15 12:00:00 winter",   # EST, UTC-5
+        "2024-07-15 12:00:00 summer",   # EDT, UTC-4
+    ]
+    df = _lines_df(spark, lines)
+    vec = rows_from_df(prog.run_batch(spark, df, backend="vector"))
+    fold = rows_from_df(prog.run_batch(spark, df, backend="fold"))
+    d = diff_stores(fold, vec)
+    assert d.ok, d.render()
+    # last write: summer line, noon EDT == 16:00 UTC
+    val = {r.name: r.value for r in vec}["ts"]
+    assert val == civil_to_epoch_us(2024, 7, 15, 16, 0, 0) // 1_000_000
+
+    # explicit zone in layout beats the override
+    src2 = (
+        "gauge ts\n"
+        "/^(?P<d>\\S+)/ {\n"
+        '  strptime($d, "2006-01-02T15:04:05-07:00")\n'
+        "  ts = timestamp()\n}\n"
+    )
+    prog2 = compile_program(src2, "tz2.mtail")
+    prog2.override_timezone = "America/New_York"
+    lines2 = ["2024-07-15T12:00:00+02:00 trailing"]
+    fold2 = {
+        r.name: r.value
+        for r in rows_from_df(
+            prog2.run_batch(
+                spark, _lines_df(spark, lines2), backend="fold"
+            )
+        )
+    }
+    assert fold2["ts"] == civil_to_epoch_us(2024, 7, 15, 10, 0, 0) // 1_000_000
