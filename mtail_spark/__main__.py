@@ -19,14 +19,19 @@ import sys
 import time
 
 
-def _load_programs(progs_dir: str):
+def _load_programs(progs_dir: str, max_regexp_length: int = 1024,
+                   max_recursion_depth: int = 100):
     from mtail_spark.compiler.api import compile_program
 
     progs = []
     for path in sorted(glob.glob(os.path.join(progs_dir, "*.mtail"))):
         name = os.path.basename(path)
         try:
-            progs.append(compile_program(open(path).read(), name))
+            progs.append(compile_program(
+                open(path).read(), name,
+                max_regexp_length=max_regexp_length,
+                max_recursion_depth=max_recursion_depth,
+            ))
         except Exception as e:  # mirror the reference: bad programs are
             print(f"error compiling {name}: {e}", file=sys.stderr)
     if not progs:
@@ -133,6 +138,12 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=3903,
                     help="HTTP port for /metrics /json /varz /graphite")
     ap.add_argument("--syslog_use_current_year", action="store_true")
+    ap.add_argument("--max_regexp_length", type=int, default=1024,
+                    help="reject programs whose regexps exceed this "
+                         "length (0 disables; reference flag)")
+    ap.add_argument("--max_recursion_depth", type=int, default=100,
+                    help="reject programs nested deeper than this "
+                         "(0 disables; reference flag)")
     ap.add_argument("--override_timezone",
                     help="IANA timezone for strptime wall clocks whose "
                          "layout carries no zone (reference flag; "
@@ -201,7 +212,8 @@ def main(argv=None):
     from mtail_spark.session import get_spark
 
     spark = get_spark("mtail-spark")
-    progs = _load_programs(args.progs)
+    progs = _load_programs(args.progs, args.max_regexp_length,
+                           args.max_recursion_depth)
     for p in progs:
         p.syslog_use_current_year = args.syslog_use_current_year
         p.override_timezone = args.override_timezone

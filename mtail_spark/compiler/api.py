@@ -381,22 +381,62 @@ def merge_partial_stores(partial: DataFrame, prog_name: str) -> DataFrame:
 _COMPILE_CACHE: dict = {}
 
 
+def _enforce_limits(checked, max_regexp_length: int,
+                    max_recursion_depth: int) -> None:
+    from mtail_spark.compiler import ast as A
+    from mtail_spark.compiler.checker import CheckError
+
+    if max_regexp_length:
+        for rid, info in enumerate(checked.regexes):
+            if len(info.pattern) > max_regexp_length:
+                raise CheckError(
+                    f"regexp {rid} exceeds max_regexp_length "
+                    f"({len(info.pattern)} > {max_regexp_length})"
+                )
+    if max_recursion_depth:
+        def depth(n, d=0):
+            if d > max_recursion_depth:
+                raise CheckError(
+                    f"program exceeds max_recursion_depth "
+                    f"({max_recursion_depth})"
+                )
+            for f in vars(n).values():
+                kids = f if isinstance(f, list) else [f]
+                for k in kids:
+                    if isinstance(k, A.Node):
+                        depth(k, d + 1)
+
+        depth(checked.stmts)
+
+
 def compile_program(
-    src: str, name: str = "prog", syslog_use_current_year: bool = False
+    src: str,
+    name: str = "prog",
+    syslog_use_current_year: bool = False,
+    max_regexp_length: int = 1024,
+    max_recursion_depth: int = 100,
 ) -> CompiledProgram:
     """Compile (memoized by content hash — the reference skips
-    recompiling unchanged programs the same way, runtime.go:143-157)."""
+    recompiling unchanged programs the same way, runtime.go:143-157).
+
+    max_regexp_length / max_recursion_depth are the reference's
+    compile-time DoS guards (cmd/mtail/main.go:69-70): excessively
+    long patterns or deeply nested expressions are rejected before
+    they hit Java regex compilation or Catalyst (0 disables)."""
     import hashlib
 
     key = (
         hashlib.sha256(src.encode()).hexdigest(),
         name,
         syslog_use_current_year,
+        max_regexp_length,
+        max_recursion_depth,
     )
     hit = _COMPILE_CACHE.get(key)
     if hit is not None:
         return hit
     checked = check(src, name)
+    _enforce_limits(checked, max_regexp_length, max_recursion_depth)
     prog = CompiledProgram(
         src=src,
         name=name,

@@ -109,3 +109,21 @@ def test_parse_expression_shapes():
     )
     prog = check(src, "t")
     assert prog.metrics["c"].decl.keys == ["a", "b"]
+
+
+def test_compile_limits():
+    """Reference cmd/mtail --max_regexp_length / --max_recursion_depth
+    compile-time guards (main.go:69-70)."""
+    import pytest
+
+    from mtail_spark.compiler.api import compile_program
+    from mtail_spark.compiler.checker import CheckError
+
+    long_re = "counter c\n/" + "a" * 2000 + "/ { c++ }\n"
+    with pytest.raises(CheckError, match="max_regexp_length"):
+        compile_program(long_re, "long.mtail")
+    compile_program(long_re, "long_ok.mtail", max_regexp_length=0)
+    deep = ("counter c\n" + "/x/ {\n" * 120 + "c++\n" + "}\n" * 120)
+    with pytest.raises(CheckError, match="max_recursion_depth"):
+        compile_program(deep, "deep.mtail")
+    compile_program(deep, "deep_ok.mtail", max_recursion_depth=0)
