@@ -20,7 +20,9 @@ import time
 
 
 def _load_programs(progs_dir: str, max_regexp_length: int = 1024,
-                   max_recursion_depth: int = 100):
+                   max_recursion_depth: int = 100,
+                   syslog_use_current_year: bool = False,
+                   override_timezone: str | None = None):
     from mtail_spark.compiler.api import compile_program
 
     progs = []
@@ -29,8 +31,10 @@ def _load_programs(progs_dir: str, max_regexp_length: int = 1024,
         try:
             progs.append(compile_program(
                 open(path).read(), name,
+                syslog_use_current_year=syslog_use_current_year,
                 max_regexp_length=max_regexp_length,
                 max_recursion_depth=max_recursion_depth,
+                override_timezone=override_timezone,
             ))
         except Exception as e:  # mirror the reference: bad programs are
             print(f"error compiling {name}: {e}", file=sys.stderr)
@@ -202,7 +206,11 @@ def main(argv=None):
         ):
             name = os.path.basename(path)
             try:
-                compile_program(open(path).read(), name)
+                compile_program(
+                    open(path).read(), name,
+                    max_regexp_length=args.max_regexp_length,
+                    max_recursion_depth=args.max_recursion_depth,
+                )
                 print(f"{name}: OK")
             except Exception as e:
                 ok = False
@@ -212,11 +220,11 @@ def main(argv=None):
     from mtail_spark.session import get_spark
 
     spark = get_spark("mtail-spark")
-    progs = _load_programs(args.progs, args.max_regexp_length,
-                           args.max_recursion_depth)
-    for p in progs:
-        p.syslog_use_current_year = args.syslog_use_current_year
-        p.override_timezone = args.override_timezone
+    progs = _load_programs(
+        args.progs, args.max_regexp_length, args.max_recursion_depth,
+        syslog_use_current_year=args.syslog_use_current_year,
+        override_timezone=args.override_timezone,
+    )
 
     if args.one_shot:
         if not args.logs:
@@ -363,8 +371,20 @@ def main(argv=None):
         from mtail_spark.streaming.reload import ProgramSet
         from mtail_spark.streaming.stateful import run_stateful_stream
 
+        def serve_compile(src, name):
+            # Thread every compile-affecting CLI flag through the
+            # reload path too — ProgramSet recompiles on SIGHUP/poll,
+            # and a callback that dropped these would silently lose
+            # --override_timezone and the limit guards in serve mode.
+            return compile_program(
+                src, name,
+                syslog_use_current_year=args.syslog_use_current_year,
+                max_regexp_length=args.max_regexp_length,
+                max_recursion_depth=args.max_recursion_depth,
+                override_timezone=args.override_timezone,
+            )
+
         def start_prog(prog):
-            prog.syslog_use_current_year = args.syslog_use_current_year
             ckpt = snap = None
             if args.checkpoint_dir:
                 base = os.path.join(
@@ -378,6 +398,9 @@ def main(argv=None):
                 return run_program_stream(
                     prog, spark, args.logs,
                     checkpoint=ckpt, store_path=snap,
+                    ignore_basename_regex=(
+                        args.ignore_filename_regex_pattern
+                    ),
                 )
             stream = spark.readStream.format("text").load(args.logs)
             from pyspark.sql import functions as F
@@ -386,12 +409,18 @@ def main(argv=None):
                 F.input_file_name().alias("filename"),
                 F.regexp_replace(F.col("value"), "\r$", "").alias("line"),
             )
+            if args.ignore_filename_regex_pattern:
+                lines = lines.filter(
+                    ~F.element_at(
+                        F.split(F.col("filename"), "/"), -1
+                    ).rlike(args.ignore_filename_regex_pattern)
+                )
             return run_stateful_stream(prog, spark, lines, checkpoint=ckpt)
 
         # Hot reload (reference runtime.go:310-332): the ProgramSet
         # owns the per-program queries; a SIGHUP or the poll watcher
         # rescans --progs and swaps changed programs live.
-        pset = ProgramSet(compile_program, start_prog)
+        pset = ProgramSet(serve_compile, start_prog)
         pset.scan(args.progs)
         if args.progs_poll_interval > 0:
             pset.watch(args.progs, interval=args.progs_poll_interval)

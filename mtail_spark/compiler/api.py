@@ -415,6 +415,7 @@ def compile_program(
     syslog_use_current_year: bool = False,
     max_regexp_length: int = 1024,
     max_recursion_depth: int = 100,
+    override_timezone: str | None = None,
 ) -> CompiledProgram:
     """Compile (memoized by content hash — the reference skips
     recompiling unchanged programs the same way, runtime.go:143-157).
@@ -422,7 +423,12 @@ def compile_program(
     max_regexp_length / max_recursion_depth are the reference's
     compile-time DoS guards (cmd/mtail/main.go:69-70): excessively
     long patterns or deeply nested expressions are rejected before
-    they hit Java regex compilation or Catalyst (0 disables)."""
+    they hit Java regex compilation or Catalyst (0 disables).
+
+    override_timezone / syslog_use_current_year are part of the cache
+    key: two compilations of identical source with different runtime
+    flags get distinct CompiledProgram instances, so callers never
+    need to mutate a shared cached instance after the fact."""
     import hashlib
 
     key = (
@@ -431,6 +437,7 @@ def compile_program(
         syslog_use_current_year,
         max_regexp_length,
         max_recursion_depth,
+        override_timezone,
     )
     hit = _COMPILE_CACHE.get(key)
     if hit is not None:
@@ -442,6 +449,7 @@ def compile_program(
         name=name,
         checked=checked,
         syslog_use_current_year=syslog_use_current_year,
+        override_timezone=override_timezone,
     )
     _COMPILE_CACHE[key] = prog
     return prog

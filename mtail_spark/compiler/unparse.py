@@ -43,6 +43,24 @@ def _dur(seconds: float) -> str:
     return sec_s
 
 
+def _float_lit(v: float, bucket: bool = False) -> str:
+    """Shortest round-trip rendering (Python repr semantics): %g
+    truncates to 6 significant digits, so `fmt --write` on a program
+    with 0.123456789 would silently change the value — breaking the
+    semantics-preserving contract.  repr() emits the shortest string
+    that parses back to exactly v, and its output (digits, optional
+    '.', optional e-exponent) is accepted by the lexer's _NUM_RE.
+
+    bucket=True renders integral values as bare ints (`buckets 1, 10`):
+    bucket bounds are parsed to float either way, so the int form is
+    value-preserving there — while a FloatLit in an expression must
+    keep its `.0` (the INT/FLOAT token distinction feeds type
+    inference)."""
+    if bucket and float(v).is_integer() and abs(v) < 1e16:
+        return str(int(v))
+    return repr(float(v))
+
+
 def _pat_lit(text: str) -> str:
     return "/" + text.replace("/", "\\/") + "/"
 
@@ -109,7 +127,9 @@ class Unparser:
         if n.exported_name is not None:
             self.emit(" as " + _str_lit(n.exported_name))
         if n.buckets:
-            self.emit(" buckets " + ", ".join(f"{b:g}" for b in n.buckets))
+            self.emit(" buckets " + ", ".join(
+                _float_lit(b, bucket=True) for b in n.buckets
+            ))
         if n.limit:
             self.emit(f" limit {n.limit}")
 
@@ -159,7 +179,7 @@ class Unparser:
         self.emit(str(n.value))
 
     def _FloatLit(self, n: A.FloatLit) -> None:
-        self.emit(f"{n.value:g}")
+        self.emit(_float_lit(n.value))
 
     def _StringLit(self, n: A.StringLit) -> None:
         self.emit(_str_lit(n.value))

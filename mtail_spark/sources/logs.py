@@ -26,12 +26,36 @@ from pyspark.sql import functions as F
 WHOLETEXT_MAX_BYTES = 256 << 20
 
 
+def _strip_file_scheme(p: str) -> str:
+    if p.startswith("file://"):
+        return p[len("file:"):].replace("///", "/", 1) \
+            if p.startswith("file:///") else p[len("file://"):]
+    return p
+
+
+def _is_local(p: str) -> bool:
+    """True when the path has no URI scheme (or file://): sizable via
+    os.stat.  `C:\\...` never appears here (POSIX container) and a
+    single-letter scheme is not valid Hadoop anyway."""
+    import re
+
+    return not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", p) or p.startswith(
+        "file://"
+    )
+
+
 def _local_paths(path) -> list[str]:
     import glob as _glob
     import os
 
     if isinstance(path, (list, tuple)):
-        return [p for p in path if os.path.isfile(p)]
+        out = []
+        for p in path:
+            p = _strip_file_scheme(p)
+            if os.path.isfile(p):
+                out.append(p)
+        return out
+    path = _strip_file_scheme(path)
     if os.path.isdir(path):
         return [
             os.path.join(path, f)
@@ -53,6 +77,49 @@ def _any_huge_file(path: str, threshold: int) -> bool:
     return False
 
 
+def _hadoop_any_huge(spark, path, threshold: int) -> bool | None:
+    """Size files on a REMOTE filesystem (hdfs://, s3a://, ...) via the
+    Hadoop FileSystem API.  Returns True/False when every matched
+    file's size is known, or None when sizes are unknowable (missing
+    connector jars, unreachable namenode, permission errors) — the
+    caller must then choose the splittable route: wholetext on a file
+    of unknown size is exactly the single-executor OOM the auto-route
+    exists to prevent."""
+    try:
+        jvm = spark._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        paths = path if isinstance(path, (list, tuple)) else [path]
+        for p in paths:
+            jpath = jvm.org.apache.hadoop.fs.Path(p)
+            fs = jpath.getFileSystem(conf)
+            statuses = fs.globStatus(jpath)
+            if statuses is None:
+                continue
+            for st in statuses:
+                if st.isFile():
+                    if st.getLen() > threshold:
+                        return True
+                elif st.isDirectory():
+                    for sub in fs.listStatus(st.getPath()):
+                        if sub.isFile() and sub.getLen() > threshold:
+                            return True
+        return False
+    except Exception:
+        return None
+
+
+def _auto_exact_order(spark, path, threshold: int = WHOLETEXT_MAX_BYTES) -> bool:
+    """Routing decision for exact_order=None: wholetext (True) only
+    when every matched file is verifiably under the threshold.  Local
+    paths use os.stat (fast path); remote URIs go through the Hadoop
+    FS API; unknowable sizes route splittable."""
+    paths = path if isinstance(path, (list, tuple)) else [path]
+    if all(_is_local(p) for p in paths):
+        return not _any_huge_file(path, threshold)
+    huge = _hadoop_any_huge(spark, path, threshold)
+    return huge is False
+
+
 def read_log_lines(
     spark: SparkSession, path: str, exact_order: bool | None = None
 ) -> DataFrame:
@@ -69,14 +136,17 @@ def read_log_lines(
     Right for huge append-only logs where order only matters locally.
 
     exact_order=None (the default) picks automatically: wholetext
-    unless any matched local file exceeds WHOLETEXT_MAX_BYTES, so a
-    huge log can never OOM an executor by materializing as one row.
+    only when every matched file is verifiably under
+    WHOLETEXT_MAX_BYTES — local files via os.stat, remote URIs
+    (hdfs://, s3a://, ...) via the Hadoop FileSystem API, and
+    unknowable sizes route splittable — so a huge log can never OOM
+    an executor by materializing as one row, on any filesystem.
     Both paths yield identical per-file ORDER (all order-sensitive
     semantics key on it); only the line_no VALUES differ (0-based vs
     monotonic id), which nothing downstream depends on.
     """
     if exact_order is None:
-        exact_order = not _any_huge_file(path, WHOLETEXT_MAX_BYTES)
+        exact_order = _auto_exact_order(spark, path)
     if exact_order:
         df = spark.read.text(path, wholetext=True).withColumn(
             "filename", F.input_file_name()

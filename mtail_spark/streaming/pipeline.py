@@ -226,9 +226,15 @@ def run_program_stream(
     checkpoint: str | None = None,
     gc_every_batches: int = 10,
     store_path: str | None = None,
+    ignore_basename_regex: str | None = None,
 ):
     """Start a streaming query running `prog` over text files appearing
     under `path`.  Returns (store, StreamingQuery).
+
+    ignore_basename_regex drops lines from files whose basename
+    matches (reference --ignore_filename_regex_pattern, applied by the
+    tailer in every mode — tail.go:237); the filter runs JVM-side
+    inside the micro-batch scan.
 
     With `checkpoint` + `store_path` set, a restarted query resumes
     exactly-once: the snapshot is loaded on start, the checkpoint
@@ -245,9 +251,14 @@ def run_program_stream(
         # persist the batch's lines once: the program plan and the
         # line count both read the cache, so the source is scanned a
         # single time per micro-batch (no second action recompute)
-        lines = streaming_log_lines(batch_df).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        lines = streaming_log_lines(batch_df)
+        if ignore_basename_regex:
+            lines = lines.filter(
+                ~F.element_at(
+                    F.split(F.col("filename"), "/"), -1
+                ).rlike(ignore_basename_regex)
+            )
+        lines = lines.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             if batch_id > store.last_batch_id:
                 result = prog.run_batch(spark, lines)

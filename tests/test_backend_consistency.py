@@ -287,8 +287,8 @@ def test_override_timezone(spark):
         '  strptime($d, "2006-01-02 15:04:05")\n'
         "  ts = timestamp()\n}\n"
     )
-    prog = compile_program(src, "tz.mtail")
-    prog.override_timezone = "America/New_York"
+    prog = compile_program(src, "tz.mtail",
+                           override_timezone="America/New_York")
     lines = [
         "2024-01-15 12:00:00 winter",   # EST, UTC-5
         "2024-07-15 12:00:00 summer",   # EDT, UTC-4
@@ -309,8 +309,8 @@ def test_override_timezone(spark):
         '  strptime($d, "2006-01-02T15:04:05-07:00")\n'
         "  ts = timestamp()\n}\n"
     )
-    prog2 = compile_program(src2, "tz2.mtail")
-    prog2.override_timezone = "America/New_York"
+    prog2 = compile_program(src2, "tz2.mtail",
+                            override_timezone="America/New_York")
     lines2 = ["2024-07-15T12:00:00+02:00 trailing"]
     fold2 = {
         r.name: r.value
