@@ -14,7 +14,7 @@ one shuffle, Catalyst/Tungsten codegen end to end.
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -102,6 +102,12 @@ class CompiledProgram:
     # --override_timezone); None = UTC
     override_timezone: str | None = None
     _vectorizable: bool | None = None
+    # (backend, now_us, flags, session id, input-plan semanticHash) ->
+    # analyzed store DataFrame.  Re-running a program over the same
+    # input relation skips the ~1 s of driver-side plan construction
+    # and Catalyst analysis (py4j round trips dominated repeat runs).
+    _plan_cache: dict = field(default_factory=dict, repr=False,
+                              compare=False)
 
     @property
     def vectorizable(self) -> bool:
@@ -143,16 +149,62 @@ class CompiledProgram:
         log_lines: DataFrame,
         backend: str = "auto",
         now_us: int = 0,
+        cache_plan: bool = True,
     ) -> DataFrame:
         """Run the program over a log_lines relation
-        (filename, line_no, line) -> STORE_SCHEMA DataFrame."""
+        (filename, line_no, line) -> STORE_SCHEMA DataFrame.
+
+        The constructed (lazy) store DataFrame is memoized by the
+        input relation's canonicalized-plan hash, so repeat runs of
+        the same program over the same relation skip plan
+        reconstruction and analysis entirely.  Streaming callers pass
+        cache_plan=False: micro-batch frames wrap per-batch RDDs whose
+        semantic hash is not a reliable identity across batches."""
         if backend == "auto":
             backend = "vector" if self.vectorizable else "fold"
+        key = None
+        if cache_plan:
+            try:
+                key = (
+                    backend, now_us,
+                    self.syslog_use_current_year, self.override_timezone,
+                    id(spark),
+                    log_lines._jdf.queryExecution().analyzed()
+                    .semanticHash(),
+                )
+            except Exception:
+                key = None
+        _MPB = "spark.sql.files.maxPartitionBytes"
+        if key is not None:
+            hit = self._plan_cache.get(key)
+            if hit is not None:
+                df, mpb = hit
+                # Split planning is LAZY: the cached plan re-plans its
+                # scan splits from the session conf at action time, so
+                # re-apply the split sizing ensure_parallelism tuned
+                # when the plan was built — otherwise a conf reset
+                # between runs silently serializes the scan.
+                if mpb is not None:
+                    try:
+                        spark.conf.set(_MPB, mpb)
+                    except Exception:
+                        pass
+                return df
         if backend == "vector":
             from mtail_spark.compiler.codegen import vectorized_store
 
-            return vectorized_store(self, spark, log_lines, now_us=now_us)
-        return self._run_fold(spark, log_lines, now_us)
+            df = vectorized_store(self, spark, log_lines, now_us=now_us)
+        else:
+            df = self._run_fold(spark, log_lines, now_us)
+        if key is not None:
+            try:
+                mpb = spark.conf.get(_MPB)
+            except Exception:
+                mpb = None
+            if len(self._plan_cache) >= 32:
+                self._plan_cache.clear()
+            self._plan_cache[key] = (df, mpb)
+        return df
 
     def _fold_prefilter_patterns(self) -> list[str] | None:
         """Regex prefilter for the ordered fold.

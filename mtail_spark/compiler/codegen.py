@@ -1524,165 +1524,233 @@ def vectorized_store(
             name_col = F.when(F.col("site") == seq, F.lit(nm)).otherwise(
                 name_col
             )
-        events = events.withColumn("name", name_col)
+        # w=1 marks a real event; synthetic zero-init events carry w=0
+        # so they touch no sum/count while guaranteeing their metric's
+        # group exists (see below)
+        events = events.withColumn("name", name_col).withColumn(
+            "w", F.lit(1)
+        )
 
-        # Two-phase: within a file the last PROCESSED write wins
-        # (line_no, site order); across files the datum with the
-        # latest (ts, filename) wins — exactly the fold backend's
-        # merge_partial_stores semantics (api.py), so multi-file
-        # results are deterministic and backend-independent.
-        # line_no restarts per file, so a single cross-file
-        # max_by(line_no) would be arbitrary.
-        # Aggregability split: max_by over a STRUCT has a non-mutable
-        # buffer, so Spark plans SortAggregate — a full sort of the
-        # event stream in the hot stage (measured ~2x dhcpd's agg
-        # cost).  Counter/histogram sites never need the last VALUES
-        # (they sum), only the last-processed timestamp; with the
-        # (line_no, site) order packed into one BIGINT, their
-        # aggregation is all primitive buffers and stays in
-        # HashAggregate.  Only last-write sites (gauge/timer/text)
-        # keep the struct max_by, filtered to their own events.
-        last_write_sites = [
-            s.seq for s in vz.sites
-            if s.metric.decl.kind not in ("counter", "histogram")
-        ]
+        # Zero-init scalar counters + keyless histograms (reference
+        # codegen.go:109-156) enter the stream as IDENTITY EVENTS —
+        # one tiny local-relation row per keyless metric, unioned
+        # after the explode.  vi/vf are the additive identity (0) at
+        # epoch ts 0 with order2 below any real line, so a touched
+        # metric's sums and last-write timestamps are unchanged while
+        # an untouched one still yields its zero row.  This needs no
+        # second plan branch (an anti-join re-executed the whole
+        # scan+regex+explode upstream) and no window pass: the union
+        # flows into the same aggregation.
+        zero_ev = []
+        for mname, mi in prog.metrics.items():
+            if mi.decl.hidden or mi.decl.keys:
+                continue
+            nm = mi.decl.exported_name or mname
+            if mi.decl.kind == "counter":
+                # ts_us NULL, not 0: year-0 syslog timestamps are
+                # NEGATIVE epoch micros, so a literal 0 would win the
+                # cross-file max over real writes.  The untouched
+                # counter's epoch-0 timestamp is reconstructed in the
+                # final select from n_obs == 0.
+                zero_ev.append((
+                    "", -1, -1, [],
+                    0 if mi.vtype != "Float" else None,
+                    0.0 if mi.vtype == "Float" else None,
+                    None, None, None, nm, 0,
+                ))
+            elif mi.decl.kind == "histogram":
+                zero_ev.append((
+                    "", -1, -1, [], None, None, None, None, None, nm, 0,
+                ))
+        if zero_ev:
+            events = events.unionByName(
+                sess.createDataFrame(zero_ev, schema=events.schema)
+            )
+
+        # Two-phase aggregation; within a file the last PROCESSED
+        # write wins ((line_no, site) packed into one BIGINT order),
+        # across files the datum with the latest (ts, filename) wins —
+        # exactly the fold backend's merge_partial_stores semantics
+        # (api.py), so multi-file results are deterministic and
+        # backend-independent.  line_no restarts per file, so a single
+        # cross-file max_by(line_no) would be arbitrary.
+        #
+        # Every stage-A aggregate is a PRIMITIVE max_by/sum: a group
+        # holds one metric's events only, so the last-write fields can
+        # be picked per column (all max_bys share the same unique
+        # ordering and therefore the same row) instead of via one
+        # max_by(struct(...)) — whose non-mutable buffer forced
+        # SortAggregate over the full event stream (measured ~2x the
+        # agg cost in r3).  A string buffer column (lvs) only enters
+        # when the program has a String-typed metric.
         n_span = 1 << max(6, (max(s.seq for s in vz.sites) + 1)
                           .bit_length())
         order2 = F.col("line_no") * n_span + F.col("site")
-        last_t = (
-            "struct<vi:bigint,vf:double,vs:string,ts_us:bigint>"
+        has_text = any(s.metric.vtype == "String" for s in vz.sites)
+        # last-write columns only exist when the program has
+        # last-write metrics: stage B's cross-file pick orders by a
+        # struct, whose non-mutable buffer plans SortAggregate — free
+        # on the store-sized stage B, but pure waste for counter-only
+        # programs (dhcpd), which stay all-primitive HashAggregate
+        has_lww = any(
+            s.metric.decl.kind not in ("counter", "histogram")
+            for s in vz.sites
         )
-        cnt_events = (
-            events.filter(~F.col("site").isin(last_write_sites))
-            if last_write_sites else events
-        )
-        per_file = cnt_events.groupBy(
-            "name", "labels", "le", "filename"
-        ).agg(
+        aggs_a = [
             F.sum("vi").alias("sum_i"),
             F.sum("vf").alias("sum_f"),
-            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("w").alias("n_obs"),
             F.max_by("ts_us", order2).alias("last_ts"),
-        ).withColumn("last", F.lit(None).cast(last_t))
-        if last_write_sites:
-            lw = events.filter(
-                F.col("site").isin(last_write_sites)
-            ).groupBy("name", "labels", "le", "filename").agg(
-                F.sum("vi").alias("sum_i"),
-                F.sum("vf").alias("sum_f"),
-                F.count(F.lit(1)).alias("n_obs"),
-                F.max_by("ts_us", order2).alias("last_ts"),
-                F.max_by(
-                    F.struct("vi", "vf", "vs", "ts_us"), order2
-                ).alias("last"),
-            )
-            per_file = per_file.unionByName(lw)
-        agg = per_file.groupBy("name", "labels", "le").agg(
+        ]
+        if has_lww:
+            aggs_a.append(F.max_by("vi", order2).alias("lvi"))
+            aggs_a.append(F.max_by("vf", order2).alias("lvf"))
+        if has_text:
+            aggs_a.append(F.max_by("vs", order2).alias("lvs"))
+        per_file = events.groupBy(
+            "name", "labels", "le", "filename"
+        ).agg(*aggs_a)
+
+        # Stage B merges files AND a histogram's per-le rows in one
+        # store-sized aggregation: bucket counts come out as one
+        # conditional sum per distinct compile-time bucket bound, so
+        # no per-le grouping level and no collected map is needed.
+        all_bounds = sorted({
+            m
+            for mi in (s.metric for s in vz.sites)
+            if mi.decl.kind == "histogram"
+            for m in _bucket_maxes(mi)
+        })
+        file_ord = F.struct(F.col("last_ts"), F.col("filename"))
+        aggs_b = [
             F.sum("sum_i").alias("sum_i"),
             F.sum("sum_f").alias("sum_f"),
             F.sum("n_obs").alias("n_obs"),
-            F.max_by(
-                "last", F.struct(F.col("last_ts"), F.col("filename"))
-            ).alias("last"),
             F.max("last_ts").alias("last_ts"),
-        )
-        # AQE adds one materialization barrier + re-optimization round
-        # per exchange; this pipeline's exchanges are store-sized (the
-        # event aggregation) or explicitly planned (chunk exchange,
-        # broadcast hints, ReuseExchange are all static rules), so AQE
-        # has nothing to improve here and costs a measured ~0.25 s of
-        # stage latency per run.  Scope it off for this action only.
-        aqe_key = "spark.sql.adaptive.enabled"
-        aqe_prev = sess.conf.get(aqe_key, "true")
-        try:
-            sess.conf.set(aqe_key, "false")
-            try:
-                # Arrow transfer: C-path row materialization.  High-
-                # cardinality stores (dhcpd: 40k label tuples at
-                # sf0.1) spend ~0.5 s in Row.fromInternal on the
-                # plain collect path.  Field access is unchanged —
-                # to_pylist gives dicts keyed like Rows.
-                agg_rows = agg.toArrow().to_pylist()
-            except Exception:
-                agg_rows = agg.collect()
-        finally:
-            sess.conf.set(aqe_key, aqe_prev)
+        ]
+        if has_lww:
+            aggs_b.append(F.max_by("lvi", file_ord).alias("lvi"))
+            aggs_b.append(F.max_by("lvf", file_ord).alias("lvf"))
+        if has_text:
+            aggs_b.append(F.max_by("lvs", file_ord).alias("lvs"))
+        for k, b in enumerate(all_bounds):
+            aggs_b.append(
+                F.sum(
+                    F.when(F.col("le") == F.lit(b), F.col("n_obs"))
+                ).alias(f"__b{k}")
+            )
+        final = per_file.groupBy("name", "labels").agg(*aggs_b)
+
         for pv in pviews:
             sess.catalog.dropTempView(pv)
         sess.catalog.dropTempView(view)
 
-    # ---- driver-side store assembly (store-sized data)
-    by_name = {}
-    for seq, (nm, mi, op) in site_meta.items():
+    # ---- Spark-side store assembly (r4).  The r3 design collected the
+    # event aggregate to the driver (Arrow), assembled STORE_SCHEMA
+    # rows in a Python loop, and re-uploaded them via createDataFrame —
+    # a driver round trip measured at ~1.5-2 s per run on a 40k-tuple
+    # store (dhcpd sf0.1).  All of that logic is store-sized relational
+    # work, so it now runs inside the same plan and the caller's
+    # collect reads the result directly: one job, no intermediate
+    # driver materialization.  Metric metadata (kind, vtype, label
+    # keys, bucket bounds) is compile-time constant and enters the
+    # plan as per-name CASE chains over the program's metric names.
+    by_name: dict = {}
+    for seq, (nm, mi, _op) in site_meta.items():
         by_name[nm] = mi
 
-    grouped: dict = {}
-    for r in agg_rows:
-        grouped.setdefault((r["name"], tuple(r["labels"])), []).append(r)
+    _BUCKETS_T = "array<struct<le:double,count:bigint>>"
 
-    out_rows = []
-    touched = set()
-    for (nm, labels), rows in grouped.items():
-        mi = by_name[nm]
-        if mi.decl.hidden:
-            continue
-        touched.add(nm)
-        keys = mi.decl.keys
-        lab_map = dict(zip(keys, labels)) if keys else None
-        base_row = {
-            "prog": compiled.name, "name": nm, "kind": mi.decl.kind,
-            "labels": lab_map, "value_i": None, "value_f": None,
-            "value_s": None, "buckets": None, "bucket_count": None,
-            "bucket_sum": None, "ts_us": None,
-        }
-        kind = mi.decl.kind
-        if kind == "histogram":
-            maxes = _bucket_maxes(mi)
-            counts = {r["le"]: r["n_obs"] for r in rows}
-            base_row.update(
-                vtype="Buckets",
-                buckets=[
-                    {"le": mx, "count": int(counts.get(mx, 0))} for mx in maxes
-                ],
-                bucket_count=int(sum(r["n_obs"] for r in rows)),
-                bucket_sum=float(sum(r["sum_f"] or 0.0 for r in rows)),
-                ts_us=max(
-                    (r["last_ts"] for r in rows if r["last_ts"] is not None),
-                    default=None,
-                ),
+    def _dispatch(fn, rtype):
+        """name -> per-metric constant/column, as one CASE chain."""
+        col = F.lit(None).cast(rtype)
+        for nm, mi in by_name.items():
+            v = fn(nm, mi)
+            if v is not None:
+                col = F.when(F.col("name") == nm, v).otherwise(col)
+        return col
+
+    def _sql_double(v: float) -> str:
+        if v == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        return f"CAST({v!r} AS DOUBLE)"
+
+    store_df = None
+    if vz.sites:
+        hidden_names = [
+            nm for nm, mi in by_name.items() if mi.decl.hidden
+        ]
+        if hidden_names:
+            final = final.filter(~F.col("name").isin(hidden_names))
+
+        def _labels_map(nm, mi):
+            if not mi.decl.keys:
+                return None
+            return F.map_from_arrays(
+                F.array(*[F.lit(k) for k in mi.decl.keys]),
+                F.col("labels"),
             )
-        else:
-            r = rows[0]
-            if kind == "counter":
-                base_row.update(
-                    vtype=mi.vtype,
-                    value_i=(int(r["sum_i"]) if mi.vtype == "Int"
-                             and r["sum_i"] is not None else None),
-                    value_f=(float(r["sum_f"]) if mi.vtype == "Float"
-                             and r["sum_f"] is not None else None),
-                    ts_us=r["last_ts"],
-                )
-            else:  # gauge / timer / text — last write wins
-                last = r["last"]
-                base_row.update(
-                    vtype=mi.vtype,
-                    value_i=last["vi"],
-                    value_f=last["vf"],
-                    value_s=last["vs"],
-                    ts_us=r["last_ts"],
-                )
-        out_rows.append(base_row)
 
-    # zero-init scalar counters + keyless histograms never touched
-    # (reference codegen.go:109-156)
-    for name, mi in prog.metrics.items():
+        def _buckets_col(nm, mi):
+            if mi.decl.kind != "histogram":
+                return None
+            entries = ", ".join(
+                f"named_struct('le', {_sql_double(m)}, 'count', "
+                f"CAST(coalesce(__b{all_bounds.index(m)}, 0) AS BIGINT))"
+                for m in _bucket_maxes(mi)
+            )
+            return F.expr(f"array({entries})")
+
+        is_hist = _dispatch(
+            lambda nm, mi: F.lit(mi.decl.kind == "histogram"), "boolean"
+        )
+        is_counter = _dispatch(
+            lambda nm, mi: F.lit(mi.decl.kind == "counter"), "boolean"
+        )
+        vt = _dispatch(lambda nm, mi: F.lit(mi.vtype), "string")
+        lvi_col = F.col("lvi") if has_lww else F.lit(None).cast("bigint")
+        lvf_col = F.col("lvf") if has_lww else F.lit(None).cast("double")
+        lvs_col = F.col("lvs") if has_text else F.lit(None).cast("string")
+        store_df = final.select(
+            F.lit(compiled.name).alias("prog"),
+            F.col("name"),
+            _dispatch(lambda nm, mi: F.lit(mi.decl.kind), "string")
+            .alias("kind"),
+            _dispatch(
+                lambda nm, mi: F.lit(
+                    "Buckets" if mi.decl.kind == "histogram" else mi.vtype
+                ),
+                "string",
+            ).alias("vtype"),
+            _dispatch(_labels_map, "map<string,string>").alias("labels"),
+            F.when(is_counter & (vt == "Int"), F.col("sum_i"))
+            .when(~is_counter & ~is_hist, lvi_col)
+            .alias("value_i"),
+            F.when(is_counter & (vt == "Float"), F.col("sum_f"))
+            .when(~is_counter & ~is_hist, lvf_col)
+            .alias("value_f"),
+            F.when(~is_counter & ~is_hist, lvs_col).alias("value_s"),
+            _dispatch(_buckets_col, _BUCKETS_T).alias("buckets"),
+            F.when(is_hist, F.col("n_obs")).alias("bucket_count"),
+            F.when(is_hist, F.coalesce(F.col("sum_f"), F.lit(0.0)))
+            .alias("bucket_sum"),
+            # untouched (zero-init-only) counters carry the epoch-0
+            # timestamp (golden hash requires it); touched metrics
+            # keep the timestamp of their last real write
+            F.when(is_counter & (F.col("n_obs") == 0), F.lit(0))
+            .otherwise(F.col("last_ts"))
+            .alias("ts_us"),
+        )
+        return store_df
+
+    # No update sites at all: the store is just the zero-init rows.
+    zero_rows = []
+    for mname, mi in prog.metrics.items():
         if mi.decl.hidden or mi.decl.keys:
             continue
-        nm = mi.decl.exported_name or name
-        if nm in touched:
-            continue
+        nm = mi.decl.exported_name or mname
         if mi.decl.kind == "counter":
-            out_rows.append(
+            zero_rows.append(
                 {
                     "prog": compiled.name, "name": nm, "kind": "counter",
                     "vtype": mi.vtype, "labels": None,
@@ -1693,7 +1761,7 @@ def vectorized_store(
                 }
             )
         elif mi.decl.kind == "histogram":
-            out_rows.append(
+            zero_rows.append(
                 {
                     "prog": compiled.name, "name": nm, "kind": "histogram",
                     "vtype": "Buckets", "labels": None,
@@ -1704,20 +1772,4 @@ def vectorized_store(
                     "bucket_count": 0, "bucket_sum": 0.0, "ts_us": None,
                 }
             )
-    # Ship the assembled store to the JVM as ONE Arrow batch: the
-    # row-based createDataFrame walks every field through
-    # verify+toInternal in Python (~4 s per 40k rows of
-    # high-cardinality dimensioned metrics); the Arrow path is a
-    # C-speed columnar build + IPC (~1 s incl. the first action).
-    try:
-        import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        tbl = pa.Table.from_pylist(
-            out_rows, schema=to_arrow_schema(STORE_SCHEMA)
-        )
-        return spark.createDataFrame(tbl)
-    except Exception:
-        return spark.createDataFrame(
-            out_rows, STORE_SCHEMA, verifySchema=False
-        )
+    return spark.createDataFrame(zero_rows, STORE_SCHEMA)

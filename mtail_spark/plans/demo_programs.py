@@ -60,6 +60,32 @@ ORACLE_RENDER = (
 )
 
 
+# Rendered-line relations memoized per (session, sf_dir): the nested
+# format_string/date_format expression trees cost ~0.3 s of py4j
+# construction per build, and returning the SAME DataFrame object lets
+# CompiledProgram.run_batch's plan cache hit without re-deriving the
+# input's semantic hash from a fresh analysis.
+_RENDER_CACHE: dict = {}
+
+
+def _memo_render(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark, sf_dir):
+        key = (fn.__name__, id(spark), sf_dir)
+        df = _RENDER_CACHE.get(key)
+        if df is None:
+            if len(_RENDER_CACHE) >= 64:
+                _RENDER_CACHE.clear()
+            df = fn(spark, sf_dir)
+            _RENDER_CACHE[key] = df
+        return df
+
+    return wrapper
+
+
+@_memo_render
 def render_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mtail_spark.session import load_table
 
@@ -185,6 +211,7 @@ counter skipped_commits
 """
 
 
+@_memo_render
 def render_txn_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-line transaction records from the events table: BEGIN /
     AMOUNT / COMMIT per event, with the COMMIT dropped every 7th
@@ -361,6 +388,7 @@ JOIN tot ON tot.event_type = types.event_type
 DHCPD_PATH = "/root/reference/examples/dhcpd.mtail"
 
 
+@_memo_render
 def render_dhcpd_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mtail_spark.session import ensure_parallelism, load_table
 

@@ -108,11 +108,14 @@ def _hadoop_any_huge(spark, path, threshold: int) -> bool | None:
         return None
 
 
-def _auto_exact_order(spark, path, threshold: int = WHOLETEXT_MAX_BYTES) -> bool:
+def _auto_exact_order(spark, path, threshold: int | None = None) -> bool:
     """Routing decision for exact_order=None: wholetext (True) only
     when every matched file is verifiably under the threshold.  Local
     paths use os.stat (fast path); remote URIs go through the Hadoop
     FS API; unknowable sizes route splittable."""
+    if threshold is None:
+        # resolve at call time so tests can shrink the module global
+        threshold = WHOLETEXT_MAX_BYTES
     paths = path if isinstance(path, (list, tuple)) else [path]
     if all(_is_local(p) for p in paths):
         return not _any_huge_file(path, threshold)

@@ -261,7 +261,7 @@ def run_program_stream(
         lines = lines.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             if batch_id > store.last_batch_id:
-                result = prog.run_batch(spark, lines)
+                result = prog.run_batch(spark, lines, cache_plan=False)
                 n = lines.count()
                 store.merge_batch(result.collect(), batch_id=batch_id)
                 store.n_lines += n
