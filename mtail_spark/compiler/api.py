@@ -92,6 +92,36 @@ def _rows_to_partial(rows, src_file: str):
     return out
 
 
+def _input_fingerprint(df: DataFrame):
+    """Identity of a batch relation's input file listing, for plan
+    caching: () for file-less relations (in-memory locals), a tuple of
+    (uri, size, mtime_ns) for local files, or None — DON'T cache —
+    when the listing can't be verified cheaply (remote filesystems,
+    stat errors).  Appending to or rotating a local log file changes
+    the fingerprint, so a long-lived session never serves a stale
+    cached plan over refreshed inputs."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return ()
+    out = []
+    for f in sorted(files):
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            return None
+        try:
+            st = os.stat(unquote(u.path))
+        except OSError:
+            return None
+        out.append((f, st.st_size, st.st_mtime_ns))
+    return tuple(out)
+
+
 @dataclass
 class CompiledProgram:
     src: str
@@ -155,25 +185,48 @@ class CompiledProgram:
         (filename, line_no, line) -> STORE_SCHEMA DataFrame.
 
         The constructed (lazy) store DataFrame is memoized by the
-        input relation's canonicalized-plan hash, so repeat runs of
-        the same program over the same relation skip plan
-        reconstruction and analysis entirely.  Streaming callers pass
-        cache_plan=False: micro-batch frames wrap per-batch RDDs whose
-        semantic hash is not a reliable identity across batches."""
+        input relation's canonicalized-plan hash PLUS a file-listing
+        fingerprint (path, size, mtime per input file): the semantic
+        hash of a file-source scan derives from its root paths, so
+        without the fingerprint a long-lived session re-running over a
+        log directory after appends/rotations would silently return
+        the stale cached listing.  Inputs whose files cannot be
+        fingerprinted (remote filesystems) are not cached.  Streaming
+        callers pass cache_plan=False: micro-batch frames wrap
+        per-batch RDDs whose semantic hash is not a reliable identity
+        across batches.
+
+        Split-size tuning (single-tuner invariant): the plan was built
+        under an ensure_parallelism-tuned
+        spark.sql.files.maxPartitionBytes, which Spark consults from
+        the SESSION conf lazily at action time; run_batch (build or
+        cache hit) re-applies the plan's value before returning, so
+        the supported usage is `run_batch(...)` followed by the action
+        on ITS result before the next program's run_batch.  Callers
+        interleaving several programs' builds before collecting should
+        collect each result right after its run_batch (or call
+        session.reset_scan_tuning between unrelated scans); the tuning
+        only affects split sizing (performance), never results."""
         if backend == "auto":
             backend = "vector" if self.vectorizable else "fold"
         key = None
         if cache_plan:
-            try:
-                key = (
-                    backend, now_us,
-                    self.syslog_use_current_year, self.override_timezone,
-                    id(spark),
-                    log_lines._jdf.queryExecution().analyzed()
-                    .semanticHash(),
-                )
-            except Exception:
-                key = None
+            from mtail_spark.session import session_token
+
+            fp = _input_fingerprint(log_lines)
+            if fp is not None:
+                try:
+                    key = (
+                        backend, now_us,
+                        self.syslog_use_current_year,
+                        self.override_timezone,
+                        session_token(spark),
+                        log_lines._jdf.queryExecution().analyzed()
+                        .semanticHash(),
+                        fp,
+                    )
+                except Exception:
+                    key = None
         _MPB = "spark.sql.files.maxPartitionBytes"
         if key is not None:
             hit = self._plan_cache.get(key)
@@ -183,7 +236,8 @@ class CompiledProgram:
                 # scan splits from the session conf at action time, so
                 # re-apply the split sizing ensure_parallelism tuned
                 # when the plan was built — otherwise a conf reset
-                # between runs silently serializes the scan.
+                # between runs silently serializes the scan.  (See the
+                # single-tuner invariant in the docstring.)
                 if mpb is not None:
                     try:
                         spark.conf.set(_MPB, mpb)

@@ -73,7 +73,9 @@ def _memo_render(fn):
 
     @functools.wraps(fn)
     def wrapper(spark, sf_dir):
-        key = (fn.__name__, id(spark), sf_dir)
+        from mtail_spark.session import session_token
+
+        key = (fn.__name__, session_token(spark), sf_dir)
         df = _RENDER_CACHE.get(key)
         if df is None:
             if len(_RENDER_CACHE) >= 64:

@@ -72,6 +72,32 @@ def sf_dir(default: str = "/root/testdata/sf0.1") -> str:
 
 _SHIPPED: set = set()
 
+# Session identity for caches: id(spark) is unsafe as a cache key
+# (CPython reuses addresses after GC, so a new session could silently
+# inherit cached DataFrames bound to a dead one).  The token pairs the
+# context's applicationId with a uuid minted per live session object;
+# the WeakKeyDictionary guarantees a GC'd session's token dies with it.
+_SESSION_TOKENS = None
+
+
+def session_token(spark: SparkSession) -> str:
+    """A cache-key-stable identity for a live SparkSession."""
+    global _SESSION_TOKENS
+    import uuid
+    import weakref
+
+    if _SESSION_TOKENS is None:
+        _SESSION_TOKENS = weakref.WeakKeyDictionary()
+    tok = _SESSION_TOKENS.get(spark)
+    if tok is None:
+        try:
+            app = spark.sparkContext.applicationId
+        except Exception:
+            app = "noapp"
+        tok = f"{app}:{uuid.uuid4().hex[:12]}"
+        _SESSION_TOKENS[spark] = tok
+    return tok
+
 
 def ensure_workers_can_import(spark: SparkSession) -> None:
     """Python workers must import mtail_spark for the applyInPandas /

@@ -27,21 +27,30 @@ WHOLETEXT_MAX_BYTES = 256 << 20
 
 
 def _strip_file_scheme(p: str) -> str:
+    """file:///path -> /path.  A file:// URI with a NON-EMPTY authority
+    (file://host/path) is NOT a local path — stripping it to
+    'host/path' would silently stat the wrong (relative) file — so it
+    is returned unchanged and routed through the Hadoop FS path by
+    _is_local below."""
     if p.startswith("file://"):
-        return p[len("file:"):].replace("///", "/", 1) \
-            if p.startswith("file:///") else p[len("file://"):]
+        rest = p[len("file://"):]
+        if rest.startswith("/"):
+            return rest
     return p
 
 
 def _is_local(p: str) -> bool:
-    """True when the path has no URI scheme (or file://): sizable via
-    os.stat.  `C:\\...` never appears here (POSIX container) and a
-    single-letter scheme is not valid Hadoop anyway."""
+    """True when the path is stat-able via os.stat: no URI scheme, or
+    file:// with an EMPTY authority (file:///...).  file://host/path
+    carries an authority component and goes through the Hadoop FS
+    sizing path with every other scheme.  `C:\\...` never appears here
+    (POSIX container) and a single-letter scheme is not valid Hadoop
+    anyway."""
     import re
 
-    return not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", p) or p.startswith(
-        "file://"
-    )
+    if p.startswith("file://"):
+        return p[len("file://"):].startswith("/")
+    return not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", p)
 
 
 def _local_paths(path) -> list[str]:
