@@ -161,19 +161,20 @@ def q_mtail_strptime_hour(spark, sf):
 def q_mtail_prog_dhcpd(spark, sf):
     """The reference's heaviest example program (27 metric sites,
     syslog decorator) over synthetic dhcpd lines rendered from events.
-    No oracle: a 27-site program is not reasonably SQL-expressible
-    (rows-only check); cross-backend semantic parity is covered by
-    tests/test_backend_consistency.py."""
+    Hash-checked in full against ORACLE_DHCPD_FULL — counts AND
+    per-datum year-0 strptime timestamps (the rendering determines
+    exactly which sites fire); cross-backend semantic parity is
+    additionally covered by tests/test_backend_consistency.py."""
     from mtail_spark.plans.demo_programs import q_mtail_prog_dhcpd as q
 
     return q(spark, sf)
 
 
 def q_mtail_prog_dhcpd_core(spark, sf):
-    """The SQL-mirrorable slice of the dhcpd store (same full program
-    run; rows filtered to the plain counter sites + scalar zero-inits
-    the oracle rebuilds from the rendering) — hash-checked, while the
-    full 27-site store stays rows-only."""
+    """The plain-counter slice of the dhcpd store (same full program
+    run; rows filtered to the counter sites + scalar zero-inits,
+    values only) — kept beside the full oracle so a timestamp
+    regression and a counting regression localize separately."""
     from mtail_spark.plans.demo_programs import q_mtail_prog_dhcpd_core as q
 
     return q(spark, sf)
@@ -1060,6 +1061,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "mtail_prog_counters": _demo().ORACLE_COUNTERS,
+        "mtail_prog_dhcpd": _demo().ORACLE_DHCPD_FULL,
         "mtail_prog_dhcpd_core": _demo().ORACLE_DHCPD_CORE,
         "mtail_prog_gauge": _demo().ORACLE_GAUGE,
         "mtail_prog_histogram": _demo().ORACLE_HIST,

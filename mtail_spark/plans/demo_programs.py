@@ -382,10 +382,11 @@ JOIN tot ON tot.event_type = types.event_type
 # decorator, strptime "Jan _2 15:04:05") — its captured log is absent
 # from the reference checkout, so input lines are RENDERED from the
 # events table: scale tracks SF, message mix tracks event_type.
-# Compiled from the reference source at runtime (read-only); no oracle
-# (a 27-site program is not reasonably SQL-expressible), so the driver
-# records a rows-only check; cross-backend semantic coverage lives in
-# tests/test_backend_consistency.py.
+# Compiled from the reference source at runtime (read-only).  The full
+# store — counts AND per-datum year-0 strptime timestamps — is
+# hash-checked against ORACLE_DHCPD_FULL below (the rendering fully
+# determines which of the 27 sites fire); cross-backend semantic
+# coverage additionally lives in tests/test_backend_consistency.py.
 
 DHCPD_PATH = "/root/reference/examples/dhcpd.mtail"
 
@@ -507,14 +508,71 @@ ORACLE_DHCPD_CORE = f"""
 """
 
 
+# Year-0 microseconds of the rendered syslog stamp, rebuilt in DuckDB:
+# the dhcpd program's syslog decorator parses "Jan _2 15:04:05"
+# (yearless -> year 0, reference internal/runtime/vm/vm.go strptime
+# semantics), so each line's wall clock is the event's month/day/time
+# transplanted onto year 0 — a NEGATIVE epoch.  make_timestamp(0, ...)
+# and the engine's gotime agree bit-for-bit (both proleptic Gregorian).
+_Y0_US = (
+    "epoch_us(make_timestamp(0, month(ts), day(ts), hour(ts), "
+    "minute(ts), CAST(date_part('second', ts) AS DOUBLE)))"
+)
+
+# FULL-program oracle (retires the suite's last mtail rows-only row):
+# same firing model as the core oracle, PLUS the per-datum timestamp —
+# within one file a counter datum's ts is the ts at its LAST update in
+# line order (arg_max over event_id, the render's order column), and a
+# never-updated scalar reconstructs epoch 0.  This makes the oracle
+# exercise the strptime year-0 path, not just the counting.
+ORACLE_DHCPD_FULL = f"""
+    WITH ev AS (
+      SELECT event_id,
+             event_type,
+             CASE event_type
+               WHEN 'purchase' THEN 'dhcpack'
+               WHEN 'view' THEN 'dhcpoffer'
+               WHEN 'error' THEN 'dhcpdiscover'
+               WHEN 'click' THEN 'dhcprequest'
+               ELSE 'dhcpdiscover' END AS command,
+             printf('02:%02x:%02x:%02x:ef:34',
+                    event_id % 251,
+                    (event_id // 7) % 249,
+                    (event_id // 53) % 247) AS mac,
+             {_Y0_US} AS y0_us
+      FROM events
+    )
+    SELECT 'request_total' AS name,
+           '{{"command":"' || command || '"}}' AS labels_json,
+           count(*) AS value_i,
+           arg_max(y0_us, event_id) AS ts_us
+    FROM ev GROUP BY command
+    UNION ALL
+    SELECT 'dhcpdiscovers', '{{"mac":"' || mac || '"}}', count(*),
+           arg_max(y0_us, event_id)
+    FROM ev WHERE command = 'dhcpdiscover' GROUP BY mac
+    UNION ALL
+    SELECT 'dhcpdiscover_nofree', '{{"network":"10.1.0.0/16"}}', count(*),
+           arg_max(y0_us, event_id)
+    FROM ev WHERE event_type = 'error' HAVING count(*) > 0
+    UNION ALL
+    SELECT s, '{{}}', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM (VALUES {", ".join(f"('{s}')" for s in _DHCPD_SCALARS)}) t(s)
+"""
+
+
 def q_mtail_prog_dhcpd_core(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The oracle-checkable slice of the dhcpd store: the full 27-site
-    program runs unchanged; only the returned rows are filtered to
-    DHCPD_CORE_METRICS, which the DuckDB oracle rebuilds from the
-    event rendering (command mapping, per-mac discover counts,
-    no-free-leases network, scalar zero-inits)."""
+    """The plain-counter slice of the dhcpd store: the full 27-site
+    program runs unchanged; the returned rows are filtered to
+    DHCPD_CORE_METRICS and the value column only, which the core
+    DuckDB oracle rebuilds from the event rendering (command mapping,
+    per-mac discover counts, no-free-leases network, scalar
+    zero-inits).  Kept alongside the full oracle so a timestamp
+    regression and a counting regression localize separately."""
     full = q_mtail_prog_dhcpd(spark, sf_dir)
-    return full.filter(F.col("name").isin(*DHCPD_CORE_METRICS))
+    return full.filter(F.col("name").isin(*DHCPD_CORE_METRICS)).select(
+        "name", "labels_json", "value_i"
+    )
 
 
 def q_mtail_prog_dhcpd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -532,4 +590,5 @@ def q_mtail_prog_dhcpd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_json("labels"), F.lit("{}")
         ).alias("labels_json"),
         "value_i",
+        "ts_us",
     )

@@ -16,11 +16,9 @@ def test_queries_and_oracles_aligned():
     assert set(oracles) <= set(qs)
     # all but the explicitly rows-only entries have oracles
     rows_only = set(qs) - set(oracles)
-    # genuinely non-SQL-expressible ops: iterative k-means, the
-    # 27-site dhcpd program (its plain-counter core slice is
-    # hash-checked separately as mtail_prog_dhcpd_core) — the driver
-    # records a weaker rows-only check for these
-    assert rows_only == {"sim_ivf", "mtail_prog_dhcpd"}
+    # the ONE genuinely non-SQL-expressible op: iterative k-means
+    # (its fixed-quantizer sibling sim_ivf_fixed is hash-checked)
+    assert rows_only == {"sim_ivf"}
 
 
 def test_all_queries_execute_smoke(spark, sf_smoke):
