@@ -132,6 +132,8 @@ class CompiledProgram:
     # --override_timezone); None = UTC
     override_timezone: str | None = None
     _vectorizable: bool | None = None
+    # Ellipsis = not yet computed; None = chunkfoldable; str = reason not
+    _chunkfold_reason: object = Ellipsis
     # (backend, now_us, flags, session id, input-plan semanticHash) ->
     # analyzed store DataFrame.  Re-running a program over the same
     # input relation skips the ~1 s of driver-side plan construction
@@ -160,6 +162,48 @@ class CompiledProgram:
             except VectorizeError:
                 self._vectorizable = False
         return self._vectorizable
+
+    @property
+    def exported_kinds(self) -> frozenset:
+        """Kinds of the program's exported metrics (compile-time):
+        lets the partial-store merges skip branches for absent kinds."""
+        return frozenset(
+            mi.decl.kind
+            for mi in self.checked.metrics.values()
+            if not mi.decl.hidden
+        )
+
+    @property
+    def chunkfoldable(self) -> bool:
+        """True when the program is in the chunkfold class: all
+        cross-chunk state in scalar registers, exported updates
+        chunk-mergeable (chunkfold.chunkfold_unsupported_reason)."""
+        if self._chunkfold_reason is Ellipsis:
+            from mtail_spark.compiler.chunkfold import (
+                chunkfold_unsupported_reason,
+            )
+
+            self._chunkfold_reason = chunkfold_unsupported_reason(
+                self.checked
+            )
+        return self._chunkfold_reason is None
+
+    def _auto_backend(self, log_lines: DataFrame) -> str:
+        """Backend selection.  Stateless programs: the vectorized
+        DataFrame plan (whole-stage codegen, ~900 klines/s marginal).
+        Register-RMW programs on LARGE inputs: the chunk-parallel
+        speculative fold (fold constants x chunk parallelism; the
+        vectorized carry-window plan's per-line constant loses past
+        ~64 MB).  Small register inputs keep the window plan /
+        sequential fold, whose fixed overheads are lower."""
+        if self.checked.cross_line_state and self.chunkfoldable:
+            from mtail_spark.compiler.chunkfold import CHUNKFOLD_MIN_BYTES
+            from mtail_spark.session import estimated_local_input_bytes
+
+            est = estimated_local_input_bytes(log_lines)
+            if est is not None and est > CHUNKFOLD_MIN_BYTES:
+                return "chunkfold"
+        return "vector" if self.vectorizable else "fold"
 
     # ------------------------------------------------------------ local
 
@@ -208,7 +252,7 @@ class CompiledProgram:
         session.reset_scan_tuning between unrelated scans); the tuning
         only affects split sizing (performance), never results."""
         if backend == "auto":
-            backend = "vector" if self.vectorizable else "fold"
+            backend = self._auto_backend(log_lines)
         key = None
         if cache_plan:
             from mtail_spark.session import session_token
@@ -248,6 +292,10 @@ class CompiledProgram:
             from mtail_spark.compiler.codegen import vectorized_store
 
             df = vectorized_store(self, spark, log_lines, now_us=now_us)
+        elif backend == "chunkfold":
+            from mtail_spark.compiler.chunkfold import chunkfold_store
+
+            df = chunkfold_store(self, spark, log_lines, now_us=now_us)
         else:
             df = self._run_fold(spark, log_lines, now_us)
         if key is not None:
@@ -384,17 +432,42 @@ class CompiledProgram:
             .sortWithinPartitions("filename", "line_no")
             .mapInPandas(fold_chunks, schema=PARTIAL_SCHEMA)
         )
-        return merge_partial_stores(partial, self.name)
+        return merge_partial_stores(
+            partial, self.name, kinds=self.exported_kinds
+        )
 
 
-def merge_partial_stores(partial: DataFrame, prog_name: str) -> DataFrame:
+def merge_partial_stores(
+    partial: DataFrame, prog_name: str, kinds=None
+) -> DataFrame:
     """Merge per-file partial stores into one store (deterministic
     cross-file semantics: counters/histograms are additive; gauges,
     timers and text take the datum with the latest (ts, src_file);
     datum timestamps are the max across files)."""
-    p = partial.withColumn("labels", F.from_json("labels_json", _LABELS_TYPE))
+    p = partial.withColumn(
+        "labels", F.from_json("labels_json", _LABELS_TYPE)
+    ).withColumn("buckets", F.from_json("buckets_json", _BUCKETS_TYPE))
+    return merge_parsed_partials(p, prog_name, kinds)
 
+
+def merge_parsed_partials(
+    p: DataFrame, prog_name: str, kinds=None
+) -> DataFrame:
+    """merge_partial_stores core over an already-parsed relation
+    (labels MAP + buckets ARRAY columns instead of JSON strings) —
+    shared with the chunkfold backend's per-file collapse
+    (chunkfold._merge_chunk_partials), which produces parsed per-file
+    rows directly so histograms never round-trip through JSON.
+
+    kinds, when given, is the set of EXPORTED metric kinds the
+    program declares (compile-time knowledge): branches whose kinds
+    are absent are skipped entirely — a counter-only program plans
+    one aggregation instead of three branches plus a join, and the
+    empty-branch stages never reach the scheduler."""
     additive = p.filter(F.col("kind") == "counter")
+    want = (
+        (lambda *ks: kinds is None or any(k in kinds for k in ks))
+    )
     # zero-init rows (value 0, ts 0) exist per file; summing keeps the
     # identity, and max(ts) keeps epoch 0 only when never updated.
     counters = additive.groupBy("name", "kind", "vtype", "labels_json").agg(
@@ -428,9 +501,7 @@ def merge_partial_stores(partial: DataFrame, prog_name: str) -> DataFrame:
         )
     )
 
-    hist = p.filter(F.col("kind") == "histogram").withColumn(
-        "buckets", F.from_json("buckets_json", _BUCKETS_TYPE)
-    )
+    hist = p.filter(F.col("kind") == "histogram")
     hb = (
         hist.select(
             "name", "kind", "vtype", "labels_json", "labels",
@@ -472,9 +543,18 @@ def merge_partial_stores(partial: DataFrame, prog_name: str) -> DataFrame:
         "name", "kind", "vtype", "labels_json", "labels", "value_i",
         "value_f", "value_s", "buckets", "bucket_count", "bucket_sum", "ts_us",
     ]
-    merged = counters.select(cols).unionByName(gauges.select(cols)).unionByName(
-        hist_merged.select(cols)
-    )
+    branches = []
+    if want("counter"):
+        branches.append(counters.select(cols))
+    if want("gauge", "timer", "text"):
+        branches.append(gauges.select(cols))
+    if want("histogram"):
+        branches.append(hist_merged.select(cols))
+    if not branches:  # no exported metrics at all: empty store
+        branches.append(counters.select(cols))
+    merged = branches[0]
+    for b in branches[1:]:
+        merged = merged.unionByName(b)
     out = merged.select(
         F.lit(prog_name).alias("prog"),
         "name", "kind", "vtype", "labels",

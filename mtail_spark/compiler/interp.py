@@ -274,7 +274,7 @@ class Store:
 
 class Runtime:
     __slots__ = ("line", "filename", "line_no", "matches", "ts_us", "store",
-                 "now_us", "syslog_year")
+                 "now_us", "syslog_year", "fired")
 
     def __init__(self, store, now_us, syslog_year=None):
         self.store = store
@@ -285,6 +285,10 @@ class Runtime:
         self.line = ""
         self.filename = ""
         self.line_no = 0
+        # register-write sites that fired on the current line (sids
+        # into Interp.reg_sites) — consumed by the chunkfold backend's
+        # speculative salvage; the plain fold never reads it
+        self.fired = set()
 
 
 class Interp:
@@ -300,7 +304,42 @@ class Interp:
             r.id: (self._c_expr(r.subject) if r.subject is not None else None)
             for r in prog.regexes
         }
+        # Register-write site table for the chunkfold backend's
+        # speculative salvage: sid -> (register name, dominating regex
+        # ids).  A site's DOMINATING regexes are the pattern conditions
+        # on truth branches enclosing it — the site can only fire on a
+        # line those regexes match, which lets the chunk-parallel fold
+        # prove "no unfired site can still write register g on this
+        # line".  Populated during closure compilation below; the
+        # closures record fired sids on rt.fired (a set; the plain
+        # fold pays one set.add per register write and never reads
+        # it).
+        self.reg_sites: list[tuple] = []
+        self._doms: tuple = ()
         self.program = self._c_block(prog.stmts.stmts)
+
+    def _implied_rids(self, e) -> set:
+        """Regex ids a condition's TRUTH implies matched the line."""
+        if isinstance(e, A.PatternLit):
+            return {e.regex_id}
+        if isinstance(e, A.UnaryExpr) and e.op == "MATCH":
+            return self._implied_rids(e.expr)
+        if isinstance(e, A.BinaryExpr):
+            if e.op == "&&":
+                return self._implied_rids(e.lhs) | self._implied_rids(e.rhs)
+            if e.op == "=~" and isinstance(e.rhs, A.PatternLit):
+                return {e.rhs.regex_id}
+        return set()
+
+    def _reg_site(self, name: str):
+        """Allocate a write-site id for hidden keyless (register)
+        targets; None for everything else."""
+        mi = self.prog.metrics.get(name)
+        if mi is None or not mi.decl.hidden or mi.decl.keys:
+            return None
+        sid = len(self.reg_sites)
+        self.reg_sites.append((name, self._doms))
+        return sid
 
     # ------------------------------------------------------------ running
 
@@ -368,7 +407,12 @@ class Interp:
                 body = self._c_block(s.truth.stmts if s.truth else [])
                 return ("otherwise", body)
             cond = self._c_expr(s.cond)
+            saved = self._doms
+            self._doms = saved + tuple(
+                sorted(self._implied_rids(s.cond) - set(saved))
+            )
             truth = self._c_block(s.truth.stmts if s.truth else [])
+            self._doms = saved  # else branch implies nothing
             els = self._c_block(s.els.stmts) if s.els else None
 
             def run_cond(rt, cond=cond, truth=truth, els=els):
@@ -391,11 +435,14 @@ class Interp:
             name = t.lhs.name
             idx = [self._c_label(ix) for ix in t.index]
             expiry = s.expiry_s
+            sid = self._reg_site(name) if expiry is None else None
 
-            def do_del(rt, name=name, idx=idx, expiry=expiry):
+            def do_del(rt, name=name, idx=idx, expiry=expiry, sid=sid):
                 labels = tuple(f(rt) for f in idx)
                 if expiry is None:
                     rt.store.delete(name, labels)
+                    if sid is not None:
+                        rt.fired.add(sid)
                 # `del after` marks a TTL; GC runs hourly in the
                 # reference so one-shot folds never apply it.
             return ("plain", do_del)
@@ -480,10 +527,13 @@ class Interp:
             name = target.lhs.name
             idx = [self._c_label(ix) for ix in target.index]
             delta = 1 if e.op == "++" else -1
+            sid = self._reg_site(name)
 
-            def inc(rt, name=name, idx=idx, delta=delta):
+            def inc(rt, name=name, idx=idx, delta=delta, sid=sid):
                 labels = tuple(f(rt) for f in idx)
                 rt.store.inc(name, labels, delta, rt.ts_us)
+                if sid is not None:
+                    rt.fired.add(sid)
                 return rt.store.get(name, labels)
             return inc
         raise ValueError(f"bad unary {e.op}")
@@ -497,20 +547,25 @@ class Interp:
             name = target.lhs.name
             idx = [self._c_label(ix) for ix in target.index]
             rhs = self._c_expr(e.rhs)
+            sid = self._reg_site(name)
             if op == "=":
-                def setv(rt, name=name, idx=idx, rhs=rhs):
+                def setv(rt, name=name, idx=idx, rhs=rhs, sid=sid):
                     labels = tuple(f(rt) for f in idx)
                     v = rhs(rt)
                     rt.store.set(name, labels, v, rt.ts_us)
+                    if sid is not None:
+                        rt.fired.add(sid)
                     return v
                 return setv
 
-            def addv(rt, name=name, idx=idx, rhs=rhs):
+            def addv(rt, name=name, idx=idx, rhs=rhs, sid=sid):
                 labels = tuple(f(rt) for f in idx)
                 v = to_num(rhs(rt))
                 if v is None:
                     raise LineError("non-numeric +=")
                 rt.store.inc(name, labels, v, rt.ts_us)
+                if sid is not None:
+                    rt.fired.add(sid)
                 return rt.store.get(name, labels)
             return addv
         if op in ("=~", "!~"):

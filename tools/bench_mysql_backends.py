@@ -1,11 +1,14 @@
 """Throughput comparison for the register-RMW program class:
 mysql_slowqueries.mtail (reference examples/mysql_slowqueries.mtail)
-over a ~1M-line synthetic slow-query log, vectorized (stratified
-scalar-register window columns, codegen.py:_plan_registers) vs the
-per-line Python fold.
+over a ~1M-line synthetic slow-query log, across all three backends:
+chunkfold (chunk-parallel speculative fold, chunkfold.py — the
+auto-routed backend for this class on large inputs), vectorized
+(stratified scalar-register window columns,
+codegen.py:_plan_registers), and the sequential per-line Python fold.
 
 Usage: python tools/bench_mysql_backends.py [n_records] [--fold]
-Prints one JSON line with lines/sec for each backend.
+Prints one JSON line with lines/sec for each backend; store equality
+across backends is asserted whenever more than one runs.
 """
 
 import json
@@ -75,41 +78,57 @@ def main():
     from mtail_spark.store import rows_from_df
 
     prog = compile_program(open(EX).read(), "mysql_slowqueries.mtail")
-    assert prog.vectorizable, prog.vector_error
+    assert prog.vectorizable
+    assert prog.chunkfoldable
 
     spark = get_spark()
     out = {}
+    stores = {}
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "mysql_slow.log")
         nlines = render_log(path, n_records)
         out["lines"] = nlines
 
         def run(backend):
-            df = read_log_lines(spark, path)
+            # splittable read: the 100 TB-shaped path (any file over
+            # WHOLETEXT_MAX_BYTES auto-routes here; the bench file is
+            # below the threshold only as an artifact of bench size)
+            df = read_log_lines(spark, path, exact_order=False)
             t0 = time.monotonic()
-            store = prog.run_batch(spark, df, backend=backend)
+            store = prog.run_batch(
+                spark, df, backend=backend, cache_plan=False
+            )
             rows = rows_from_df(store)
             dt = time.monotonic() - t0
+            cache = getattr(store, "_chunkfold_cache", None)
+            if cache is not None:
+                cache.unpersist()
             return dt, rows
 
-        # warm the JVM/session on a small prefix first
-        run("vector")
-        t_vec, rows_vec = run("vector")
-        out["vector_sec"] = round(t_vec, 2)
-        out["vector_klines_per_sec"] = round(nlines / t_vec / 1e3, 1)
-        if run_fold:
-            t_fold, rows_fold = run("fold")
-            out["fold_sec"] = round(t_fold, 2)
-            out["fold_klines_per_sec"] = round(nlines / t_fold / 1e3, 1)
-            out["speedup"] = round(t_fold / t_vec, 1)
-            a = {(r.name, r.labels): (r.value, r.ts) for r in rows_vec}
-            b = {(r.name, r.labels): (r.value, r.ts) for r in rows_fold}
-            out["stores_match"] = a == b
-            if a != b:
-                diff = {k for k in a.keys() | b.keys()
-                        if a.get(k) != b.get(k)}
+        # warm the JVM/session first
+        run("chunkfold")
+        for backend in ("chunkfold", "vector") + (
+            ("fold",) if run_fold else ()
+        ):
+            dt, rows = run(backend)
+            out[f"{backend}_sec"] = round(dt, 2)
+            out[f"{backend}_klines_per_sec"] = round(nlines / dt / 1e3, 1)
+            stores[backend] = {
+                (r.name, r.labels): (r.value, r.ts) for r in rows
+            }
+        base = stores["chunkfold"]
+        out["stores_match"] = all(s == base for s in stores.values())
+        if not out["stores_match"]:
+            for bk, s in stores.items():
+                diff = {k for k in s.keys() | base.keys()
+                        if s.get(k) != base.get(k)}
                 for k in sorted(diff)[:5]:
-                    print("DIFF", k, a.get(k), b.get(k), file=sys.stderr)
+                    print("DIFF", bk, k, s.get(k), base.get(k),
+                          file=sys.stderr)
+        if run_fold:
+            out["speedup_vs_fold"] = round(
+                out["fold_sec"] / out["chunkfold_sec"], 1
+            )
     print(json.dumps(out))
 
 
