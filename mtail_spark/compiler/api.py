@@ -445,33 +445,41 @@ def merge_partial_stores(
     timers and text take the datum with the latest (ts, src_file);
     datum timestamps are the max across files)."""
     p = partial.withColumn(
-        "labels", F.from_json("labels_json", _LABELS_TYPE)
-    ).withColumn("buckets", F.from_json("buckets_json", _BUCKETS_TYPE))
+        "buckets", F.from_json("buckets_json", _BUCKETS_TYPE)
+    )
     return merge_parsed_partials(p, prog_name, kinds)
 
 
 def merge_parsed_partials(
     p: DataFrame, prog_name: str, kinds=None
 ) -> DataFrame:
-    """merge_partial_stores core over an already-parsed relation
-    (labels MAP + buckets ARRAY columns instead of JSON strings) —
-    shared with the chunkfold backend's per-file collapse
-    (chunkfold._merge_chunk_partials), which produces parsed per-file
-    rows directly so histograms never round-trip through JSON.
+    """merge_partial_stores core over a relation with a parsed
+    buckets ARRAY column — shared with the chunkfold backend's
+    per-file collapse (chunkfold._merge_chunk_partials), which
+    produces per-file rows directly so histograms never round-trip
+    through JSON.
 
     kinds, when given, is the set of EXPORTED metric kinds the
     program declares (compile-time knowledge): branches whose kinds
     are absent are skipped entirely — a counter-only program plans
     one aggregation instead of three branches plus a join, and the
-    empty-branch stages never reach the scheduler."""
+    empty-branch stages never reach the scheduler.
+
+    Aggregation buffers stay PRIMITIVE wherever the kind allows
+    (counters/histogram sums + max over longs -> HashAggregate); the
+    labels MAP is re-parsed from labels_json once per OUTPUT row
+    after the merge rather than carried through a first(map) buffer,
+    which would demote every branch to SortAggregate.  Only the
+    gauge/timer/text pick (ordering by (ts, src_file), a struct)
+    keeps a non-primitive buffer — store-sized by then."""
     additive = p.filter(F.col("kind") == "counter")
-    want = (
-        (lambda *ks: kinds is None or any(k in kinds for k in ks))
-    )
+
+    def want(*ks):
+        return kinds is None or any(k in kinds for k in ks)
+
     # zero-init rows (value 0, ts 0) exist per file; summing keeps the
     # identity, and max(ts) keeps epoch 0 only when never updated.
     counters = additive.groupBy("name", "kind", "vtype", "labels_json").agg(
-        F.first("labels").alias("labels"),
         F.sum("value_i").alias("value_i"),
         F.sum("value_f").alias("value_f"),
         F.lit(None).cast("string").alias("value_s"),
@@ -482,42 +490,40 @@ def merge_parsed_partials(
     )
 
     lww = p.filter(F.col("kind").isin("gauge", "timer", "text"))
-    pick = F.max_by(
-        F.struct("value_i", "value_f", "value_s", "ts_us"),
-        F.struct(F.col("ts_us"), F.col("src_file")),
-    ).alias("d")
+    file_ord = F.struct(F.col("ts_us"), F.col("src_file"))
     gauges = (
         lww.groupBy("name", "kind", "vtype", "labels_json")
-        .agg(F.first("labels").alias("labels"), pick)
+        .agg(
+            F.max_by("value_i", file_ord).alias("value_i"),
+            F.max_by("value_f", file_ord).alias("value_f"),
+            F.max_by("value_s", file_ord).alias("value_s"),
+            F.max_by("ts_us", file_ord).alias("out_ts"),
+        )
         .select(
-            "name", "kind", "vtype", "labels_json", "labels",
-            F.col("d.value_i").alias("value_i"),
-            F.col("d.value_f").alias("value_f"),
-            F.col("d.value_s").alias("value_s"),
+            "name", "kind", "vtype", "labels_json",
+            "value_i", "value_f", "value_s",
             F.lit(None).cast(_BUCKETS_TYPE).alias("buckets"),
             F.lit(None).cast("long").alias("bucket_count"),
             F.lit(None).cast("double").alias("bucket_sum"),
-            F.col("d.ts_us").alias("ts_us"),
+            F.col("out_ts").alias("ts_us"),
         )
     )
 
     hist = p.filter(F.col("kind") == "histogram")
     hb = (
         hist.select(
-            "name", "kind", "vtype", "labels_json", "labels",
-            "bucket_count", "bucket_sum", "ts_us",
+            "name", "kind", "vtype", "labels_json",
             F.explode("buckets").alias("b"),
         )
-        .groupBy("name", "kind", "vtype", "labels_json", F.col("b.le").alias("le"))
-        .agg(
-            F.first("labels").alias("labels"),
-            F.sum("b.count").alias("cnt"),
+        .groupBy(
+            "name", "kind", "vtype", "labels_json",
+            F.col("b.le").alias("le"),
         )
+        .agg(F.sum("b.count").alias("cnt"))
     )
     hist_merged = (
         hb.groupBy("name", "kind", "vtype", "labels_json")
         .agg(
-            F.first("labels").alias("labels"),
             F.array_sort(
                 F.collect_list(F.struct(F.col("le"), F.col("cnt").alias("count")))
             ).alias("buckets"),
@@ -531,7 +537,7 @@ def merge_parsed_partials(
             ["name", "labels_json"],
         )
         .select(
-            "name", "kind", "vtype", "labels_json", "labels",
+            "name", "kind", "vtype", "labels_json",
             F.lit(None).cast("long").alias("value_i"),
             F.lit(None).cast("double").alias("value_f"),
             F.lit(None).cast("string").alias("value_s"),
@@ -540,7 +546,7 @@ def merge_parsed_partials(
     )
 
     cols = [
-        "name", "kind", "vtype", "labels_json", "labels", "value_i",
+        "name", "kind", "vtype", "labels_json", "value_i",
         "value_f", "value_s", "buckets", "bucket_count", "bucket_sum", "ts_us",
     ]
     branches = []
@@ -557,7 +563,8 @@ def merge_parsed_partials(
         merged = merged.unionByName(b)
     out = merged.select(
         F.lit(prog_name).alias("prog"),
-        "name", "kind", "vtype", "labels",
+        "name", "kind", "vtype",
+        F.from_json("labels_json", _LABELS_TYPE).alias("labels"),
         "value_i", "value_f", "value_s",
         "buckets", "bucket_count", "bucket_sum", "ts_us",
     )

@@ -677,18 +677,24 @@ def _merge_chunk_partials(
     both levels."""
     from mtail_spark.compiler.api import (
         _BUCKETS_TYPE,
-        _LABELS_TYPE,
         merge_parsed_partials,
     )
 
     def want(*ks):
         return kinds is None or any(k in kinds for k in ks)
 
-    p = partials.withColumn(
-        "labels", F.from_json("labels_json", _LABELS_TYPE)
-    )
-    ord_ = F.struct(F.col("chunk"), F.col("last_line"))
+    # Within one file, (chunk, last_line) ordering collapses to
+    # last_line ALONE: chunk ids are the chunk's first line_no (or
+    # floor(line_no/CHUNK) in exchange mode), so last_line is
+    # file-wide monotonic in both modes and zero-init rows carry -1.
+    # A single BIGINT ordering keeps every stage-1 max_by PRIMITIVE
+    # (HashAggregate, never SortAggregate over the chunk partials).
+    p = partials
+    ord_ = F.col("last_line")
     keys = ["src_file", "name", "kind", "vtype", "labels_json"]
+
+    def want(*ks):
+        return kinds is None or any(k in kinds for k in ks)
 
     nulls = [
         F.lit(None).cast("string").alias("value_s"),
@@ -700,32 +706,36 @@ def _merge_chunk_partials(
         p.filter(F.col("kind") == "counter")
         .groupBy(keys)
         .agg(
-            F.first("labels").alias("labels"),
             F.sum("value_i").alias("value_i"),
             F.sum("value_f").alias("value_f"),
             F.max_by("ts_us", ord_).alias("ts_us"),
         )
-        .select(*keys, "labels", "value_i", "value_f", *nulls, "ts_us")
+        .select(*keys, "value_i", "value_f", *nulls, "ts_us")
     )
 
+    # per-column max_by over the same unique BIGINT ordering picks a
+    # consistent row (codegen.py stage A uses the same shape); the
+    # string column only enters for text programs
+    lww_vals = [
+        F.max_by("value_i", ord_).alias("value_i"),
+        F.max_by("value_f", ord_).alias("value_f"),
+        (
+            F.max_by("value_s", ord_)
+            if want("text")
+            else F.lit(None).cast("string")
+        ).alias("value_s"),
+        F.max_by("ts_us", ord_).alias("out_ts"),
+    ]
     lww = (
         p.filter(F.col("kind").isin("gauge", "timer", "text"))
         .groupBy(keys)
-        .agg(
-            F.first("labels").alias("labels"),
-            F.max_by(
-                F.struct("value_i", "value_f", "value_s", "ts_us"), ord_
-            ).alias("d"),
-        )
+        .agg(*lww_vals)
         .select(
-            *keys, "labels",
-            F.col("d.value_i").alias("value_i"),
-            F.col("d.value_f").alias("value_f"),
-            F.col("d.value_s").alias("value_s"),
+            *keys, "value_i", "value_f", "value_s",
             F.lit(None).cast(_BUCKETS_TYPE).alias("buckets"),
             F.lit(None).cast("long").alias("bucket_count"),
             F.lit(None).cast("double").alias("bucket_sum"),
-            F.col("d.ts_us").alias("ts_us"),
+            F.col("out_ts").alias("ts_us"),
         )
     )
 
@@ -733,17 +743,11 @@ def _merge_chunk_partials(
         "buckets", F.from_json("buckets_json", _BUCKETS_TYPE)
     )
     hb = (
-        hist.select(
-            *keys, "labels", F.explode("buckets").alias("b")
-        )
+        hist.select(*keys, F.explode("buckets").alias("b"))
         .groupBy(*keys, F.col("b.le").alias("le"))
-        .agg(
-            F.first("labels").alias("labels"),
-            F.sum("b.count").alias("cnt"),
-        )
+        .agg(F.sum("b.count").alias("cnt"))
         .groupBy(keys)
         .agg(
-            F.first("labels").alias("labels"),
             F.array_sort(
                 F.collect_list(
                     F.struct(F.col("le"), F.col("cnt").alias("count"))
@@ -761,7 +765,7 @@ def _merge_chunk_partials(
             ["src_file", "name", "labels_json"],
         )
         .select(
-            *keys, "labels",
+            *keys,
             F.lit(None).cast("long").alias("value_i"),
             F.lit(None).cast("double").alias("value_f"),
             F.lit(None).cast("string").alias("value_s"),

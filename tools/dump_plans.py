@@ -45,8 +45,9 @@ SHOW = [
 
 INTERESTING = re.compile(
     r"PushedFilters|ReadSchema|BroadcastHashJoin|SortMergeJoin|"
-    r"BroadcastNestedLoopJoin|HashAggregate|partial|Exchange|"
-    r"WholeStageCodegen|Window|Generate|PhotonAgg"
+    r"BroadcastNestedLoopJoin|HashAggregate|SortAggregate|partial|"
+    r"Exchange|WholeStageCodegen|Window|Generate|PhotonAgg|"
+    r"MapInPandas|ArrowEval|LocalTableScan"
 )
 
 
@@ -67,6 +68,95 @@ def summarize(plan: str) -> str:
         if len(lines) > 40:
             break
     return "\n".join(lines)
+
+
+def dhcpd_section(spark, qs):
+    """Flagship plan (the engine's heaviest query): the r4 rewrite's
+    invariants, self-audited by node counts so a regression shows up
+    as a changed number, not a prose drift."""
+    df = qs["mtail_prog_dhcpd"](spark, SF)
+    plan = grab_plan(df)
+    n_hash = len(re.findall(r"\bHashAggregate\b", plan))
+    n_sort = len(re.findall(r"\bSortAggregate\b", plan))
+    n_exch = len(re.findall(r"\bExchange\b", plan))
+    n_win = len(re.findall(r"\bWindow\b", plan))
+    n_local = len(re.findall(r"\bLocalTableScan\b", plan))
+    out = [
+        "## mtail_prog_dhcpd (flagship: 27-site compiled program)",
+        "",
+        "*Expectation:* scan -> literal-prefiltered shared regex "
+        "projection -> event-array explode UNIONED with the tiny "
+        "zero-init identity-event local relation (NOT an anti-join "
+        "re-executing the upstream) -> two all-primitive HashAggregate "
+        "stages -> in-plan store select.  Invariants: **0 "
+        "SortAggregate** (counter-only program stays all-primitive), "
+        "no window pass, no driver materialization anywhere in the "
+        "plan (the only LocalTableScan is the zero-init identity "
+        "relation), and a single-digit Exchange count.",
+        "",
+        f"*Counted in this plan:* HashAggregate={n_hash}, "
+        f"SortAggregate={n_sort}, Exchange={n_exch}, Window={n_win}, "
+        f"LocalTableScan={n_local}.",
+        "",
+        "```",
+        summarize(plan),
+        "```",
+        "",
+    ]
+    assert n_sort == 0, "dhcpd plan regressed: SortAggregate appeared"
+    assert n_win == 0, "dhcpd plan regressed: Window appeared"
+    return out
+
+
+def chunkfold_section(spark):
+    """Plan evidence for the chunkfold backend (register-RMW programs
+    on big inputs): phase A must be exchange-free when the scan has
+    enough splits, and the merge must only plan branches for the
+    program's exported kinds."""
+    import tempfile
+
+    from mtail_spark.compiler.api import compile_program
+    from mtail_spark.compiler.chunkfold import chunkfold_store
+
+    src = open("/root/reference/examples/mysql_slowqueries.mtail").read()
+    prog = compile_program(src, "mysql_slowqueries.mtail")
+    out = [
+        "## chunkfold (mysql_slowqueries, register-RMW big-input route)",
+        "",
+        "*Expectation:* the returned merge plan reads the persisted "
+        "phase-A output (InMemoryTableScan over the zero-exchange "
+        "MapInPandas — scan splits are the chunks, so NO exchange and "
+        "NO sort below it), collapses chunks per file and merges "
+        "across files as two HashAggregate levels; the program is "
+        "counter-only, so no gauge/histogram branch and no join "
+        "appears anywhere.",
+        "",
+        "```",
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        import os
+
+        p = os.path.join(td, "m.log")
+        with open(p, "w") as fh:
+            for i in range(20000):
+                fh.write(f"# User@Host: u[u] @ h [192.0.2.{i%250}]\n")
+                fh.write(f"# Query_time: {i%40}  Lock_time: {i%5}\n")
+                fh.write(f"SET timestamp={1207033681+i};\n")
+                fh.write(f"UPDATE t SET x = {i} # svc;\n")
+        from mtail_spark.sources.logs import read_log_lines
+
+        mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 << 10))
+        try:
+            df = read_log_lines(spark, p, exact_order=False)
+            store = chunkfold_store(prog, spark, df)
+            plan = grab_plan(store)
+            out.append(summarize(plan))
+            store._chunkfold_cache.unpersist()
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+    out.extend(["```", ""])
+    return out
 
 
 def register_plans(spark):
@@ -133,6 +223,7 @@ def main():
         "look for per query, then the plan nodes that prove it.",
         "",
     ]
+    out.extend(dhcpd_section(spark, qs))
     for name, why in SHOW:
         df = qs[name](spark, SF)
         plan = grab_plan(df)
@@ -145,6 +236,7 @@ def main():
         out.append("```")
         out.append("")
     out.extend(register_plans(spark))
+    out.extend(chunkfold_section(spark))
     with open("/root/repo/PLANS.md", "w") as fh:
         fh.write("\n".join(out))
     print("wrote PLANS.md")
