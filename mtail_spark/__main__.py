@@ -152,6 +152,12 @@ def main(argv=None):
                     help="IANA timezone for strptime wall clocks whose "
                          "layout carries no zone (reference flag; "
                          "default UTC)")
+    ap.add_argument("--poll_interval", type=float, default=0.25,
+                    help="seconds between stat polls of each tailed "
+                         "log file in serve mode (reference "
+                         "cmd/mtail/main.go:65); appends, in-place "
+                         "truncation (copytruncate) and rotations are "
+                         "picked up at this cadence")
     ap.add_argument("--progs_poll_interval", type=float, default=1.0,
                     help="seconds between progs-dir reload scans in "
                          "serve mode (0 disables; SIGHUP always "
@@ -366,10 +372,30 @@ def main(argv=None):
             stores.append(runner)
             queries.append(q)
     elif args.logs:
+        import tempfile
+
         from mtail_spark.compiler.api import compile_program
+        from mtail_spark.sources.filetail import (
+            FileTailSpooler,
+            filetail_lines_stream,
+        )
         from mtail_spark.streaming import run_program_stream
         from mtail_spark.streaming.reload import ProgramSet
         from mtail_spark.streaming.stateful import run_stateful_stream
+
+        # In-place tailer (appends + copytruncate + rotation; Spark's
+        # file source alone reads a file only once at discovery).  The
+        # spool root lives under --checkpoint_dir when given so a
+        # restarted server resumes tail offsets with its checkpoints.
+        tail_root = (
+            os.path.join(args.checkpoint_dir, "tailspool")
+            if args.checkpoint_dir
+            else tempfile.mkdtemp(prefix="mtail-tail-")
+        )
+        tailer = FileTailSpooler(
+            args.logs, tail_root, poll_interval=args.poll_interval
+        )
+        tailer.start()
 
         def serve_compile(src, name):
             # Thread every compile-affecting CLI flag through the
@@ -401,14 +427,11 @@ def main(argv=None):
                     ignore_basename_regex=(
                         args.ignore_filename_regex_pattern
                     ),
+                    source=filetail_lines_stream(spark, tailer),
                 )
-            stream = spark.readStream.format("text").load(args.logs)
             from pyspark.sql import functions as F
 
-            lines = stream.select(
-                F.input_file_name().alias("filename"),
-                F.regexp_replace(F.col("value"), "\r$", "").alias("line"),
-            )
+            lines = filetail_lines_stream(spark, tailer)
             if args.ignore_filename_regex_pattern:
                 lines = lines.filter(
                     ~F.element_at(

@@ -42,13 +42,25 @@ class SpoolDir:
 
     def __init__(self, path: str, roll_bytes: int = 4 << 20,
                  flush_secs: float = 0.5):
+        import glob as _glob
+        import re as _re
+
         self.path = path
         self.roll_bytes = roll_bytes
         self.flush_secs = flush_secs
         os.makedirs(path, exist_ok=True)
         self._buf: list[str] = []
         self._buf_bytes = 0
+        # resume the sequence after existing spool files: a spooler
+        # re-created over the same directory (server restart, a tailed
+        # path re-opened after rotation) must never overwrite a
+        # finalized file — the streaming source would silently see
+        # only one of the two contents
         self._seq = 0
+        for f in _glob.glob(os.path.join(path, "spool-*.log")):
+            m = _re.search(r"spool-(\d+)\.log$", f)
+            if m:
+                self._seq = max(self._seq, int(m.group(1)) + 1)
         self._last_flush = time.monotonic()
         self._lock = threading.Lock()
 

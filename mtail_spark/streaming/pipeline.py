@@ -227,9 +227,16 @@ def run_program_stream(
     gc_every_batches: int = 10,
     store_path: str | None = None,
     ignore_basename_regex: str | None = None,
+    source: DataFrame | None = None,
 ):
     """Start a streaming query running `prog` over text files appearing
     under `path`.  Returns (store, StreamingQuery).
+
+    source, when given, is a pre-built STREAMING (filename, line)
+    relation replacing the direct text-file source — used by serve
+    mode's in-place file tailer (sources/filetail.py), whose spool
+    indirection sees appends and copytruncate rotations the plain
+    file source never re-reads.
 
     ignore_basename_regex drops lines from files whose basename
     matches (reference --ignore_filename_regex_pattern, applied by the
@@ -251,7 +258,14 @@ def run_program_stream(
         # persist the batch's lines once: the program plan and the
         # line count both read the cache, so the source is scanned a
         # single time per micro-batch (no second action recompute)
-        lines = streaming_log_lines(batch_df)
+        if "value" in batch_df.columns:
+            lines = streaming_log_lines(batch_df)
+        else:  # pre-shaped (filename, line) source
+            lines = batch_df.select(
+                "filename",
+                F.monotonically_increasing_id().alias("line_no"),
+                "line",
+            )
         if ignore_basename_regex:
             lines = lines.filter(
                 ~F.element_at(
@@ -272,7 +286,11 @@ def run_program_stream(
         if store_path:
             store.save(store_path)
 
-    stream = spark.readStream.format("text").load(path)
+    stream = (
+        source
+        if source is not None
+        else spark.readStream.format("text").load(path)
+    )
     writer = stream.writeStream.foreachBatch(on_batch)
     if trigger:
         writer = writer.trigger(**trigger)

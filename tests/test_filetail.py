@@ -1,0 +1,132 @@
+"""In-place file tailing (sources/filetail.py): append, truncation
+(logrotate copytruncate), and rotation semantics, mirroring reference
+internal/tailer/logstream/filestream.go:119-127,178-190."""
+
+import glob
+import os
+import time
+
+from mtail_spark.sources.filetail import (
+    FileTailSpooler,
+    decode_spool_filename,
+)
+
+
+def _spooled_lines(root):
+    out = {}
+    for f in sorted(glob.glob(os.path.join(root, "*", "spool-*.log"))):
+        src = decode_spool_filename(f)
+        out.setdefault(src, []).extend(
+            open(f).read().splitlines()
+        )
+    return out
+
+
+def test_append_truncate_rotate_unit(tmp_path):
+    log = tmp_path / "app.log"
+    root = tmp_path / "spool"
+    log.write_text("a1\na2\n")
+    sp = FileTailSpooler(str(log), str(root), poll_interval=0.05)
+    sp.poll_once()
+    assert _spooled_lines(str(root))[str(log)] == ["a1", "a2"]
+
+    # append
+    with open(log, "a") as fh:
+        fh.write("a3\n")
+    sp.poll_once()
+    assert _spooled_lines(str(root))[str(log)] == ["a1", "a2", "a3"]
+
+    # in-place truncation (copytruncate): size < offset -> re-read
+    # from 0 (reference filestream.go:178-190)
+    with open(log, "w") as fh:
+        fh.write("b1\n")
+    sp.poll_once()
+    assert _spooled_lines(str(root))[str(log)] == [
+        "a1", "a2", "a3", "b1",
+    ]
+
+    # rotation: rename + recreate -> old handle drained, new file
+    # read from 0 (filestream.go:119-127)
+    os.rename(log, tmp_path / "app.log.1")
+    with open(log, "w") as fh:
+        fh.write("c1\nc2\n")
+    sp.poll_once()
+    assert _spooled_lines(str(root))[str(log)] == [
+        "a1", "a2", "a3", "b1", "c1", "c2",
+    ]
+
+    # partial (unterminated) lines carry until completed
+    with open(log, "a") as fh:
+        fh.write("c3-part")
+    sp.poll_once()
+    assert _spooled_lines(str(root))[str(log)][-1] == "c2"
+    with open(log, "a") as fh:
+        fh.write("ial\n")
+    sp.poll_once()
+    assert _spooled_lines(str(root))[str(log)][-1] == "c3-partial"
+
+
+def test_offsets_resume_across_restart(tmp_path):
+    log = tmp_path / "app.log"
+    root = tmp_path / "spool"
+    log.write_text("x1\nx2\n")
+    sp = FileTailSpooler(str(log), str(root), poll_interval=0.05)
+    sp.poll_once()
+    sp._save_offsets()
+    # "restart": a new spooler over the same root must NOT re-read
+    # the already-spooled bytes
+    with open(log, "a") as fh:
+        fh.write("x3\n")
+    sp2 = FileTailSpooler(str(log), str(root), poll_interval=0.05)
+    sp2.poll_once()
+    assert _spooled_lines(str(root))[str(log)] == ["x1", "x2", "x3"]
+
+
+def test_truncation_while_serving_stream(spark, tmp_path):
+    """End-to-end VERDICT r4 item 5: a streaming query over a tailed
+    file must count appended lines AND the post-copytruncate
+    contents exactly once."""
+    from mtail_spark.compiler.api import compile_program
+    from mtail_spark.sources.filetail import filetail_lines_stream
+    from mtail_spark.streaming import run_program_stream
+
+    log = tmp_path / "daemon.log"
+    root = tmp_path / "spool"
+    log.write_text("one\ntwo\n")
+    sp = FileTailSpooler(str(log), str(root), poll_interval=0.05)
+    sp.start()
+    prog = compile_program(
+        "counter lines_total\n// { lines_total++ }\n", "lc.mtail"
+    )
+    store, query = run_program_stream(
+        prog, spark, None,
+        trigger={"processingTime": "200 milliseconds"},
+        source=filetail_lines_stream(spark, sp),
+    )
+
+    def count():
+        for r in store.rows():
+            if r.get("name") == "lines_total":
+                return r.get("value_i")
+        return None
+
+    def wait_for(n, timeout=30.0):
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < timeout:
+            if count() == n:
+                return True
+            time.sleep(0.2)
+        return False
+
+    try:
+        assert wait_for(2), f"initial lines not seen: {count()}"
+        with open(log, "a") as fh:
+            fh.write("three\n")
+        assert wait_for(3), f"append not tailed: {count()}"
+        # copytruncate: file replaced in place with fresh content
+        with open(log, "w") as fh:
+            fh.write("four\nfive\n")
+        assert wait_for(5), f"truncation not re-read: {count()}"
+    finally:
+        query.stop()
+        sp.stop()
