@@ -152,6 +152,13 @@ def main(argv=None):
                     help="IANA timezone for strptime wall clocks whose "
                          "layout carries no zone (reference flag; "
                          "default UTC)")
+    ap.add_argument("--table_store_dir",
+                    help="serve metrics from a parquet-backed table "
+                         "at this directory instead of the driver-RAM "
+                         "store (engine extension: the 100x-label-"
+                         "cardinality escape hatch — per-batch merges "
+                         "run as Spark jobs and never collect the "
+                         "store to the driver)")
     ap.add_argument("--poll_interval", type=float, default=0.25,
                     help="seconds between stat polls of each tailed "
                          "log file in serve mode (reference "
@@ -421,8 +428,22 @@ def main(argv=None):
                 snap = os.path.join(base, "store.json")
                 os.makedirs(base, exist_ok=True)
             if prog.vectorizable:
+                tstore = None
+                if args.table_store_dir:
+                    from mtail_spark.streaming.tablestore import (
+                        TableMetricStore,
+                    )
+
+                    tstore = TableMetricStore(
+                        prog, spark,
+                        os.path.join(
+                            args.table_store_dir,
+                            prog.name.replace("/", "_"),
+                        ),
+                    )
                 return run_program_stream(
                     prog, spark, args.logs,
+                    store=tstore,
                     checkpoint=ckpt, store_path=snap,
                     ignore_basename_regex=(
                         args.ignore_filename_regex_pattern

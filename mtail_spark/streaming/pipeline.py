@@ -277,8 +277,14 @@ def run_program_stream(
             if batch_id > store.last_batch_id:
                 result = prog.run_batch(spark, lines, cache_plan=False)
                 n = lines.count()
-                store.merge_batch(result.collect(), batch_id=batch_id)
                 store.n_lines += n
+                if hasattr(store, "merge_batch_df"):
+                    # table-backed store: the batch store merges into
+                    # the serving table as a Spark job — the 100x-
+                    # cardinality path never collects to the driver
+                    store.merge_batch_df(result, batch_id=batch_id)
+                else:
+                    store.merge_batch(result.collect(), batch_id=batch_id)
         finally:
             lines.unpersist()
         if gc_every_batches and store.n_batches % gc_every_batches == 0:
