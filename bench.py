@@ -188,6 +188,43 @@ def main():
         "dhcpd_klines_per_sec": round(
             n_events / 1000.0 / max(timings["mtail_prog_dhcpd"], 1e-9), 1
         ),
+        # Min-basis (best-of-N) is the PRIMARY cross-round comparison
+        # basis for every query at both scales (queries_min /
+        # sf1_queries_min): on this shared VM the median folds in
+        # whatever contention that day brings, while the min is the
+        # reproducible engine cost — see BENCH.md "variance".  The
+        # warm-median fields above remain for continuity with earlier
+        # rounds' records.
+        "cross_round_basis": "min",
+        "dhcpd_klines_per_sec_best": round(
+            n_events / 1000.0
+            / max(timings_min["mtail_prog_dhcpd"], 1e-9),
+            1,
+        ),
+        "compiled_program_klines_per_sec_best": round(
+            n_events / 1000.0
+            / max(timings_min["mtail_prog_counters"], 1e-9),
+            1,
+        ),
+        "mtail_parity_klines_per_sec_best": round(
+            n_events
+            / 1000.0
+            / max(
+                sum(
+                    timings_min[q]
+                    for q in (
+                        "mtail_linecount",
+                        "mtail_counter_by",
+                        "mtail_bytes_sum",
+                        "mtail_gauge_lww",
+                        "mtail_histogram",
+                    )
+                )
+                / 5.0,
+                1e-9,
+            ),
+            1,
+        ),
     }
 
     sf1 = _sf1_dir()
