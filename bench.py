@@ -35,6 +35,11 @@ BENCH_QUERIES = [
     # the reference's heaviest example (27 sites; its slowest
     # benchmark row at ~6 klines/s single-process)
     "mtail_prog_dhcpd",
+    # register-RMW class (mysql_slowqueries pattern): scalar
+    # cross-line registers; auto-routes to the chunkfold backend on
+    # large inputs (sf1), the stratified window plan below 8 MB
+    "mtail_prog_txn",
+    "mtail_prog_stateful",
     # relational
     "tpch_pricing_summary",
     "join_revenue_by_nation",
@@ -57,6 +62,7 @@ SF1_QUERIES = [
     "mtail_histogram",
     "mtail_prog_counters",
     "mtail_prog_histogram",
+    "mtail_prog_txn",
     "tpch_pricing_summary",
     "join_revenue_by_nation",
     "window_topk_orders",

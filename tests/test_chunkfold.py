@@ -234,6 +234,25 @@ def test_audit_falls_back_on_disorder(spark, tmp_path, monkeypatch):
         spark.conf.set("spark.sql.files.maxPartitionBytes", orig)
 
 
+def test_txn_demo_through_chunkfold(spark, monkeypatch):
+    """The oracle-checked txn demo program (scalar text/gauge
+    registers, self-cycle, register-read metric label) must produce
+    the identical store through chunkfold — this is the program the
+    sf1 bench routes through the chunkfold backend."""
+    from mtail_spark.plans.demo_programs import (
+        TXN_PROG,
+        render_txn_lines,
+    )
+
+    prog = compile_program(TXN_PROG, "demo_txn.mtail")
+    assert prog.chunkfoldable
+    df = render_txn_lines(spark, "/root/testdata/sf0.001")
+    monkeypatch.setattr(CF, "CHUNK_LINES", 211)
+    a = _run(spark, prog, df, "fold")
+    b = _run(spark, prog, df, "chunkfold")
+    assert a == b
+
+
 # ----------------------------------------------------- golden parity
 
 
