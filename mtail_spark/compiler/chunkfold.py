@@ -116,14 +116,19 @@ def chunkfold_unsupported_reason(prog: CheckedProgram) -> str | None:
         if not err:
             err.append(msg)
 
+    for name, mi in metrics.items():
+        # a hidden histogram's value is a bucket-count list — not
+        # representable in the chunk state snapshots (and reading one
+        # is not meaningful DSL anyway)
+        if mi.decl.hidden and mi.decl.kind == "histogram":
+            fail(f"hidden histogram {name}")
+
     def walk_expr(e, stmt_root=False):
         if isinstance(e, A.IndexedExpr):
-            # read position
+            # read position: must be a register (scalar or dimensioned)
             name, mi = target_info(e)
             if mi is None or not mi.decl.hidden:
                 fail(f"reads exported metric {name}")
-            elif mi.decl.keys:
-                fail(f"reads dimensioned register {name}")
             for ix in e.index:
                 walk_expr(ix)
         elif isinstance(e, A.BinaryExpr):
@@ -141,8 +146,6 @@ def chunkfold_unsupported_reason(prog: CheckedProgram) -> str | None:
                             fail(f"+= on exported {kind} {name}")
                         if e.op == "=" and kind == "counter":
                             fail(f"= on exported counter {name}")
-                    elif mi is not None and e.op == "+=" and mi.decl.keys:
-                        fail(f"RMW on dimensioned register {name}")
                     for ix in t.index:
                         walk_expr(ix)
                 else:
@@ -159,8 +162,6 @@ def chunkfold_unsupported_reason(prog: CheckedProgram) -> str | None:
                         fail(f"consumes exported RMW {name}")
                     if mi.decl.kind not in ("counter", "histogram"):
                         fail(f"++ on exported {mi.decl.kind} {name}")
-                elif mi is not None and mi.decl.keys:
-                    fail(f"RMW on dimensioned register {name}")
                 for ix in e.expr.index:
                     walk_expr(ix)
             else:
@@ -187,8 +188,6 @@ def chunkfold_unsupported_reason(prog: CheckedProgram) -> str | None:
             mi = metrics.get(name)
             if mi is None or not mi.decl.hidden:
                 fail(f"del of exported metric {name}")
-            elif mi.decl.keys:
-                fail(f"del of dimensioned register {name}")
             for ix in s.target.index:
                 walk_expr(ix)
 
@@ -270,41 +269,48 @@ class TrackingStore(Store):
 
 
 class SpecStore(TrackingStore):
-    """Phase-A tri-state store: hidden scalar metrics are Known only
-    after a write (or del: deleted reads back as the typed zero, a
-    DEFINED value) within the chunk; reading an Unknown one raises
-    NeedState.  Exported metrics never gate (the class check bars
-    reading them), and their chunk-local values are deltas/last
-    writes merged later."""
+    """Phase-A tri-state store: a register ENTRY (scalar: labels=();
+    dimensioned: one per label tuple) is Known only after a write (or
+    del: deleted reads back as the typed zero, a DEFINED value)
+    within the chunk; reading an Unknown one raises NeedState.
+    Exported metrics never gate (the class check bars reading them),
+    and their chunk-local values are deltas/last writes merged
+    later."""
 
     def __init__(self, prog: CheckedProgram):
         super().__init__(prog)
-        self.known: set[str] = set()
-        self._known_line: list[str] = []  # Known-adds of the current line
+        # register name -> set of Known label tuples this chunk
+        self.known: dict[str, set] = {}
+        self._known_line: list[tuple] = []  # Known-adds of this line
 
-    def _gate(self, name):
-        if name in self._hidden and name not in self.known:
+    def _gate(self, name, labels):
+        if name in self._hidden and labels not in self.known.get(
+            name, ()
+        ):
             raise NeedState(name)
 
+    def _learn(self, name, labels):
+        if name in self._hidden:
+            s = self.known.setdefault(name, set())
+            if labels not in s:
+                s.add(labels)
+                self._known_line.append((name, labels))
+
     def get(self, name, labels):
-        self._gate(name)
+        self._gate(name, labels)
         return super().get(name, labels)
 
     def inc(self, name, labels, delta, ts_us):
-        self._gate(name)  # RMW reads the previous value
+        self._gate(name, labels)  # RMW reads the previous value
         super().inc(name, labels, delta, ts_us)
 
     def set(self, name, labels, value, ts_us):
         super().set(name, labels, value, ts_us)
-        if name in self._hidden and name not in self.known:
-            self.known.add(name)
-            self._known_line.append(name)
+        self._learn(name, labels)
 
     def delete(self, name, labels):
         super().delete(name, labels)
-        if name in self._hidden and name not in self.known:
-            self.known.add(name)
-            self._known_line.append(name)
+        self._learn(name, labels)
 
     def begin_line(self, line_no: int):
         super().begin_line(line_no)
@@ -312,43 +318,52 @@ class SpecStore(TrackingStore):
 
     def rollback_line(self):
         super().rollback_line()
-        for n in self._known_line:
-            self.known.discard(n)
+        for name, labels in self._known_line:
+            self.known.get(name, set()).discard(labels)
         self._known_line.clear()
 
     def snapshot(self) -> dict:
-        """Known register values at the current point (recorded with a
-        deferred line so the replay sees exactly this state)."""
-        return {n: Store.get(self, n, ()) for n in self.known}
+        """Known register entry values at the current point (recorded
+        with a deferred line so the replay sees exactly this state)."""
+        return {
+            (name, labels): Store.get(self, name, labels)
+            for name, entries in self.known.items()
+            for labels in entries
+        }
 
 
 # --------------------------------------------------- state serialization
 
 
 def _dump_state(state: dict) -> str:
-    out = {}
-    for n, v in state.items():
+    """{(name, labels): value} -> JSON (typed; labels as a list)."""
+    out = []
+    for (n, labels), v in state.items():
         if isinstance(v, bool):
-            out[n] = ["i", int(v)]
+            rec = [n, list(labels), "i", int(v)]
         elif isinstance(v, int):
-            out[n] = ["i", v]
+            rec = [n, list(labels), "i", v]
         elif isinstance(v, float):
-            out[n] = ["f", v]
+            rec = [n, list(labels), "f", v]
         else:
-            out[n] = ["s", str(v)]
-    return json.dumps(out, sort_keys=True)
+            rec = [n, list(labels), "s", str(v)]
+        out.append(rec)
+    out.sort(key=lambda r: (r[0], r[1]))
+    return json.dumps(out)
 
 
 def _load_state(s: str) -> dict:
     out = {}
-    for n, (t, v) in json.loads(s).items():
-        out[n] = int(v) if t == "i" else float(v) if t == "f" else str(v)
+    for n, labels, t, v in json.loads(s):
+        out[(n, tuple(labels))] = (
+            int(v) if t == "i" else float(v) if t == "f" else str(v)
+        )
     return out
 
 
 def _apply_state(st: Store, state: dict) -> None:
-    for name, v in state.items():
-        st._datum(name, ())[0] = v
+    for (name, labels), v in state.items():
+        st._datum(name, labels)[0] = v
 
 
 # -------------------------------------------------------------- export
@@ -458,14 +473,17 @@ def _salvage(it: Interp, rt, st: SpecStore, line: str):
     registers and chunk-start deferral cascades through the whole
     chunk (mysql: settime(time) and the user=="" stop guard touch
     every line, so knowledge could never accumulate)."""
-    fired = rt.fired
+    fired_sids = {sid for sid, _labels in rt.fired}
     written = {}
-    for sid in fired:
+    for sid, labels in rt.fired:
         g, _doms = it.reg_sites[sid]
-        written[g] = Store.get(st, g, ())
+        written[(g, labels)] = Store.get(st, g, labels)
+    # threat is REGISTER-level: an unfired dimensioned site's key
+    # expression is unevaluated, so any entry of that register could
+    # be the one it writes
     threat: set = set()
     for sid, (g, doms) in enumerate(it.reg_sites):
-        if sid in fired or g in threat:
+        if sid in fired_sids or g in threat:
             continue
         could_fire = True
         for rid in doms:
@@ -580,11 +598,13 @@ def _phase_a_fn(src: str, name: str, use_year: bool, tz, now_us: int):
                             (line_no, line, _dump_state(st.snapshot()))
                         )
                         for g in threat:
-                            st.known.discard(g)
-                        for g, v in written.items():
+                            st.known.pop(g, None)
+                        for (g, labels), v in written.items():
                             if g not in threat:
-                                st._datum(g, ())[0] = v
-                                st.known.add(g)
+                                st._datum(g, labels)[0] = v
+                                st.known.setdefault(g, set()).add(
+                                    labels
+                                )
                     except (StopLine, LineError):
                         pass
         out: list[dict] = []
@@ -901,6 +921,12 @@ def chunkfold_store(
             cprog, spark, log_lines, now_us, _force_exchange=True
         )
     extra = _replay(cprog, ctl, now_us)
+    if not ctl:
+        # zero input rows: the store is still the zero-init store
+        # (reference one-shot over an empty file exports zero-valued
+        # scalar counters/histograms; the vectorized backend's
+        # identity-event union gives the same)
+        extra = _partials_with_tags(TrackingStore(cprog.checked), "")
 
     partials = df_a.filter(F.col("row_type") == 0).select(
         [c for c in _COLS if c not in ("row_type", "payload_json")]

@@ -285,10 +285,12 @@ class Runtime:
         self.line = ""
         self.filename = ""
         self.line_no = 0
-        # register-write sites that fired on the current line (sids
-        # into Interp.reg_sites) — consumed by the chunkfold backend's
-        # speculative salvage; the plain fold never reads it
-        self.fired = set()
+        # register-write sites that fired on the current line, as
+        # (sid into Interp.reg_sites, labels tuple) — consumed by the
+        # chunkfold backend's speculative salvage; the plain fold
+        # never reads it.  A site fires at most once per line (the
+        # DSL has no loops), so a list needs no dedup.
+        self.fired = []
 
 
 class Interp:
@@ -332,10 +334,10 @@ class Interp:
         return set()
 
     def _reg_site(self, name: str):
-        """Allocate a write-site id for hidden keyless (register)
-        targets; None for everything else."""
+        """Allocate a write-site id for hidden (register) targets —
+        scalar or dimensioned; None for exported metrics."""
         mi = self.prog.metrics.get(name)
-        if mi is None or not mi.decl.hidden or mi.decl.keys:
+        if mi is None or not mi.decl.hidden:
             return None
         sid = len(self.reg_sites)
         self.reg_sites.append((name, self._doms))
@@ -442,7 +444,7 @@ class Interp:
                 if expiry is None:
                     rt.store.delete(name, labels)
                     if sid is not None:
-                        rt.fired.add(sid)
+                        rt.fired.append((sid, labels))
                 # `del after` marks a TTL; GC runs hourly in the
                 # reference so one-shot folds never apply it.
             return ("plain", do_del)
@@ -533,7 +535,7 @@ class Interp:
                 labels = tuple(f(rt) for f in idx)
                 rt.store.inc(name, labels, delta, rt.ts_us)
                 if sid is not None:
-                    rt.fired.add(sid)
+                    rt.fired.append((sid, labels))
                 return rt.store.get(name, labels)
             return inc
         raise ValueError(f"bad unary {e.op}")
@@ -554,7 +556,7 @@ class Interp:
                     v = rhs(rt)
                     rt.store.set(name, labels, v, rt.ts_us)
                     if sid is not None:
-                        rt.fired.add(sid)
+                        rt.fired.append((sid, labels))
                     return v
                 return setv
 
@@ -565,7 +567,7 @@ class Interp:
                     raise LineError("non-numeric +=")
                 rt.store.inc(name, labels, v, rt.ts_us)
                 if sid is not None:
-                    rt.fired.add(sid)
+                    rt.fired.append((sid, labels))
                 return rt.store.get(name, labels)
             return addv
         if op in ("=~", "!~"):

@@ -56,8 +56,14 @@ def test_gate_classification():
     rsyncd = compile_program(
         open(f"{EX}/rsyncd.mtail").read(), "rsyncd.mtail"
     )
-    # rsyncd reads/dels the dimensioned register connection_time[pid]
-    assert not rsyncd.chunkfoldable
+    # dimensioned registers (connection_time[pid]) are in-class:
+    # per-entry Known tracking, register-level taint
+    assert rsyncd.chunkfoldable
+    hidden_hist = compile_program(
+        "hidden histogram hh buckets 1, 2\ncounter c\n/x/ { hh = 1\nc++ }\n",
+        "hh.mtail",
+    )
+    assert not hidden_hist.chunkfoldable
     reads_exported = compile_program(
         "counter a\ncounter b\n// { a++ }\na > 10 { b++ }\n", "re.mtail"
     )
@@ -265,7 +271,10 @@ def test_txn_demo_through_chunkfold(spark, monkeypatch):
         ("ntpd.mtail", "ntp4", "ntp4.golden"),
         ("apache_combined.mtail", "apache-combined.log",
          "apache-combined.golden"),
+        # dimensioned registers (per-key session state)
         ("vsftpd.mtail", "vsftpd_log", "vsftpd_log.golden"),
+        ("vsftpd.mtail", "vsftpd_xferlog", "vsftpd_xferlog.golden"),
+        ("rsyncd.mtail", "rsyncd.log", "rsyncd.golden"),
     ],
 )
 def test_golden_chunkfold(spark, monkeypatch, progf, logf, goldf):

@@ -149,3 +149,81 @@ def test_chunked_register_path_agrees(spark, monkeypatch, lines):
     vec = rows_from_df(_reg_prog.run_batch(spark, df, backend="vector"))
     d = diff_stores(fold, vec)
     assert d.ok, d.render() + f"\nlines={lines!r}"
+
+
+# Dimensioned registers through the chunkfold backend: per-key session
+# state (the rsyncd/vsftpd pattern — open/update/close with del),
+# scalar registers, and stop gating, folded speculatively with a tiny
+# chunk size so deferral/salvage/replay fire on nearly every chunk.
+DIM_FUZZ_PROG = """
+hidden gauge open_at by sid
+hidden text who
+
+counter bytes_by_user by user
+counter sessions_closed
+gauge last_dur by user
+
+/^u (?P<u>[a-z]+)/ {
+  who = $u
+}
+
+who == "" {
+  stop
+}
+
+/^open (?P<sid>\\d+) at (?P<t>\\d+)/ {
+  open_at[$sid] = $t
+}
+
+/^close (?P<sid>\\d+) at (?P<t>\\d+) bytes (?P<b>\\d+)/ {
+  bytes_by_user[who] += $b
+  last_dur[who] = $t - open_at[$sid]
+  sessions_closed++
+  del open_at[$sid]
+}
+"""
+
+dim_line_st = st.one_of(
+    st.from_regex(r"u [a-z]{1,2}", fullmatch=True),
+    st.from_regex(r"open [0-9]{1,2} at [0-9]{1,3}", fullmatch=True),
+    st.from_regex(
+        r"close [0-9]{1,2} at [0-9]{1,3} bytes [0-9]{1,3}",
+        fullmatch=True,
+    ),
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=20,
+    ),
+)
+
+_dim_prog = compile_program(DIM_FUZZ_PROG, "dimfuzz.mtail")
+assert _dim_prog.chunkfoldable, _dim_prog._chunkfold_reason
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(dim_line_st, min_size=0, max_size=40))
+def test_chunkfold_agrees_on_dim_register_programs(
+    spark, monkeypatch, lines
+):
+    from mtail_spark.compiler import chunkfold as CF
+    from mtail_spark.store import rows_from_df as _rfd
+
+    monkeypatch.setattr(CF, "CHUNK_LINES", 5)
+    fold = _dim_prog.run_local(lines, filename="f")
+    df = spark.createDataFrame(
+        [("f", i, ln) for i, ln in enumerate(lines)],
+        "filename string, line_no long, line string",
+    )
+    out = _dim_prog.run_batch(
+        spark, df, backend="chunkfold", cache_plan=False
+    )
+    ck = _rfd(out)
+    cache = getattr(out, "_chunkfold_cache", None)
+    if cache is not None:
+        cache.unpersist()
+    d = diff_stores(fold, ck)
+    assert d.ok, d.render() + f"\nlines={lines!r}"
