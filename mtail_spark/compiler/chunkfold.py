@@ -43,20 +43,33 @@ merge — chunk partial stores collapse per file (counters/histograms
   the sequential fold by construction wherever both are defined.
 
 Scope (chunkfold_unsupported_reason): all metric READS and `del`s
-must target hidden KEYLESS metrics (scalar registers); exported
-metrics accept additive updates (++/--/+= on counters, = on
-histograms) and last-write assignments (= on gauge/timer/text) in
-statement position.  Anything else — exported-metric reads,
-dimensioned registers, non-additive exported RMW — is outside the
-class and keeps its existing route (vectorized window plan or the
-sequential fold).
+must target HIDDEN metrics (registers) — scalar or dimensioned
+(per-key session state, the rsyncd/vsftpd pattern: Known-ness is
+tracked per register ENTRY, and an unfired threatened site of a
+dimensioned register taints the whole register since its key
+expression is unevaluated).  Exported metrics accept additive
+updates (++/--/+= on counters, = on histograms) and last-write
+assignments (= on gauge/timer/text) in statement position.  Anything
+else — exported-metric reads, non-additive exported RMW, hidden
+histograms — is outside the class and keeps its existing route
+(vectorized window plan or the sequential fold).
 
 Reference semantics mirrored: per-line execution order
 internal/runtime/vm/vm.go:962-989; runtime-error-kills-line-only
-vm.go:97-129; `stop` vm.go:353-354.  Scaling: phase A parallelism is
-total_lines / CHUNK_LINES with a raw three-column exchange; the only
-sequential work is phase B's replay, bounded by deferred-prefix
-length x chunk count (store-sized, never line-sized).
+vm.go:97-129; `stop` vm.go:353-354.
+
+Scaling: phase A parallelism is total_lines / CHUNK_LINES (or one
+task per scan split in zero-exchange mode) over a raw three-column
+exchange at most.  The only sequential work is phase B's replay,
+bounded by deferred-prefix length x CHUNK COUNT — store-sized per
+chunk, never line-sized.  At extreme scale that driver bound is the
+knob to watch: ~10 deferred lines/chunk means 100 TB at 128 MB
+splits collects ~10M control rows; sizing splits toward 1 GB (or
+raising CHUNK_LINES) keeps control traffic in the low millions, and
+a tree-structured (two-level) replay is the natural extension if a
+single driver pass ever became the limit.  Register-state snapshots
+scale with the chunk's LIVE register-entry cardinality (per-key
+session state), not with chunk length.
 """
 
 from __future__ import annotations
@@ -96,9 +109,10 @@ class NeedState(Exception):
 def chunkfold_unsupported_reason(prog: CheckedProgram) -> str | None:
     """None when the program is in the chunkfold class, else why not.
 
-    The class: cross-chunk state must live ONLY in scalar registers
-    (hidden keyless metrics, reconstructible per chunk by the
-    replay), and every exported-metric update must be chunk-mergeable
+    The class: cross-chunk state must live ONLY in registers (hidden
+    metrics, scalar or dimensioned, reconstructible per chunk by the
+    replay — hidden histograms excepted, their value is a bucket
+    list), and every exported-metric update must be chunk-mergeable
     (additive for counter/histogram, last-write for gauge/timer/text)
     with its value unconsumed."""
     metrics = prog.metrics
