@@ -68,16 +68,62 @@ def render_log(path: str, n_records: int) -> int:
     return n
 
 
+RSYNCD_EX = "/root/reference/examples/rsyncd.mtail"
+
+
+def render_rsyncd_log(path: str, n_records: int, overlap: int = 64) -> int:
+    """Synthetic rsyncd session log: `overlap` concurrent pids cycle
+    through connect -> transfer -> close, exercising the DIMENSIONED
+    register (connection_time[pid]: write at connect, read+del at
+    close) across interleaved sessions.  Returns line count."""
+    n = 0
+    with open(path, "w") as f:
+        def w(s):
+            nonlocal n
+            f.write(s + "\n")
+            n += 1
+
+        state = {}  # slot -> (pid, phase)
+        pid_seq = 8000
+        for i in range(n_records * 3):
+            slot = i % overlap
+            pid, phase = state.get(slot, (None, 2))
+            t = 60 + (i // 37) % 86000
+            stamp = (f"2011/02/{22 + t // 86400:02d} "
+                     f"{t // 3600 % 24:02d}:{t // 60 % 60:02d}:{t % 60:02d}")
+            if phase == 2:  # open a new session
+                pid_seq += 1
+                pid = pid_seq
+                state[slot] = (pid, 0)
+                w(f"{stamp} [{pid}] connect from h{slot}.example.com "
+                  f"(192.168.0.{slot % 250})")
+            elif phase == 0:
+                state[slot] = (pid, 1)
+                w(f"{stamp} [{pid}] send h{slot}.example.com "
+                  f"[192.168.0.{slot % 250}] mod{i % 7} () f{i % 13}.bin "
+                  f"{(i * 131) % 100000}")
+            else:
+                state[slot] = (pid, 2)
+                w(f"{stamp} [{pid}] sent {(i * 17) % 9999} bytes  "
+                  f"received {(i * 7) % 999} bytes  total size "
+                  f"{(i * 131) % 100000}")
+    return n
+
+
 def main():
     n_records = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     run_fold = "--fold" in sys.argv
+    which = "rsyncd" if "--rsyncd" in sys.argv else "mysql"
 
     from mtail_spark.compiler.api import compile_program
     from mtail_spark.session import get_spark
     from mtail_spark.sources.logs import read_log_lines
     from mtail_spark.store import rows_from_df
 
-    prog = compile_program(open(EX).read(), "mysql_slowqueries.mtail")
+    if which == "rsyncd":
+        prog = compile_program(open(RSYNCD_EX).read(), "rsyncd.mtail")
+    else:
+        prog = compile_program(open(EX).read(), "mysql_slowqueries.mtail")
     assert prog.vectorizable
     assert prog.chunkfoldable
 
@@ -85,8 +131,12 @@ def main():
     out = {}
     stores = {}
     with tempfile.TemporaryDirectory() as td:
-        path = os.path.join(td, "mysql_slow.log")
-        nlines = render_log(path, n_records)
+        path = os.path.join(td, f"{which}.log")
+        if which == "rsyncd":
+            nlines = render_rsyncd_log(path, n_records)
+        else:
+            nlines = render_log(path, n_records)
+        out["prog"] = which
         out["lines"] = nlines
 
         def run(backend):
