@@ -502,8 +502,11 @@ def q_sim_lsh_bucketed(spark, sf):
 
 
 def q_sim_ivf(spark, sf):
-    """IVF ANN: iterative k-means coarse quantizer + n_probe re-rank
-    (genuinely iterative — rows-only check, no SQL oracle)."""
+    """IVF ANN: TRAINED k-means coarse quantizer + n_probe re-rank.
+    Hash-checked: the bounded Lloyd iteration unrolls into chained
+    CTEs (_sql_ivf_trained), and both engines share fixed reduction
+    orders (stable argmin; two-level id-ordered summation tree for
+    centroid updates), so the trained quantizer is bit-identical."""
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     corpus = emb.filter(F.col("vec_id") >= 5)
@@ -908,6 +911,119 @@ def _sql_ivf_fixed() -> str:
     """
 
 
+def _sql_ivf_trained() -> str:
+    """DuckDB mirror of the FULL trained-IVF pipeline (knn_ivf):
+    Lloyd's k-means UNROLLED as chained CTEs — iteration is bounded
+    and compile-time constant, so "iterative" does not mean
+    "non-SQL-expressible".  Bit-equality holds because both engines
+    use the same fixed reduction orders: seed = first k corpus
+    vectors by id; assignment = first-occurrence argmin over a
+    0.0-seeded left fold of squared dims; centroid update = a
+    two-level summation tree (values fold in id order within
+    id-range blocks of KMEANS_BLOCK, block partials fold in block
+    order — similarity.kmeans_centroids builds the identical tree);
+    then the fixed-quantizer probe/re-rank shape of _sql_ivf_fixed
+    against the trained centroids."""
+    k_lists, n_probe, iters, topk = IVF_LISTS, 2, 3, 3
+    dim, block = EMB_DIM, S.KMEANS_BLOCK
+
+    def sq(vec, cv):
+        return (
+            f"list_reduce(list_prepend(0.0, "
+            f"[({vec}[j] - {cv}[j]) * ({vec}[j] - {cv}[j]) "
+            f"for j in generate_series(1, {dim})]), (x, y) -> x + y)"
+        )
+
+    dvec = (
+        f"[CAST(embedding[j] AS DOUBLE) "
+        f"for j in generate_series(1, {dim})]"
+    )
+    parts = [
+        f"""corp AS (
+          SELECT vec_id AS cid, {dvec} AS vec
+          FROM embeddings WHERE vec_id >= 5
+        ), cent0 AS (
+          SELECT row_number() OVER (ORDER BY cid) - 1 AS cluster,
+                 vec AS cvec
+          FROM (SELECT cid, vec FROM corp ORDER BY cid LIMIT {k_lists})
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""a{i} AS (
+          SELECT cid, vec,
+                 list_position(dl, list_min(dl)) - 1 AS cluster
+          FROM (
+            SELECT e.cid, e.vec,
+                   list({sq('e.vec', 'c.cvec')}
+                        ORDER BY c.cluster) AS dl
+            FROM corp e CROSS JOIN cent{i - 1} c
+            GROUP BY e.cid, e.vec
+          )
+        ), u{i} AS (
+          SELECT cluster, d,
+                 list_reduce(list_prepend(0.0, list(bs ORDER BY b)),
+                             (x, y) -> x + y) AS sx,
+                 sum(n) AS n
+          FROM (
+            SELECT cluster, d, b,
+                   list_reduce(
+                     list_prepend(0.0, list(x ORDER BY cid)),
+                     (x, y) -> x + y) AS bs,
+                   count(*) AS n
+            FROM (
+              SELECT cluster, cid, cid // {block} AS b,
+                     j AS d, vec[j] AS x
+              FROM a{i}, generate_series(1, {dim}) t(j)
+            )
+            GROUP BY cluster, d, b
+          )
+          GROUP BY cluster, d
+        ), cent{i} AS (
+          SELECT p.cluster, COALESCE(nu.cvec, p.cvec) AS cvec
+          FROM cent{i - 1} p LEFT JOIN (
+            SELECT cluster, list(sx / n ORDER BY d) AS cvec
+            FROM u{i} GROUP BY cluster
+          ) nu USING (cluster)
+        )""")
+    parts.append(f"""ca AS (
+          SELECT cid AS corpus_id, vec,
+                 list_position(dl, list_min(dl)) - 1 AS list_id
+          FROM (
+            SELECT e.cid, e.vec,
+                   list({sq('e.vec', 'c.cvec')}
+                        ORDER BY c.cluster) AS dl
+            FROM corp e CROSS JOIN cent{iters} c
+            GROUP BY e.cid, e.vec
+          )
+        ), qd AS (
+          SELECT query_id, vec, list(dd ORDER BY cluster) AS dl
+          FROM (
+            SELECT q.query_id, q.vec, c.cluster,
+                   {sq('q.vec', 'c.cvec')} AS dd
+            FROM (SELECT vec_id AS query_id, {dvec} AS vec
+                  FROM embeddings WHERE vec_id < 5) q
+            CROSS JOIN cent{iters} c
+          )
+          GROUP BY query_id, vec
+        ), probes AS (
+          SELECT query_id, vec, i - 1 AS list_id
+          FROM qd, generate_series(1, {k_lists}) t(i)
+          QUALIFY row_number() OVER (PARTITION BY query_id
+                    ORDER BY dl[i] ASC, i ASC) <= {n_probe}
+        )""")
+    return f"""
+        WITH {', '.join(parts)}
+        SELECT query_id, corpus_id, cos_sim, rk AS rank FROM (
+          SELECT p.query_id, c.corpus_id,
+                 {_sql_cosine('p.vec', 'c.vec')} AS cos_sim,
+                 row_number() OVER (PARTITION BY p.query_id
+                   ORDER BY {_sql_cosine('p.vec', 'c.vec')} DESC,
+                            c.corpus_id ASC) rk
+          FROM probes p JOIN ca c ON p.list_id = c.list_id
+        ) WHERE rk <= {topk}
+    """
+
+
 def _sql_plane_literal(plane: list[float]) -> str:
     return "[" + ", ".join(repr(v) for v in plane) + "]"
 
@@ -1223,6 +1339,7 @@ FROM lab
                 ON q.vec_id < 5 AND c.vec_id >= 5
             ) WHERE rk <= 3
         """,
+        "sim_ivf": _sql_ivf_trained(),
         "sim_ivf_fixed": _sql_ivf_fixed(),
         "sim_lsh_bucketed": f"""
             WITH q AS (

@@ -294,6 +294,11 @@ def hyperplane_signature(vec: str, planes: list[list[float]]) -> Column:
     return F.expr(f"({bits})")
 
 
+# Members per summation block in the deterministic k-means update:
+# bounds every collect_list to <= KMEANS_BLOCK entries.
+KMEANS_BLOCK = 256
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     k: int = 8,
@@ -302,13 +307,22 @@ def kmeans_centroids(
     iters: int = 5,
     dim: int = 64,
 ) -> list[list[float]]:
-    """Deterministic Lloyd's k-means (driver-side centroids, exact
-    assignment in Spark): seeds are the first k vectors by id, each
-    iteration is one groupBy over the corpus (elementwise sums via
-    posexplode + (cluster, dim) aggregation — no Python in the loop).
+    """BIT-deterministic Lloyd's k-means (driver-side centroids,
+    exact assignment in Spark): seeds are the first k vectors by id;
+    each iteration assigns with the stable-argmin kernel and updates
+    centroids through a FIXED two-level summation tree — per
+    (cluster, dim) the member values fold left in id order within
+    id-range blocks of KMEANS_BLOCK, then the block partials fold
+    left in block order.  The result is independent of partitioning
+    and shuffle order (a plain F.sum is not: float addition is
+    non-associative), which is what lets the trained quantizer be
+    reproduced bit-for-bit by the unrolled DuckDB oracle
+    (__spark_entry__._sql_ivf_trained).
 
     At 100 TB: k centroids broadcast each iteration; the shuffle
-    carries k x dim partial sums per partition."""
+    carries (cluster, dim, block) partials whose count is rows/256
+    per dim — a depth-2 tree, deepened the same way (another block
+    level) if block counts ever outgrew a collect_list."""
     c = corpus.select(
         F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("vec")
     )
@@ -318,12 +332,33 @@ def kmeans_centroids(
         assigned = c.withColumn(
             "cluster", nearest_centroid_udf(centroids)(F.col("vec"))
         )
-        sums = (
+        blk = (
             assigned.select(
-                "cluster", F.posexplode("vec").alias("d", "x")
+                "cluster", "cid", F.posexplode("vec").alias("d", "x")
             )
-            .groupBy("cluster", "d")
-            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "b", F.floor(F.col("cid") / F.lit(KMEANS_BLOCK))
+            )
+            .groupBy("cluster", "d", "b")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("cid", "x"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["x"],
+                ).alias("bs"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        sums = (
+            blk.groupBy("cluster", "d")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("b", "bs"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["bs"],
+                ).alias("sx"),
+                F.sum("n").alias("n"),
+            )
             .collect()
         )
         acc: dict[int, list] = {}

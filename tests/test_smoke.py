@@ -14,11 +14,9 @@ def test_queries_and_oracles_aligned():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # all but the explicitly rows-only entries have oracles
-    rows_only = set(qs) - set(oracles)
-    # the ONE genuinely non-SQL-expressible op: iterative k-means
-    # (its fixed-quantizer sibling sim_ivf_fixed is hash-checked)
-    assert rows_only == {"sim_ivf"}
+    # EVERY query has an oracle: bounded iteration (k-means) unrolls
+    # into chained CTEs, so nothing is rows-only anymore
+    assert set(oracles) == set(qs)
 
 
 def test_all_queries_execute_smoke(spark, sf_smoke):
