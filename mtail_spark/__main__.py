@@ -399,8 +399,13 @@ def main(argv=None):
             if args.checkpoint_dir
             else tempfile.mkdtemp(prefix="mtail-tail-")
         )
+        # Daemon parity: files already present at startup seek to EOF
+        # ("ignore the past", reference filestream.go:69-74); persisted
+        # offsets from a previous run still take precedence, so a
+        # checkpointed restart never skips bytes it hadn't read.
         tailer = FileTailSpooler(
-            args.logs, tail_root, poll_interval=args.poll_interval
+            args.logs, tail_root, poll_interval=args.poll_interval,
+            read_existing_from_start=False,
         )
         tailer.start()
 

@@ -130,3 +130,33 @@ def test_truncation_while_serving_stream(spark, tmp_path):
     finally:
         query.stop()
         sp.stop()
+
+
+def test_serve_mode_seeks_existing_to_end(tmp_path):
+    """Daemon parity (reference filestream.go:69-74): a file already
+    present at startup tails from EOF — only APPENDED bytes flow;
+    persisted offsets from a previous run still win."""
+    log = tmp_path / "old.log"
+    root = tmp_path / "spool"
+    log.write_text("past1\npast2\n")
+    sp = FileTailSpooler(
+        str(log), str(root), poll_interval=0.05,
+        read_existing_from_start=False,
+    )
+    sp.poll_once()
+    assert str(log) not in _spooled_lines(str(root))
+    with open(log, "a") as fh:
+        fh.write("new1\n")
+    sp.poll_once()
+    assert _spooled_lines(str(root))[str(log)] == ["new1"]
+    sp._save_offsets()
+    # restart: resume the persisted offset, not EOF (a line appended
+    # while down must not be skipped)
+    with open(log, "a") as fh:
+        fh.write("while-down\n")
+    sp2 = FileTailSpooler(
+        str(log), str(root), poll_interval=0.05,
+        read_existing_from_start=False,
+    )
+    sp2.poll_once()
+    assert _spooled_lines(str(root))[str(log)] == ["new1", "while-down"]
