@@ -62,6 +62,7 @@ SF1_QUERIES = [
     "mtail_histogram",
     "mtail_prog_counters",
     "mtail_prog_histogram",
+    "mtail_prog_dhcpd",
     "mtail_prog_txn",
     "tpch_pricing_summary",
     "join_revenue_by_nation",
