@@ -217,9 +217,20 @@ class TableMetricStore:
             self._commit_pointer(nxt)
 
     # RAM-store-compatible entry: accept collected rows too (used if a
-    # caller hands this store to code written for the driver dict)
+    # caller hands this store to code written for the driver dict).
+    # merge_batch_df's full-outer join requires ONE row per datum —
+    # true for run_batch output (an aggregated store) but not for an
+    # arbitrary row list, where the RAM store folds duplicates
+    # sequentially (counters accumulate, later gauge rows win).
+    # Pre-collapse through that exact fold so both entries agree.
     def merge_batch(self, rows, batch_id: int | None = None) -> None:
-        df = self.spark.createDataFrame(list(rows), schema=STORE_SCHEMA)
+        from mtail_spark.streaming.pipeline import StreamingMetricStore
+
+        tmp = StreamingMetricStore(self.prog)
+        tmp.merge_batch(rows)
+        df = self.spark.createDataFrame(
+            tmp.rows(include_internal=False), schema=STORE_SCHEMA
+        )
         self.merge_batch_df(df, batch_id=batch_id)
 
     def _apply_gc(self, df: DataFrame) -> DataFrame:

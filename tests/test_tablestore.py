@@ -208,3 +208,70 @@ def test_streaming_pipeline_through_table_store(spark, tmp_path):
     assert d[("n", (("k", "x"),))]["value_i"] == 2
     assert d[("n", (("k", "y"),))]["value_i"] == 1
     assert store.n_lines == 3
+
+
+def test_table_store_equals_ram_store_fuzz(spark, tmp_path):
+    """Randomized batch sequences through BOTH stores must agree
+    datum-for-datum: counters/histograms additive, gauge/text LWW by
+    batch order, replay dedupe.  (Deterministic seed; 6 batches x
+    mixed kinds with overlapping label tuples.)"""
+    import random
+
+    from mtail_spark.streaming.pipeline import StreamingMetricStore
+
+    prog = compile_program(PROG, "t.mtail")
+    rng = random.Random(20260814)
+    ram = StreamingMetricStore(prog)
+    tbl = TableMetricStore(prog, spark, str(tmp_path / "fz"))
+    for b in range(6):
+        rows = []
+        for _ in range(rng.randrange(1, 12)):
+            which = rng.randrange(3)
+            lid = f"k{rng.randrange(4)}"
+            ts = rng.randrange(100)
+            if which == 0:
+                rows.append(_row("hits", "counter", "Int", {"id": lid},
+                                 value_i=rng.randrange(5), ts_us=ts))
+            elif which == 1:
+                rows.append(_row("level", "gauge", "Int", {"id": lid},
+                                 value_i=rng.randrange(100), ts_us=ts))
+            else:
+                c = [rng.randrange(3) for _ in range(3)]
+                rows.append(_row(
+                    "sizes", "histogram", "Buckets", None,
+                    buckets=[{"le": 1.0, "count": c[0]},
+                             {"le": 10.0, "count": c[1]},
+                             {"le": float("inf"), "count": c[2]}],
+                    bucket_count=sum(c), bucket_sum=float(ts),
+                    ts_us=ts,
+                ))
+        # duplicate datum keys WITHIN a batch are intentional: the RAM
+        # store folds them sequentially, and the table store's
+        # merge_batch must pre-collapse identically
+        ram.merge_batch(rows, batch_id=b)
+        tbl.merge_batch(rows, batch_id=b)
+        if b == 3:  # replay: must be ignored by both
+            ram.merge_batch(rows, batch_id=b)
+            tbl.merge_batch(rows, batch_id=b)
+    ram_rows = {
+        (r["name"], tuple(sorted((r["labels"] or {}).items()))): (
+            r["value_i"], r["value_f"], r["value_s"],
+            tuple((bb["le"], bb["count"]) for bb in r["buckets"])
+            if r["buckets"] else None,
+            r["bucket_count"], r["bucket_sum"], r["ts_us"],
+        )
+        for r in ram.rows(include_internal=False)
+    }
+    tbl_rows = {
+        (r["name"], tuple(sorted((r["labels"] or {}).items()))): (
+            r["value_i"], r["value_f"], r["value_s"],
+            tuple((bb["le"], bb["count"]) for bb in r["buckets"])
+            if r["buckets"] else None,
+            r["bucket_count"], r["bucket_sum"], r["ts_us"],
+        )
+        for r in tbl.rows(include_internal=False)
+    }
+    diff = {k: (ram_rows.get(k), tbl_rows.get(k))
+            for k in ram_rows.keys() | tbl_rows.keys()
+            if ram_rows.get(k) != tbl_rows.get(k)}
+    assert not diff, dict(list(diff.items())[:4])
