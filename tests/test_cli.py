@@ -78,3 +78,78 @@ def test_one_shot_prometheus_and_ignore_pattern(tmp_path, spark, capsys):
     out = capsys.readouterr().out
     assert "lines_total 2" in out       # skip.gz.log filtered out
     assert 'prog="' not in out          # prog label suppressed
+
+
+def test_cli_serve_tails_appends_and_truncation(tmp_path):
+    """End-to-end daemon: `--progs --logs --port 0` through a real
+    subprocess — pre-existing content is ignored (EOF seek, reference
+    filestream.go:69-74), appends and a copytruncate rotation are
+    served on /metrics."""
+    import os
+    import re
+    import signal
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    d = tmp_path / "progs"
+    d.mkdir()
+    (d / "lc.mtail").write_text(
+        "counter lines_total\n// { lines_total++ }\n"
+    )
+    log = tmp_path / "app.log"
+    log.write_text("past1\npast2\n")  # must NOT be counted
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "mtail_spark",
+         "--progs", str(d), "--logs", str(log),
+         "--port", "0", "--poll_interval", "0.1"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        stderr=subprocess.PIPE, stdout=subprocess.DEVNULL, text=True,
+    )
+    try:
+        port = None
+        t0 = time.monotonic()
+        for line in proc.stderr:
+            m = re.search(r"serving on :(\d+)", line)
+            if m:
+                port = int(m.group(1))
+                break
+            if time.monotonic() - t0 > 120:
+                break
+        assert port, "server did not come up"
+
+        def count():
+            try:
+                txt = urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/metrics", timeout=5
+                ).read().decode()
+            except OSError:
+                return None
+            m = re.search(
+                r'^lines_total\{[^}]*\} (\d+)', txt, re.M
+            )
+            return int(m.group(1)) if m else None
+
+        def wait_for(n, timeout=90):
+            t0 = time.monotonic()
+            while time.monotonic() - t0 < timeout:
+                if count() == n:
+                    return True
+                time.sleep(0.5)
+            return False
+
+        with open(log, "a") as fh:
+            fh.write("new1\nnew2\n")
+        assert wait_for(2), f"appends not served: {count()}"
+        # copytruncate: replace contents in place
+        with open(log, "w") as fh:
+            fh.write("r1\nr2\nr3\n")
+        assert wait_for(5), f"truncation not re-read: {count()}"
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        try:
+            proc.wait(timeout=20)
+        except subprocess.TimeoutExpired:
+            proc.kill()
