@@ -304,6 +304,13 @@ class CompiledProgram:
             except Exception:
                 mpb = None
             if len(self._plan_cache) >= 32:
+                for old_df, _m in self._plan_cache.values():
+                    cache = getattr(old_df, "_chunkfold_cache", None)
+                    if cache is not None:
+                        try:  # free evicted phase-A blocks
+                            cache.unpersist()
+                        except Exception:
+                            pass
                 self._plan_cache.clear()
             self._plan_cache[key] = (df, mpb)
         return df
