@@ -597,6 +597,55 @@ def q_text_pii(spark, sf):
     )
 
 
+# -------------------------------------------------- sampling / splits
+
+
+def q_sample_documents(spark, sf):
+    """Deterministic hash sampling (operators/sampling.py): keep 25%
+    of documents by salted doc_id bucket — reproducible membership
+    (a pure function of key+salt+rate), one codegen filter, no
+    shuffle."""
+    import mtail_spark.operators.sampling as SP
+
+    docs = _t(spark, sf, "documents")
+    return SP.hash_sample(docs, 0.25, "doc_id", salt="s1").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def q_sample_stratified(spark, sf):
+    """Per-stratum deterministic rates (downsample dominant 'en',
+    keep the tail): a literal CASE threshold over the stratum column,
+    still one shuffle-free filter."""
+    import mtail_spark.operators.sampling as SP
+
+    docs = _t(spark, sf, "documents")
+    kept = SP.stratified_sample(
+        docs, "lang",
+        {"en": 0.2, "zh": 0.8}, "doc_id",
+        default_rate=0.5, salt="s2",
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def q_dataset_split(spark, sf):
+    """Disjoint train/val/test assignment from contiguous bucket
+    ranges of one salted hash: stable under corpus growth, exclusive
+    by construction.  Per-row assignments returned so the oracle
+    checks every membership, not just counts."""
+    import mtail_spark.operators.sampling as SP
+
+    docs = _t(spark, sf, "documents")
+    return SP.split_assign(
+        docs, "doc_id",
+        splits=[("train", 0.8), ("val", 0.1), ("test", 0.1)],
+        salt="split",
+    ).select("doc_id", "lang", "split")
+
+
 # ------------------------------------------------------------- multimodal
 
 
@@ -703,6 +752,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
+        "sample_documents": q_sample_documents,
+        "sample_stratified": q_sample_stratified,
+        "dataset_split": q_dataset_split,
         "curation_pipeline": q_curation_pipeline,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
@@ -720,6 +772,15 @@ def _demo():
 
 def _sql_md5_long(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _sql_bucket(salt: str, key: str) -> str:
+    """operators/sampling.sample_bucket in DuckDB: salted 60-bit md5
+    reduced to a ppm bucket."""
+    return (
+        f"{_sql_md5_long(f'concat({salt}, CAST({key} AS VARCHAR))')}"
+        f" % 1000000"
+    )
 
 
 def _sql_shingles(text: str, k: int) -> str:
@@ -1256,6 +1317,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 HAVING count(*) > 1
         """,
         "dedup_minhash_lsh": _sql_minhash_lsh(),
+        "sample_documents": f"""
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE ({_sql_bucket("'s1'", "doc_id")}) < 250000
+        """,
+        "sample_stratified": f"""
+            SELECT lang, count(*) AS n_docs,
+                   sum(n_chars) AS sum_chars
+            FROM documents
+            WHERE ({_sql_bucket("'s2'", "doc_id")}) <
+                  CASE lang WHEN 'en' THEN 200000
+                            WHEN 'zh' THEN 800000
+                            ELSE 500000 END
+            GROUP BY lang
+        """,
+        "dataset_split": f"""
+            SELECT doc_id, lang,
+                   CASE WHEN b < 800000 THEN 'train'
+                        WHEN b < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id, lang,
+                     ({_sql_bucket("'split'", "doc_id")}) AS b
+              FROM documents
+            )
+        """,
         "curation_pipeline": _sql_curation_pipeline(),
         "dedup_groups_cc": (
             "WITH RECURSIVE " + _sql_minhash_cte_block("documents")
