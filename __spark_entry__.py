@@ -646,6 +646,20 @@ def q_dataset_split(spark, sf):
     ).select("doc_id", "lang", "split")
 
 
+def q_pack_sequences(spark, sf):
+    """Greedy token-budget sequence packing (operators/packing.py):
+    per-shard order-sensitive recurrence via applyInPandas (parallel
+    across shards, sequential within — the fold model), hash-checked
+    against a recursive-CTE oracle replaying the same recurrence."""
+    import mtail_spark.operators.packing as PK
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "toks", TX.token_count_ws(F.col("text"))
+    )
+    packed = PK.pack_sequences(docs, "toks", 256, "source", "doc_id")
+    return packed.select("source", "doc_id", "toks", "seq_id", "seq_pos")
+
+
 # ------------------------------------------------------------- multimodal
 
 
@@ -755,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_documents": q_sample_documents,
         "sample_stratified": q_sample_stratified,
         "dataset_split": q_dataset_split,
+        "pack_sequences": q_pack_sequences,
         "curation_pipeline": q_curation_pipeline,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
@@ -1341,6 +1356,33 @@ def oracle_sql() -> dict[str, str]:
                      ({_sql_bucket("'split'", "doc_id")}) AS b
               FROM documents
             )
+        """,
+        "pack_sequences": """
+            WITH RECURSIVE d AS (
+              SELECT source, doc_id,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                          AS BIGINT) AS toks,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            ), r AS (
+              SELECT source, doc_id, toks, rn,
+                     CAST(0 AS BIGINT) AS seq_id,
+                     CAST(0 AS BIGINT) AS seq_pos,
+                     toks AS acc
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.source, d.doc_id, d.toks, d.rn,
+                     CASE WHEN r.acc + d.toks > 256
+                          THEN r.seq_id + 1 ELSE r.seq_id END,
+                     CASE WHEN r.acc + d.toks > 256
+                          THEN CAST(0 AS BIGINT) ELSE r.seq_pos + 1 END,
+                     CASE WHEN r.acc + d.toks > 256
+                          THEN d.toks ELSE r.acc + d.toks END
+              FROM r JOIN d
+                ON d.source = r.source AND d.rn = r.rn + 1
+            )
+            SELECT source, doc_id, toks, seq_id, seq_pos FROM r
         """,
         "curation_pipeline": _sql_curation_pipeline(),
         "dedup_groups_cc": (
