@@ -660,6 +660,44 @@ def q_pack_sequences(spark, sf):
     return packed.select("source", "doc_id", "toks", "seq_id", "seq_pos")
 
 
+def q_training_data_pipeline(spark, sf):
+    """The full curation story in ONE composed plan: quality filter
+    -> MinHash-LSH near-dup removal -> stratified sampling (cap 'en')
+    -> train/val/test split -> greedy sequence packing of the train
+    split -> per-(lang, split) packed-sequence stats.  Every stage is
+    an operator with its own hash-checked oracle; this query checks
+    their COMPOSITION end to end."""
+    import mtail_spark.operators.packing as PK
+    import mtail_spark.operators.sampling as SP
+
+    docs = _t(spark, sf, "documents")
+    filtered = docs.filter(TX.quality_score(F.col("text")) >= 70)
+    pairs = D.minhash_lsh_pairs(
+        filtered, "doc_id", "text",
+        num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        shingle_k=MINHASH_K, threshold=MINHASH_THRESHOLD,
+    )
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = filtered.join(drop, "doc_id", "left_anti")
+    sampled = SP.stratified_sample(
+        kept, "lang", {"en": 0.6}, "doc_id", default_rate=1.0,
+        salt="mix",
+    )
+    split = SP.split_assign(
+        sampled, "doc_id",
+        splits=[("train", 0.9), ("val", 0.1)], salt="split",
+    )
+    train = split.filter(F.col("split") == "train").withColumn(
+        "toks", TX.token_count_ws(F.col("text"))
+    )
+    packed = PK.pack_sequences(train, "toks", 256, "lang", "doc_id")
+    return packed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.max("seq_id") + 1).alias("n_seqs"),
+        F.sum("toks").alias("sum_tokens"),
+    )
+
+
 # ------------------------------------------------------------- multimodal
 
 
@@ -770,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "dataset_split": q_dataset_split,
         "pack_sequences": q_pack_sequences,
+        "training_data_pipeline": q_training_data_pipeline,
         "curation_pipeline": q_curation_pipeline,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
@@ -879,6 +918,49 @@ def _sql_quality(textcol: str = "text") -> str:
                THEN 15 ELSE 0 END,
       100), 0) AS BIGINT)
     """
+
+
+def _sql_training_data_pipeline() -> str:
+    """Composition oracle for q_training_data_pipeline: the same
+    stages chained in SQL — curation CTEs, bucket-threshold sampling
+    and split, then the recursive packing recurrence per lang."""
+    toks = (
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
+    )
+    return f"""
+WITH RECURSIVE filtered AS (
+  SELECT * FROM documents WHERE {_sql_quality()} >= 70
+), {_sql_minhash_cte_block('filtered')},
+drop_ids AS (SELECT DISTINCT id_b AS doc_id FROM mh_pairs),
+kept AS (
+  SELECT f.* FROM filtered f LEFT JOIN drop_ids d ON f.doc_id = d.doc_id
+  WHERE d.doc_id IS NULL
+), sampled AS (
+  SELECT * FROM kept
+  WHERE ({_sql_bucket("'mix'", "doc_id")}) <
+        CASE lang WHEN 'en' THEN 600000 ELSE 1000000 END
+), train AS (
+  SELECT lang, doc_id, {toks} AS toks,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM sampled
+  WHERE ({_sql_bucket("'split'", "doc_id")}) < 900000
+), r AS (
+  SELECT lang, doc_id, toks, rn,
+         CAST(0 AS BIGINT) AS seq_id, toks AS acc
+  FROM train WHERE rn = 1
+  UNION ALL
+  SELECT t.lang, t.doc_id, t.toks, t.rn,
+         CASE WHEN r.acc + t.toks > 256
+              THEN r.seq_id + 1 ELSE r.seq_id END,
+         CASE WHEN r.acc + t.toks > 256
+              THEN t.toks ELSE r.acc + t.toks END
+  FROM r JOIN train t ON t.lang = r.lang AND t.rn = r.rn + 1
+)
+SELECT lang, count(*) AS n_docs,
+       max(seq_id) + 1 AS n_seqs,
+       sum(toks) AS sum_tokens
+FROM r GROUP BY lang
+"""
 
 
 def _sql_curation_pipeline() -> str:
@@ -1384,6 +1466,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, toks, seq_id, seq_pos FROM r
         """,
+        "training_data_pipeline": _sql_training_data_pipeline(),
         "curation_pipeline": _sql_curation_pipeline(),
         "dedup_groups_cc": (
             "WITH RECURSIVE " + _sql_minhash_cte_block("documents")
