@@ -134,10 +134,11 @@ class CompiledProgram:
     _vectorizable: bool | None = None
     # Ellipsis = not yet computed; None = chunkfoldable; str = reason not
     _chunkfold_reason: object = Ellipsis
-    # (backend, now_us, flags, session id, input-plan semanticHash) ->
-    # analyzed store DataFrame.  Re-running a program over the same
-    # input relation skips the ~1 s of driver-side plan construction
-    # and Catalyst analysis (py4j round trips dominated repeat runs).
+    # (backend, now_us, flags, session token, input-plan semanticHash,
+    # file-listing fingerprint) -> analyzed store DataFrame.
+    # Re-running a program over the same input relation skips the
+    # ~1 s of driver-side plan construction and Catalyst analysis
+    # (py4j round trips dominated repeat runs).
     _plan_cache: dict = field(default_factory=dict, repr=False,
                               compare=False)
 
