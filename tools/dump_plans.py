@@ -41,6 +41,17 @@ SHOW = [
      "one shuffle on user_id shared by the lag window and the aggregation"),
     ("session_window_native",
      "native gap-merge session operator: single exchange on user_id"),
+    ("sample_stratified",
+     "deterministic sampling is a scan-side codegen filter: the only "
+     "Exchange is the final stats aggregation, never the sample itself"),
+    ("pack_sequences",
+     "per-shard recurrence: ONE exchange on the shard column feeding "
+     "the applyInPandas group (FlatMapGroupsInPandas), then a "
+     "broadcast-free join back on (shard, order)"),
+    ("training_data_pipeline",
+     "the composed curation pipeline: quality filter at the scan, "
+     "ids-only LSH band join, sampling/split as filters (no "
+     "exchange), one packing group exchange, one final aggregate"),
 ]
 
 INTERESTING = re.compile(
