@@ -63,3 +63,30 @@ def test_valid_mode_backends_agree(spark, seed):
     vec = rows_from_df(prog.run_batch(spark, df))
     d = diff_stores(fold, vec)
     assert d.ok, d.render() + "\n" + src
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23, 24])
+def test_valid_mode_chunkfold_agrees(spark, monkeypatch, seed):
+    """Random valid programs through the chunk-parallel speculative
+    fold (tiny chunks over a longer line sample), when in-class."""
+    from mtail_spark.compiler import chunkfold as CF
+
+    rng = random.Random(seed)
+    src = valid(rng)
+    prog = compile_program(src, f"validck{seed}.mtail")
+    if not prog.chunkfoldable:
+        pytest.skip(prog._chunkfold_reason)
+    monkeypatch.setattr(CF, "CHUNK_LINES", 7)
+    lines = LINES * 20
+    fold = prog.run_local(lines, filename="f")
+    df = spark.createDataFrame(
+        [("f", i, ln) for i, ln in enumerate(lines)],
+        "filename string, line_no long, line string",
+    )
+    out = prog.run_batch(spark, df, backend="chunkfold", cache_plan=False)
+    ck = rows_from_df(out)
+    cache = getattr(out, "_chunkfold_cache", None)
+    if cache is not None:
+        cache.unpersist()
+    d = diff_stores(fold, ck)
+    assert d.ok, d.render() + "\n" + src
