@@ -646,6 +646,20 @@ def q_dataset_split(spark, sf):
     ).select("doc_id", "lang", "split")
 
 
+def q_decontamination(spark, sf):
+    """Benchmark decontamination (operators/decontam.py): flag corpus
+    documents sharing 8-word n-grams with a (small, broadcast)
+    benchmark set — the eval-contamination check every training
+    pipeline runs.  Benchmark stand-in: documents with doc_id < 30;
+    corpus: the rest."""
+    import mtail_spark.operators.decontam as DC
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") < 30)
+    corpus = docs.filter(F.col("doc_id") >= 30)
+    return DC.contamination(corpus, bench, n=8, min_hits=1)
+
+
 def q_pack_sequences(spark, sf):
     """Greedy token-budget sequence packing (operators/packing.py):
     per-shard order-sensitive recurrence via applyInPandas (parallel
@@ -808,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "dataset_split": q_dataset_split,
         "pack_sequences": q_pack_sequences,
+        "decontamination": q_decontamination,
         "training_data_pipeline": q_training_data_pipeline,
         "curation_pipeline": q_curation_pipeline,
         "multimodal_meta": q_multimodal_meta,
@@ -1465,6 +1480,29 @@ def oracle_sql() -> dict[str, str]:
                 ON d.source = r.source AND d.rn = r.rn + 1
             )
             SELECT source, doc_id, toks, seq_id, seq_pos FROM r
+        """,
+        "decontamination": f"""
+            WITH b AS (
+              SELECT DISTINCT ng FROM (
+                SELECT unnest({_sql_shingles('text', 8)}) AS ng
+                FROM (
+                  SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+                  FROM documents WHERE doc_id < 30
+                )
+              )
+            ), c AS (
+              SELECT doc_id, unnest({_sql_shingles('text', 8)}) AS ng
+              FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents WHERE doc_id >= 30
+              )
+            )
+            SELECT c.doc_id,
+                   count(DISTINCT c.ng) AS n_contaminated_ngrams
+            FROM c JOIN b ON c.ng = b.ng
+            GROUP BY c.doc_id
+            HAVING count(DISTINCT c.ng) >= 1
         """,
         "training_data_pipeline": _sql_training_data_pipeline(),
         "curation_pipeline": _sql_curation_pipeline(),
