@@ -972,8 +972,8 @@ kept AS (
   FROM r JOIN train t ON t.lang = r.lang AND t.rn = r.rn + 1
 )
 SELECT lang, count(*) AS n_docs,
-       max(seq_id) + 1 AS n_seqs,
-       sum(toks) AS sum_tokens
+       CAST(max(seq_id) + 1 AS BIGINT) AS n_seqs,
+       CAST(sum(toks) AS BIGINT) AS sum_tokens
 FROM r GROUP BY lang
 """
 
@@ -1435,7 +1435,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sample_stratified": f"""
             SELECT lang, count(*) AS n_docs,
-                   sum(n_chars) AS sum_chars
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents
             WHERE ({_sql_bucket("'s2'", "doc_id")}) <
                   CASE lang WHEN 'en' THEN 200000
