@@ -325,6 +325,7 @@ def main(argv=None):
     stores = []
     queries = []
     pset = None
+    tailer = None
 
     def _prog_ckpt(prog):
         """Per-program checkpoint dir under --checkpoint_dir (None
@@ -528,6 +529,11 @@ def main(argv=None):
             pset.stop()
         for q in queries:
             q.stop()
+        if tailer is not None:
+            # flush the final unterminated line and persist offsets
+            # (reference reader.go Finish) — after the queries stop so
+            # the tail thread isn't racing a draining micro-batch.
+            tailer.stop()
     return 0
 
 

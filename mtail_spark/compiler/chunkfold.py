@@ -678,6 +678,7 @@ def _replay(cprog, ctl_rows, now_us: int) -> list[dict]:
                 rt.line = r.value_s
                 rt.matches = {}
                 rt.ts_us = None
+                rt.fired.clear()
                 st.journal.clear()
                 touched = True
                 try:
@@ -726,9 +727,6 @@ def _merge_chunk_partials(
     p = partials
     ord_ = F.col("last_line")
     keys = ["src_file", "name", "kind", "vtype", "labels_json"]
-
-    def want(*ks):
-        return kinds is None or any(k in kinds for k in ks)
 
     nulls = [
         F.lit(None).cast("string").alias("value_s"),

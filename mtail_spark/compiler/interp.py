@@ -367,6 +367,10 @@ class Interp:
                 rt.line_no, rt.line = row
             rt.matches = {}
             rt.ts_us = None
+            # fired is only consumed by the chunkfold salvage path;
+            # clear per line so long folds / long-lived serve runtimes
+            # don't accumulate O(total register writes) memory.
+            rt.fired.clear()
             try:
                 self.program(rt)
             except (StopLine, LineError):

@@ -47,8 +47,9 @@ def hash_sample(
     df: DataFrame, rate: float, key_col: str, salt: str = ""
 ) -> DataFrame:
     """Keep ~rate of rows, deterministically by key.  rate has ppm
-    resolution (floor semantics: rate*1e6 buckets survive)."""
-    thresh = int(rate * BUCKETS)
+    resolution (round(rate*1e6) buckets survive, so binary float
+    representation error never drops a ppm)."""
+    thresh = int(round(rate * BUCKETS))
     return df.filter(sample_bucket(F.col(key_col), salt) < thresh)
 
 
@@ -64,10 +65,10 @@ def stratified_sample(
     keep the tail): one filter, thresholds as a literal CASE chain
     over the stratum column — no join and no shuffle, so the sample
     is a pushdown-friendly scan at any scale."""
-    thresh = F.lit(int(default_rate * BUCKETS))
+    thresh = F.lit(int(round(default_rate * BUCKETS)))
     for value, rate in sorted(rates.items()):
         thresh = F.when(
-            F.col(strata_col) == F.lit(value), F.lit(int(rate * BUCKETS))
+            F.col(strata_col) == F.lit(value), F.lit(int(round(rate * BUCKETS)))
         ).otherwise(thresh)
     return df.filter(sample_bucket(F.col(key_col), salt) < thresh)
 
@@ -89,7 +90,7 @@ def split_assign(
     edge = 0
     expr = None
     for name, frac in splits[:-1]:
-        edge += int(frac * BUCKETS)
+        edge += int(round(frac * BUCKETS))
         cond = b < F.lit(edge)
         expr = (
             F.when(cond, F.lit(name))

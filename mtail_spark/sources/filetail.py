@@ -224,10 +224,13 @@ class FileTailSpooler(threading.Thread):
 def filetail_lines_stream(
     spark: SparkSession, spooler: FileTailSpooler
 ) -> DataFrame:
-    """Streaming (filename, line) relation over a tail-spool root.
+    """Streaming (filename, spool_seq, line) relation over a
+    tail-spool root.
     The filename column is the ORIGINAL tailed path (percent-decoded
     from the per-source subdirectory name), so getfilename() and the
     per-file merge order behave exactly as with direct reads."""
+    from mtail_spark.sources.spool import spool_seq_col
+
     raw = spark.readStream.format("text").load(
         os.path.join(spooler.root, "*", "spool-*.log")
     )
@@ -235,7 +238,9 @@ def filetail_lines_stream(
         F.element_at(F.split(F.input_file_name(), "/"), -2)
     )
     return raw.select(
-        fname.alias("filename"), F.col("value").alias("line")
+        fname.alias("filename"),
+        spool_seq_col().alias("spool_seq"),
+        F.col("value").alias("line"),
     )
 
 

@@ -235,16 +235,35 @@ def open_spooler(url: str, spool_dir: str):
     raise ValueError(f"not a spoolable source: {url}")
 
 
+def spool_seq_col():
+    """Spool segment sequence number parsed from the scanned path.
+    Micro-batch readers order lines by (spool_seq, within-partition
+    row) rather than partition id: Spark bin-packs a batch's files
+    into partitions by SIZE (descending), not by name, so several
+    spool-N segments of one source routinely land out of sequence
+    across partitions — partition order would replay a later
+    segment's writes before an earlier one and corrupt last-write-
+    wins and register state.  Segments are bounded well below
+    spark.sql.files.maxPartitionBytes (SpoolDir.roll_bytes = 4 MB),
+    so one segment never splits across partitions and the
+    within-partition scan order is the segment's line order."""
+    return F.regexp_extract(
+        F.input_file_name(), r"spool-(\d+)\.log$", 1
+    ).cast("long")
+
+
 def spool_lines_stream(spark: SparkSession, spooler) -> DataFrame:
-    """Streaming (filename, line) relation over a spooler's directory.
-    getfilename() reports the ORIGINAL sourcename (fifo path / socket
-    endpoint), matching reference behavior, not the spool file."""
+    """Streaming (filename, spool_seq, line) relation over a spooler's
+    directory.  getfilename() reports the ORIGINAL sourcename (fifo
+    path / socket endpoint), matching reference behavior, not the
+    spool file."""
     raw = (
         spark.readStream.format("text")
         .load(os.path.join(spooler.spool.path, "spool-*.log"))
     )
     return raw.select(
         F.lit(spooler.sourcename).alias("filename"),
+        spool_seq_col().alias("spool_seq"),
         F.col("value").alias("line"),
     )
 

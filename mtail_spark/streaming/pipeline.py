@@ -260,6 +260,27 @@ def run_program_stream(
         # single time per micro-batch (no second action recompute)
         if "value" in batch_df.columns:
             lines = streaming_log_lines(batch_df)
+        elif "spool_seq" in batch_df.columns:
+            # Spool-backed source: per-file arrival order is the spool
+            # SEGMENT sequence, not partition order — Spark bin-packs
+            # a batch's segment files into partitions by size, so a
+            # later spool-N can be scanned in an earlier partition and
+            # a bare monotonically_increasing_id would hand gauge/
+            # timer/text last-write-wins a stale write.  Segment seq
+            # forms the high bits; the low 33 bits are the partition-
+            # local row counter, which is the scan order within a
+            # segment (segments are ≤ roll_bytes = 4 MB, far below
+            # maxPartitionBytes, so a segment never splits).
+            mid_low = F.monotonically_increasing_id().bitwiseAND(
+                F.lit((1 << 33) - 1)
+            )
+            lines = batch_df.select(
+                "filename",
+                (F.col("spool_seq") * F.lit(1 << 33) + mid_low).alias(
+                    "line_no"
+                ),
+                "line",
+            )
         else:  # pre-shaped (filename, line) source
             lines = batch_df.select(
                 "filename",

@@ -84,6 +84,9 @@ class DriverStatefulRunner:
                 rt.line = line
                 rt.matches = {}
                 rt.ts_us = None
+                # chunkfold-only scratch; clear per line or a serve-mode
+                # daemon accumulates one entry per register write forever.
+                rt.fired.clear()
                 try:
                     self.interp.program(rt)
                 except (StopLine, LineError):
@@ -166,12 +169,35 @@ def run_stateful_stream(
         n_batches[0] += 1
         if gc_every_batches and n_batches[0] % gc_every_batches == 0:
             runner.gc()
-        rows = batch_df.select(
+        spooled = "spool_seq" in batch_df.columns
+        cols = [
             F.spark_partition_id().alias("pid"),
             F.monotonically_increasing_id().alias("mid"),
             "filename",
             "line",
-        ).collect()
+        ]
+        if spooled:
+            cols.insert(2, F.col("spool_seq"))
+        rows = batch_df.select(*cols).collect()
+        if spooled:
+            # Spool-backed source: arrival order is the spool segment
+            # sequence, not partition id — Spark bin-packs segment
+            # files into partitions by size, so partition-major order
+            # can replay a later segment before an earlier one.  Sort
+            # per (filename, segment, within-partition row); state is
+            # per-filename, so cross-file interleaving is free, and a
+            # segment never splits across partitions (SpoolDir.
+            # roll_bytes ≪ maxPartitionBytes), so the partition-local
+            # low bits of mid are the segment's line order.
+            mask = (1 << 33) - 1
+            flat = sorted(
+                rows,
+                key=lambda r: (
+                    r["filename"], r["spool_seq"], r["mid"] & mask
+                ),
+            )
+            runner.process((r["filename"], r["line"]) for r in flat)
+            return
         by_pid: dict[int, list] = {}
         for r in rows:
             by_pid.setdefault(r["pid"], []).append(r)
