@@ -276,16 +276,24 @@ class CompiledProgram:
         if key is not None:
             hit = self._plan_cache.get(key)
             if hit is not None:
-                df, mpb = hit
+                df, mpb, sp = hit
                 # Split planning is LAZY: the cached plan re-plans its
                 # scan splits from the session conf at action time, so
                 # re-apply the split sizing ensure_parallelism tuned
                 # when the plan was built — otherwise a conf reset
                 # between runs silently serializes the scan.  (See the
-                # single-tuner invariant in the docstring.)
+                # single-tuner invariant in the docstring.)  Same for
+                # the store-agg shuffle sizing.
                 if mpb is not None:
                     try:
                         spark.conf.set(_MPB, mpb)
+                    except Exception:
+                        pass
+                if sp is not None:
+                    try:
+                        spark.conf.set(
+                            "spark.sql.shuffle.partitions", str(sp)
+                        )
                     except Exception:
                         pass
                 return df
@@ -299,13 +307,27 @@ class CompiledProgram:
             df = chunkfold_store(self, spark, log_lines, now_us=now_us)
         else:
             df = self._run_fold(spark, log_lines, now_us)
+        sp = None
+        if backend in ("vector", "chunkfold"):
+            # Store-agg reduce side is store-sized; size its shuffle
+            # from the input (consulted at action time — the session
+            # conf travels with the plan under the same single-tuner
+            # invariant as maxPartitionBytes above).
+            from mtail_spark.session import (
+                estimated_local_input_bytes,
+                tune_store_shuffle,
+            )
+
+            sp = tune_store_shuffle(
+                spark, estimated_local_input_bytes(log_lines)
+            )
         if key is not None:
             try:
                 mpb = spark.conf.get(_MPB)
             except Exception:
                 mpb = None
             if len(self._plan_cache) >= 32:
-                for old_df, _m in self._plan_cache.values():
+                for old_df, _m, _s in self._plan_cache.values():
                     cache = getattr(old_df, "_chunkfold_cache", None)
                     if cache is not None:
                         try:  # free evicted phase-A blocks
@@ -313,7 +335,7 @@ class CompiledProgram:
                         except Exception:
                             pass
                 self._plan_cache.clear()
-            self._plan_cache[key] = (df, mpb)
+            self._plan_cache[key] = (df, mpb, sp)
         return df
 
     def _fold_prefilter_patterns(self) -> list[str] | None:

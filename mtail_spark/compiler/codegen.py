@@ -1596,50 +1596,83 @@ def vectorized_store(
             s.metric.decl.kind not in ("counter", "histogram")
             for s in vz.sites
         )
-        aggs_a = [
-            F.sum("vi").alias("sum_i"),
-            F.sum("vf").alias("sum_f"),
-            F.sum("w").alias("n_obs"),
-            F.max_by("ts_us", order2).alias("last_ts"),
-        ]
-        if has_lww:
-            aggs_a.append(F.max_by("vi", order2).alias("lvi"))
-            aggs_a.append(F.max_by("vf", order2).alias("lvf"))
-        if has_text:
-            aggs_a.append(F.max_by("vs", order2).alias("lvs"))
-        per_file = events.groupBy(
-            "name", "labels", "le", "filename"
-        ).agg(*aggs_a)
-
-        # Stage B merges files AND a histogram's per-le rows in one
-        # store-sized aggregation: bucket counts come out as one
-        # conditional sum per distinct compile-time bucket bound, so
-        # no per-le grouping level and no collected map is needed.
         all_bounds = sorted({
             m
             for mi in (s.metric for s in vz.sites)
             if mi.decl.kind == "histogram"
             for m in _bucket_maxes(mi)
         })
-        file_ord = F.struct(F.col("last_ts"), F.col("filename"))
-        aggs_b = [
-            F.sum("sum_i").alias("sum_i"),
-            F.sum("sum_f").alias("sum_f"),
-            F.sum("n_obs").alias("n_obs"),
-            F.max("last_ts").alias("last_ts"),
-        ]
-        if has_lww:
-            aggs_b.append(F.max_by("lvi", file_ord).alias("lvi"))
-            aggs_b.append(F.max_by("lvf", file_ord).alias("lvf"))
-        if has_text:
-            aggs_b.append(F.max_by("lvs", file_ord).alias("lvs"))
-        for k, b in enumerate(all_bounds):
-            aggs_b.append(
-                F.sum(
-                    F.when(F.col("le") == F.lit(b), F.col("n_obs"))
-                ).alias(f"__b{k}")
-            )
-        final = per_file.groupBy("name", "labels").agg(*aggs_b)
+        from mtail_spark.sources.logs import is_single_file_relation
+
+        if is_single_file_relation(log_lines):
+            # ONE verifiable file (literal filename or a single-file
+            # read): the cross-file merge level is the identity, so
+            # the whole store collapses to a single aggregation —
+            # order2 is file-wide unique, last-write picks and bucket
+            # pivots happen directly, and the plan drops one exchange
+            # and two HashAggregates.  Every primitive here composes
+            # to exactly stage A∘B below (sums associative; max_by
+            # over one file == stage A's pick, stage B's one-row merge
+            # the identity; zero-init events carry w=0/order2<0 so
+            # they can never win a pick or perturb a sum).
+            aggs_s = [
+                F.sum("vi").alias("sum_i"),
+                F.sum("vf").alias("sum_f"),
+                F.sum("w").alias("n_obs"),
+                F.max_by("ts_us", order2).alias("last_ts"),
+            ]
+            if has_lww:
+                aggs_s.append(F.max_by("vi", order2).alias("lvi"))
+                aggs_s.append(F.max_by("vf", order2).alias("lvf"))
+            if has_text:
+                aggs_s.append(F.max_by("vs", order2).alias("lvs"))
+            for k, b in enumerate(all_bounds):
+                aggs_s.append(
+                    F.sum(
+                        F.when(F.col("le") == F.lit(b), F.col("w"))
+                    ).alias(f"__b{k}")
+                )
+            final = events.groupBy("name", "labels").agg(*aggs_s)
+        else:
+            aggs_a = [
+                F.sum("vi").alias("sum_i"),
+                F.sum("vf").alias("sum_f"),
+                F.sum("w").alias("n_obs"),
+                F.max_by("ts_us", order2).alias("last_ts"),
+            ]
+            if has_lww:
+                aggs_a.append(F.max_by("vi", order2).alias("lvi"))
+                aggs_a.append(F.max_by("vf", order2).alias("lvf"))
+            if has_text:
+                aggs_a.append(F.max_by("vs", order2).alias("lvs"))
+            per_file = events.groupBy(
+                "name", "labels", "le", "filename"
+            ).agg(*aggs_a)
+
+            # Stage B merges files AND a histogram's per-le rows in
+            # one store-sized aggregation: bucket counts come out as
+            # one conditional sum per distinct compile-time bucket
+            # bound, so no per-le grouping level and no collected map
+            # is needed.
+            file_ord = F.struct(F.col("last_ts"), F.col("filename"))
+            aggs_b = [
+                F.sum("sum_i").alias("sum_i"),
+                F.sum("sum_f").alias("sum_f"),
+                F.sum("n_obs").alias("n_obs"),
+                F.max("last_ts").alias("last_ts"),
+            ]
+            if has_lww:
+                aggs_b.append(F.max_by("lvi", file_ord).alias("lvi"))
+                aggs_b.append(F.max_by("lvf", file_ord).alias("lvf"))
+            if has_text:
+                aggs_b.append(F.max_by("lvs", file_ord).alias("lvs"))
+            for k, b in enumerate(all_bounds):
+                aggs_b.append(
+                    F.sum(
+                        F.when(F.col("le") == F.lit(b), F.col("n_obs"))
+                    ).alias(f"__b{k}")
+                )
+            final = per_file.groupBy("name", "labels").agg(*aggs_b)
 
         for pv in pviews:
             sess.catalog.dropTempView(pv)

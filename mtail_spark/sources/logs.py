@@ -159,6 +159,7 @@ def read_log_lines(
     """
     if exact_order is None:
         exact_order = _auto_exact_order(spark, path)
+    single = _is_single_local_file(path)
     if exact_order:
         df = spark.read.text(path, wholetext=True).withColumn(
             "filename", F.input_file_name()
@@ -172,14 +173,74 @@ def read_log_lines(
         df = df.select(
             "filename", F.posexplode(lines).alias("line_no", "line")
         ).withColumn("line", F.regexp_replace("line", "\r$", ""))
-        return df.select("filename", "line_no", "line")
+        return df.select(
+            _fname_col(single), "line_no", "line"
+        )
     df = (
         spark.read.text(path)
         .withColumn("filename", F.input_file_name())
         .withColumn("line_no", F.monotonically_increasing_id())
         .withColumn("line", F.regexp_replace("value", "\r$", ""))
     )
-    return df.select("filename", "line_no", "line")
+    return df.select(_fname_col(single), "line_no", "line")
+
+
+def _is_single_local_file(path) -> bool:
+    """True when `path` verifiably resolves to exactly one local
+    file.  Lets the vectorized store skip its cross-file merge level
+    (see codegen.vectorized_store) — analysis-time stat only."""
+    import glob as _glob
+    import os
+
+    paths = path if isinstance(path, (list, tuple)) else [path]
+    if not all(_is_local(p) for p in paths):
+        return False
+    matched: list = []
+    for p in paths:
+        p = p[7:] if p.startswith("file://") else p
+        matched.extend(
+            f for f in _glob.glob(p) if os.path.isfile(f)
+        )
+        if os.path.isdir(p):
+            return False
+        if len(matched) > 1:
+            return False
+    return len(matched) == 1
+
+
+SINGLE_FILE_MD = {"mtail_single_file": True}
+
+
+def _fname_col(single: bool):
+    """filename column, marked with single-file metadata when the
+    relation verifiably covers one file — the marker rides the schema
+    through projections/repartitions to the store planner."""
+    if single:
+        return F.col("filename").alias(
+            "filename", metadata=SINGLE_FILE_MD
+        )
+    return F.col("filename")
+
+
+def is_single_file_relation(df: DataFrame) -> bool:
+    """Read the single-file marker off a log_lines relation.
+
+    A union keeps only the FIRST branch's column metadata, so a
+    composite of two marked relations would claim single-file falsely
+    — reject any plan containing a Union (analysis-level string
+    check, same trick as ensure_parallelism's Repartition probe)."""
+    try:
+        md = df.schema["filename"].metadata
+    except Exception:
+        return False
+    if not (md and md.get("mtail_single_file", False)):
+        return False
+    try:
+        if "Union" in df._jdf.queryExecution().analyzed().toString():
+            return False
+    except Exception:
+        return False
+    return True
 
 
 def log_lines_from_df(
@@ -192,7 +253,9 @@ def log_lines_from_df(
     else:
         ordered = df.withColumn("line_no", F.col(order_col).cast("long"))
     return ordered.select(
-        F.lit(filename).alias("filename"),
+        # a literal filename means exactly one logical file: mark it
+        # so the vectorized store can skip its cross-file merge level
+        F.lit(filename).alias("filename", metadata=SINGLE_FILE_MD),
         F.col("line_no"),
         F.col(line_col).cast("string").alias("line"),
     )
