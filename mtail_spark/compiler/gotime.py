@@ -136,10 +136,106 @@ def to_java(layout: str) -> tuple[str, set]:
     return "".join(parts), fields
 
 
+_SPACE_RUNS = re.compile(r" +")
+
+
 def normalize_spaces(s: str) -> str:
     """Go's layouts use `_2` (space-padded) and double spaces; collapse
     runs of spaces so single-space patterns match."""
-    return re.sub(r" +", " ", s)
+    return _SPACE_RUNS.sub(" ", s)
+
+
+# Value patterns per NUMERIC strptime directive, copied from Python
+# _strptime.TimeRE so the fast path accepts exactly what
+# datetime.strptime accepts (seconds deliberately capped at 59: 60/61
+# match TimeRE but then raise in the datetime constructor, and the
+# fast path's miss falls through to that same slow path / error).
+# Keyed by the PYTHON directive, not the Go field — "Jan"/"January"
+# also carry field "month" but are name-valued and must stay slow.
+_FAST_DIRECTIVE_PATS = {
+    "%Y": (r"(\d{4})", "year"),
+    "%y": (r"(\d\d)", "year2"),
+    "%m": (r"(1[0-2]|0[1-9]|[1-9])", "month"),
+    "%d": (r"(3[01]|[12]\d|0[1-9]|[1-9])", "day"),
+    "%H": (r"(2[0-3]|[0-1]\d|\d)", "hour24"),
+    "%M": (r"([0-5]\d|\d)", "minute"),
+    "%S": (r"([0-5]\d|\d)", "second"),
+    ".%f": (r"([0-9]{1,6})", "frac"),
+}
+
+_DAYS_IN_MONTH = (31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+
+
+def _days_in_month(y: int, m: int) -> int:
+    if m == 2 and y % 4 == 0 and (y % 100 != 0 or y % 400 == 0):
+        return 29
+    return _DAYS_IN_MONTH[m - 1]
+
+
+class _CompiledLayout:
+    """Per-layout parse artifacts, computed once (strptime runs per
+    LINE in the fold/chunkfold interpreters — re-tokenizing the layout
+    each call dominated the txn/mysql profile at ~4x the rest of the
+    line's work combined)."""
+
+    __slots__ = ("pyfmt", "fields", "zone", "fast_re", "order")
+
+    def __init__(self, layout: str):
+        toks, fields = parse_layout(layout)
+        self.fields = fields
+        self.pyfmt = normalize_spaces(to_python(layout)[0])
+        self.zone = "zone" in fields
+        # Compiled direct regex for purely-numeric layouts: group
+        # order mirrors token order; duplicates or any non-numeric
+        # field (names, am/pm, 12h, zones) disable it.
+        self.fast_re = None
+        order: list[str] = []
+        parts: list[str] = []
+        lit = ""
+        ok = True
+        prev_tok = False
+        for kind, v in toks:
+            if kind == "lit":
+                lit += v
+                prev_tok = False
+                continue
+            if lit:
+                parts.append(re.escape(normalize_spaces(lit)))
+                lit = ""
+            ent = _FAST_DIRECTIVE_PATS.get(v[1])
+            # adjacent numeric tokens (no separating literal) can
+            # backtrack differently under fullmatch than strptime's
+            # match-then-check-leftover — keep those on the slow path
+            if ent is None or (prev_tok and v[1] != ".%f"):
+                ok = False
+                break
+            pat, field = ent
+            if field in order:
+                ok = False
+                break
+            prev_tok = True
+            if field == "frac":
+                # the layout token carries the leading dot
+                parts.append(r"\.")
+            order.append(field)
+            parts.append(pat)
+        if ok:
+            if lit:
+                parts.append(re.escape(normalize_spaces(lit)))
+            self.fast_re = re.compile("".join(parts))
+            self.order = tuple(order)
+        else:
+            self.order = ()
+
+
+_LAYOUTS: dict[str, _CompiledLayout] = {}
+
+
+def _layout(layout: str) -> _CompiledLayout:
+    cl = _LAYOUTS.get(layout)
+    if cl is None:
+        cl = _LAYOUTS[layout] = _CompiledLayout(layout)
+    return cl
 
 
 def parse_go_time_us(
@@ -161,11 +257,59 @@ def parse_go_time_us(
     then match the date the datum actually carries."""
     from datetime import datetime, timezone
 
-    pyfmt, fields = to_python(layout)
-    v = normalize_spaces(value.strip())
-    f = normalize_spaces(pyfmt)
+    cl = _layout(layout)
+    v = value.strip()
+    if "  " in v:
+        v = normalize_spaces(v)
+
+    # Fast path: numeric-only layout, no tz override.  Epoch math is
+    # identical to the slow path below (civil_to_epoch_us over the
+    # same defaulted fields); a regex miss falls THROUGH so error
+    # text/behavior on malformed values stays datetime.strptime's.
+    if cl.fast_re is not None and tz is None:
+        m = cl.fast_re.fullmatch(v)
+        if m is not None:
+            g = m.groups()
+            vals = dict(zip(cl.order, g))
+            yr = vals.get("year")
+            if yr is not None:
+                y = int(yr)
+                yearless = False
+            else:
+                y2 = vals.get("year2")
+                if y2 is not None:
+                    y2 = int(y2)
+                    y = 2000 + y2 if y2 < 69 else 1900 + y2
+                    yearless = False
+                else:
+                    y = 1900  # datetime's default year, shifted below
+                    yearless = True
+            mo = int(vals.get("month", 1))
+            d = int(vals.get("day", 1))
+            # y >= 1 mirrors datetime's MINYEAR; year-0 GOLDEN datums
+            # come from YEARLESS layouts (shifted below), never a
+            # literal 0000, which strptime has always rejected
+            if y >= 1 and d <= _days_in_month(y, mo):
+                frac = vals.get("frac")
+                us = civil_to_epoch_us(
+                    y, mo, d,
+                    int(vals.get("hour24", 0)),
+                    int(vals.get("minute", 0)),
+                    int(vals.get("second", 0)),
+                    int(frac.ljust(6, "0")) if frac is not None else 0,
+                )
+                if yearless:
+                    us -= year_shift_us(1900, mo)
+                    if now_year is not None:
+                        us += year_shift_us(now_year, mo)
+                return us
+            # fall through: strptime raises the canonical day-range
+            # ValueError for this value
+
+    fields = cl.fields
+    f = cl.pyfmt
     # Python %z rejects some Go-accepted forms; normalize +NN:NN to +NNNN
-    if "zone" in fields:
+    if cl.zone:
         v = re.sub(r"([+-]\d{2}):(\d{2})$", r"\1\2", v)
         f = f.replace("%z:%z", "%z")  # defensive; not expected
     dt = datetime.strptime(v, f)

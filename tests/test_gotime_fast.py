@@ -1,0 +1,170 @@
+"""The compiled-layout fast path in gotime.parse_go_time_us must be
+observationally identical to the datetime.strptime slow path — same
+epoch, same accept/reject — across the corpus's layouts and a fuzz of
+values.  (Reference semantics: internal/runtime/vm/vm.go:555-589.)"""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mtail_spark.compiler import gotime as G
+
+
+def _slow(value, layout, now_year=None, tz=None):
+    """The pre-fast-path implementation, verbatim (strptime route)."""
+    import re
+    from datetime import datetime, timezone
+
+    pyfmt, fields = G.to_python(layout)
+    v = G.normalize_spaces(value.strip())
+    f = G.normalize_spaces(pyfmt)
+    if "zone" in fields:
+        v = re.sub(r"([+-]\d{2}):(\d{2})$", r"\1\2", v)
+        f = f.replace("%z:%z", "%z")
+    dt = datetime.strptime(v, f)
+    year = dt.year
+    if "year" not in fields and "year2" not in fields:
+        shift = G.year_shift_us(1900, dt.month)
+        year = None
+    else:
+        shift = 0
+    if dt.tzinfo is None:
+        if tz:
+            from zoneinfo import ZoneInfo
+
+            final_year = (
+                (now_year if now_year is not None else 1)
+                if year is None
+                else max(year, 1)
+            )
+            local = datetime(
+                final_year, dt.month, dt.day, dt.hour, dt.minute,
+                dt.second, dt.microsecond, tzinfo=ZoneInfo(tz),
+            )
+            dt = dt.replace(tzinfo=timezone(local.utcoffset()))
+        else:
+            dt = dt.replace(tzinfo=timezone.utc)
+    base_us = G.civil_to_epoch_us(
+        dt.year, dt.month, dt.day, dt.hour, dt.minute, dt.second,
+        dt.microsecond,
+    ) - int(dt.utcoffset().total_seconds()) * G.US
+    us = base_us - shift
+    if year is None and now_year is not None:
+        us += G.year_shift_us(now_year, dt.month)
+    return us
+
+
+def _both(value, layout, now_year=None):
+    try:
+        want = _slow(value, layout, now_year)
+    except ValueError:
+        want = ValueError
+    try:
+        got = G.parse_go_time_us(value, layout, now_year)
+    except ValueError:
+        got = ValueError
+    return want, got
+
+
+NUMERIC_LAYOUTS = [
+    "2006-01-02T15:04:05",
+    "2006-01-02 15:04:05",
+    "2006/01/02 15:04:05.000000",
+    "01-02 15:04:05",
+    "15:04:05",
+    "060102 15:04:05",  # year2 with separator-free date kept slow
+    "2006-1-2 15:4:5",
+    "02/01/2006",
+    "2006-01-02",
+]
+
+
+@pytest.mark.parametrize("layout", NUMERIC_LAYOUTS)
+def test_valid_values_match_slow_path(layout):
+    import random
+
+    rng = random.Random(42)
+    for _ in range(80):
+        y, mo, d = rng.randint(1900, 2100), rng.randint(1, 12), rng.randint(1, 31)
+        h, mi, s = rng.randint(0, 23), rng.randint(0, 59), rng.randint(0, 59)
+        us = rng.randint(0, 999999)
+        val = (
+            layout.replace("2006", f"{y:04d}")
+            .replace("01", f"{mo:02d}").replace("1", f"{mo}")
+            .replace("02", f"{d:02d}").replace("2", f"{d}")
+            .replace("15", f"{h:02d}")
+            .replace("04", f"{mi:02d}").replace("4", f"{mi}")
+            .replace("05", f"{s:02d}").replace("5", f"{s}")
+            .replace(".000000", f".{us:06d}")
+            .replace("06", f"{y % 100:02d}")
+        )
+        for ny in (None, 2024):
+            want, got = _both(val, layout, ny)
+            assert want == got, (layout, val, ny, want, got)
+
+
+def test_fast_path_is_active_for_the_txn_layout():
+    cl = G._layout("2006-01-02T15:04:05")
+    assert cl.fast_re is not None
+    assert cl.order == (
+        "year", "month", "day", "hour24", "minute", "second"
+    )
+
+
+def test_name_and_zone_layouts_stay_slow():
+    for layout in ("Jan _2 15:04:05", "2006-01-02 15:04:05 -0700",
+                   "03:04:05 PM", "Mon Jan 2 15:04:05 2006"):
+        assert G._layout(layout).fast_re is None
+
+
+def test_day_range_mirrors_datetime():
+    # Feb 29 without a year: datetime's default 1900 is NOT a leap
+    # year, so both paths must reject it
+    assert _both("02-29 10:00:00", "01-02 15:04:05") == (
+        ValueError, ValueError
+    )
+    assert _both("2024-02-29 10:00:00", "2006-01-02 15:04:05")[0] == \
+        _both("2024-02-29 10:00:00", "2006-01-02 15:04:05")[1]
+    assert _both("2023-02-29 10:00:00", "2006-01-02 15:04:05") == (
+        ValueError, ValueError
+    )
+    assert _both("2024-04-31 10:00:00", "2006-01-02 15:04:05") == (
+        ValueError, ValueError
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(
+        alphabet="0123456789-T:. Z+abc",
+        min_size=0,
+        max_size=30,
+    ),
+    st.sampled_from(NUMERIC_LAYOUTS),
+)
+def test_fuzz_arbitrary_values_match(value, layout):
+    want, got = _both(value, layout)
+    assert want == got, (layout, value, want, got)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=3000),
+    st.integers(min_value=1, max_value=13),
+    st.integers(min_value=1, max_value=32),
+    st.integers(min_value=0, max_value=24),
+    st.integers(min_value=0, max_value=61),
+    st.integers(min_value=0, max_value=61),
+)
+def test_fuzz_numeric_fields_match(y, mo, d, h, mi, s):
+    val = f"{y:04d}-{mo:02d}-{d:02d}T{h:02d}:{mi:02d}:{s:02d}"
+    want, got = _both(val, "2006-01-02T15:04:05")
+    assert want == got, (val, want, got)
+
+
+def test_yearless_now_year_patch_matches():
+    for ny in (None, 1, 1999, 2024):
+        want, got = _both("12-25 08:30:01", "01-02 15:04:05", ny)
+        assert want == got == G.parse_go_time_us(
+            "12-25 08:30:01", "01-02 15:04:05", ny
+        )
