@@ -189,19 +189,28 @@ class CompiledProgram:
             )
         return self._chunkfold_reason is None
 
-    def _auto_backend(self, log_lines: DataFrame) -> str:
+    def _auto_backend(
+        self, log_lines: DataFrame, input_bytes: int | None = None
+    ) -> str:
         """Backend selection.  Stateless programs: the vectorized
         DataFrame plan (whole-stage codegen, ~900 klines/s marginal).
         Register-RMW programs on LARGE inputs: the chunk-parallel
         speculative fold (fold constants x chunk parallelism; the
         vectorized carry-window plan's per-line constant loses past
         ~64 MB).  Small register inputs keep the window plan /
-        sequential fold, whose fixed overheads are lower."""
+        sequential fold, whose fixed overheads are lower.
+
+        input_bytes: caller-supplied size for relations the file-stat
+        estimator can't see (streaming micro-batches report no
+        inputFiles; the serving pipeline measures the batch instead —
+        pipeline.py)."""
         if self.checked.cross_line_state and self.chunkfoldable:
             from mtail_spark.compiler.chunkfold import CHUNKFOLD_MIN_BYTES
             from mtail_spark.session import estimated_local_input_bytes
 
             est = estimated_local_input_bytes(log_lines)
+            if est is None:
+                est = input_bytes
             if est is not None and est > CHUNKFOLD_MIN_BYTES:
                 return "chunkfold"
         return "vector" if self.vectorizable else "fold"
@@ -225,6 +234,7 @@ class CompiledProgram:
         backend: str = "auto",
         now_us: int = 0,
         cache_plan: bool = True,
+        input_bytes: int | None = None,
     ) -> DataFrame:
         """Run the program over a log_lines relation
         (filename, line_no, line) -> STORE_SCHEMA DataFrame.
@@ -253,7 +263,7 @@ class CompiledProgram:
         session.reset_scan_tuning between unrelated scans); the tuning
         only affects split sizing (performance), never results."""
         if backend == "auto":
-            backend = self._auto_backend(log_lines)
+            backend = self._auto_backend(log_lines, input_bytes)
         key = None
         if cache_plan:
             from mtail_spark.session import session_token

@@ -25,15 +25,19 @@ phase A — parallel, mapInPandas over (filename, chunk): run the
   (mysql: the next "# User@Host" / "SET timestamp=" record header),
   so deferral is O(record length) per chunk, not O(chunk).
 
-phase B — driver, store-sized: each chunk's summary (final Known
-  register values + the deferred raw lines, NEVER the chunk's data)
-  is collected and replayed strictly in file order through the same
-  interpreter: before each deferred line its snapshot overlays the
-  running register state (values written by non-deferred lines
-  between two deferred lines), the line executes with full knowledge,
-  and after a chunk's deferred lines the chunk's finals overwrite the
-  state for the next chunk.  This yields the deferred lines' metric
-  effects under the true incoming state.
+phase B — executor-side, grouped by file: each chunk's summary
+  (final Known register values + the deferred raw lines, NEVER the
+  chunk's data) is replayed strictly in chunk order through the same
+  interpreter — one applyInPandas group per file, parallel across
+  files — inside the merge job: before each deferred line its
+  snapshot overlays the running register state (values written by
+  non-deferred lines between two deferred lines), the line executes
+  with full knowledge, and after a chunk's deferred lines the chunk's
+  finals overwrite the state for the next chunk.  This yields the
+  deferred lines' metric effects under the true incoming state.  The
+  driver sees only slim audit tuples (file, chunk, max_line,
+  disorder) — O(chunks) small rows; snapshots and raw deferred lines
+  never leave the executors.
 
 merge — chunk partial stores collapse per file (counters/histograms
   additively with the datum timestamp taken at the last (chunk, line)
@@ -60,16 +64,15 @@ vm.go:97-129; `stop` vm.go:353-354.
 
 Scaling: phase A parallelism is total_lines / CHUNK_LINES (or one
 task per scan split in zero-exchange mode) over a raw three-column
-exchange at most.  The only sequential work is phase B's replay,
-bounded by deferred-prefix length x CHUNK COUNT — store-sized per
-chunk, never line-sized.  At extreme scale that driver bound is the
-knob to watch: ~10 deferred lines/chunk means 100 TB at 128 MB
-splits collects ~10M control rows; sizing splits toward 1 GB (or
-raising CHUNK_LINES) keeps control traffic in the low millions, and
-a tree-structured (two-level) replay is the natural extension if a
-single driver pass ever became the limit.  Register-state snapshots
-scale with the chunk's LIVE register-entry cardinality (per-key
-session state), not with chunk length.
+exchange at most.  The only sequential work is phase B's per-FILE
+replay, bounded by deferred-prefix length x the file's chunk count —
+store-sized per chunk, never line-sized — running executor-side and
+parallel across files.  Driver traffic is O(chunks) slim audit
+tuples with no payloads: 100 TB at 128 MB splits is ~800k four-field
+rows (~tens of MB), and sizing splits toward 1 GB cuts it another
+8x.  Register-state snapshots scale with the chunk's LIVE
+register-entry cardinality (per-key session state), not with chunk
+length.
 """
 
 from __future__ import annotations
@@ -528,6 +531,31 @@ def _mk_runtime(it: Interp, store: Store, now_us: int, filename: str):
     return rt
 
 
+def _worker_prog(src: str, name: str, use_year: bool, tz):
+    """Worker-process-level compile cache: Spark reuses Python workers
+    across partitions and stages, so a 64-split scan would otherwise
+    re-parse + re-close-compile the program 64 times (tens of ms each
+    against a ~25 us/line fold).  The cache must live on the IMPORTED
+    module (persistent in the worker process), not a closure's pickled
+    globals (fresh per task)."""
+    from mtail_spark.compiler.checker import check as _check
+
+    import mtail_spark.compiler.chunkfold as _cfmod
+
+    cache = getattr(_cfmod, "_WORKER_PROGS", None)
+    if cache is None:
+        cache = _cfmod._WORKER_PROGS = {}
+    ck = (hash(src), name, use_year, tz)
+    hit = cache.get(ck)
+    if hit is None:
+        prog = _check(src, name)
+        hit = (prog, Interp(prog, use_year, tz=tz))
+        if len(cache) > 8:
+            cache.clear()
+        cache[ck] = hit
+    return hit
+
+
 def _phase_a_fn(src: str, name: str, use_year: bool, tz, now_us: int):
     """mapInPandas closure: speculative fold per (filename, chunk)."""
 
@@ -535,29 +563,7 @@ def _phase_a_fn(src: str, name: str, use_year: bool, tz, now_us: int):
         import numpy as np
         import pandas as pd
 
-        from mtail_spark.compiler.checker import check as _check
-
-        # worker-process-level compile cache: Spark reuses Python
-        # workers across partitions and stages, so a 64-split scan
-        # would otherwise re-parse + re-close-compile the program 64
-        # times (tens of ms each against a ~25 us/line fold).  The
-        # cache must live on the IMPORTED module (persistent in the
-        # worker process), not this closure's pickled globals (fresh
-        # per task).
-        import mtail_spark.compiler.chunkfold as _cfmod
-
-        cache = getattr(_cfmod, "_WORKER_PROGS", None)
-        if cache is None:
-            cache = _cfmod._WORKER_PROGS = {}
-        ck = (hash(src), name, use_year, tz)
-        hit = cache.get(ck)
-        if hit is None:
-            prog = _check(src, name)
-            hit = (prog, Interp(prog, use_year, tz=tz))
-            if len(cache) > 8:
-                cache.clear()
-            cache[ck] = hit
-        prog, it = hit
+        prog, it = _worker_prog(src, name, use_year, tz)
         # (filename, chunk) -> [rt, SpecStore, deferred, max_line,
         # disorder]; max_line/disorder feed the driver's contiguity
         # audit of zero-exchange chunks (finals row value_i/value_f)
@@ -648,54 +654,64 @@ def _phase_a_fn(src: str, name: str, use_year: bool, tz, now_us: int):
 # ------------------------------------------------------------- phase B
 
 
-def _replay(cprog, ctl_rows, now_us: int) -> list[dict]:
-    """Sequential replay of deferred lines under true incoming state.
-    Input: collected finals (row_type 1) + deferred (row_type 2) rows.
-    Output: tagged partial rows for the deferred lines' metric
-    effects (one row per touched datum per file)."""
-    if not ctl_rows:
+def _replay_file(
+    prog: CheckedProgram, it: Interp, fname: str, rows, now_us: int
+) -> list[dict]:
+    """Sequential replay of ONE file's deferred lines under true
+    incoming state.  `rows` are that file's control rows — finals
+    (row_type 1) + deferred (row_type 2) — as attribute-access records
+    in any order.  Output: tagged partial rows for the deferred
+    lines' metric effects (one row per touched datum)."""
+    rows = sorted(rows, key=lambda r: (r.chunk, r.last_line or 0))
+    st = TrackingStore(prog)
+    rt = _mk_runtime(it, st, now_us, fname)
+    touched = False
+    for r in rows:
+        if r.row_type == 2:
+            _apply_state(st, _load_state(r.payload_json))
+            st.cur_chunk, st.cur_line = r.chunk, r.last_line
+            rt.line_no = r.last_line
+            rt.line = r.value_s
+            rt.matches = {}
+            rt.ts_us = None
+            rt.fired.clear()
+            st.journal.clear()
+            touched = True
+            try:
+                it.program(rt)
+            except (StopLine, LineError):
+                pass
+        else:  # finals: true end-of-chunk state for the next chunk
+            _apply_state(st, _load_state(r.payload_json))
+    if not touched:
         return []
-    prog = cprog.checked
-    it = Interp(
-        prog, cprog.syslog_use_current_year, tz=cprog.override_timezone
-    )
-    byfile: dict = {}
-    for r in ctl_rows:
-        byfile.setdefault(r.src_file, []).append(r)
-    out: list[dict] = []
-    for fname in sorted(byfile):
-        rows = sorted(
-            byfile[fname], key=lambda r: (r.chunk, r.last_line or 0)
+    # zero-init rows already came from every phase-A chunk; emit only
+    # datums the replay actually updated
+    return [
+        row
+        for row in _partials_with_tags(st, fname)
+        if row["last_line"] != -1
+    ]
+
+
+def _replay_fn(src: str, name: str, use_year: bool, tz, now_us: int):
+    """applyInPandas closure: phase B replay, one group per src_file.
+    Each file's replay is inherently sequential (it IS the fold of the
+    deferred lines), but files replay in parallel and — the point at
+    scale — register snapshots and deferred raw lines stay on the
+    executors; the driver never sees phase-B payloads at all."""
+
+    def fn(pdf):
+        import pandas as pd
+
+        prog, it = _worker_prog(src, name, use_year, tz)
+        fname = pdf["src_file"].iat[0] if len(pdf) else ""
+        out = _replay_file(
+            prog, it, fname, list(pdf.itertuples(index=False)), now_us
         )
-        st = TrackingStore(prog)
-        rt = _mk_runtime(it, st, now_us, fname)
-        touched = False
-        for r in rows:
-            if r.row_type == 2:
-                _apply_state(st, _load_state(r.payload_json))
-                st.cur_chunk, st.cur_line = r.chunk, r.last_line
-                rt.line_no = r.last_line
-                rt.line = r.value_s
-                rt.matches = {}
-                rt.ts_us = None
-                rt.fired.clear()
-                st.journal.clear()
-                touched = True
-                try:
-                    it.program(rt)
-                except (StopLine, LineError):
-                    pass
-            else:  # finals: true end-of-chunk state for the next chunk
-                _apply_state(st, _load_state(r.payload_json))
-        if touched:
-            # zero-init rows already came from every phase-A chunk;
-            # emit only datums the replay actually updated
-            out.extend(
-                r
-                for r in _partials_with_tags(st, fname)
-                if r["last_line"] != -1
-            )
-    return out
+        return pd.DataFrame(out, columns=_COLS)
+
+    return fn
 
 
 # --------------------------------------------------------------- merge
@@ -823,20 +839,22 @@ def _merge_chunk_partials(
 # ---------------------------------------------------------------- run
 
 
-def _audit_chunks(ctl) -> bool:
+def _audit_chunks(finals) -> bool:
     """True when every file's zero-exchange chunks are internally
     ordered and pairwise non-overlapping line ranges — the contiguity
     phase A's speculation depends on.  Input-partition ordering is a
     documented property of the text source we rely on elsewhere, but
     an arbitrary caller-provided relation (parquet-backed, reordered)
     can break it, so it is VERIFIED from each chunk's (first, max)
-    line rather than trusted."""
+    line rather than trusted.  `finals` are the SLIM finals rows
+    (src_file, chunk, value_i=max_line, value_f=disorder flag) — the
+    driver's only phase-B traffic, O(chunks) small tuples with no
+    payloads."""
     byfile: dict = {}
-    for r in ctl:
-        if r.row_type == 1:
-            if r.value_f:  # in-chunk disorder flagged executor-side
-                return False
-            byfile.setdefault(r.src_file, []).append((r.chunk, r.value_i))
+    for r in finals:
+        if r.value_f:  # in-chunk disorder flagged executor-side
+            return False
+        byfile.setdefault(r.src_file, []).append((r.chunk, r.value_i))
     for spans in byfile.values():
         spans.sort()
         for (c1, m1), (c2, _m2) in zip(spans, spans[1:]):
@@ -923,8 +941,17 @@ def chunkfold_store(
         now_us,
     )
     df_a = chunked.mapInPandas(fn, schema=CHUNK_SCHEMA).persist()
-    ctl = df_a.filter(F.col("row_type") != 0).collect()
-    if zero_exchange and not _audit_chunks(ctl):
+    # Job 1 materializes phase A and brings back ONLY the slim audit
+    # tuples — O(chunks) rows of (file, chunk, max_line, disorder).
+    # Register snapshots and deferred raw lines (the O(chunks x
+    # record-length) phase-B payloads the r5 review sized at ~10M
+    # rows for 100 TB) never leave the executors.
+    finals = (
+        df_a.filter(F.col("row_type") == 1)
+        .select("src_file", "chunk", "value_i", "value_f")
+        .collect()
+    )
+    if zero_exchange and not _audit_chunks(finals):
         # the caller's relation doesn't deliver contiguous in-order
         # per-file ranges per partition: redo with an explicit
         # line_no-bucketed exchange (sound for any ordered relation)
@@ -932,24 +959,49 @@ def chunkfold_store(
         return chunkfold_store(
             cprog, spark, log_lines, now_us, _force_exchange=True
         )
-    extra = _replay(cprog, ctl, now_us)
-    if not ctl:
+
+    out_cols = [
+        c for c in _COLS if c not in ("row_type", "payload_json")
+    ]
+    # The merge job's inputs are store-sized rows spread over one
+    # cached partition PER CHUNK; without narrowing, each branch pays
+    # a task per chunk (648 chunks -> ~1300 near-empty tasks, ~5 s of
+    # pure scheduling at 30M lines/10x-split sizing).  coalesce is a
+    # narrow read over the cache — no shuffle, parallelism capped at
+    # the cluster width either way by the store-agg exchange.
+    ncoal = max(2, spark.sparkContext.defaultParallelism // 2)
+    merged_src = df_a.coalesce(ncoal)
+    partials = merged_src.filter(F.col("row_type") == 0).select(out_cols)
+    if finals:
+        # Phase B rides the merge job: per-file replay as a grouped
+        # map over the persisted control rows.  One file's replay is
+        # inherently sequential (it IS the fold of that file's
+        # deferred lines), but files replay in parallel on executors
+        # and the driver pass over deferred prefixes is gone.
+        rfn = _replay_fn(
+            cprog.src,
+            cprog.name,
+            cprog.syslog_use_current_year,
+            cprog.override_timezone,
+            now_us,
+        )
+        replayed = (
+            merged_src.filter(F.col("row_type") != 0)
+            .groupBy("src_file")
+            .applyInPandas(rfn, schema=CHUNK_SCHEMA)
+            .select(out_cols)
+        )
+        partials = partials.unionByName(replayed)
+    else:
         # zero input rows: the store is still the zero-init store
         # (reference one-shot over an empty file exports zero-valued
         # scalar counters/histograms; the vectorized backend's
         # identity-event union gives the same)
-        extra = _partials_with_tags(TrackingStore(cprog.checked), "")
-
-    partials = df_a.filter(F.col("row_type") == 0).select(
-        [c for c in _COLS if c not in ("row_type", "payload_json")]
-    )
-    if extra:
+        zero = _partials_with_tags(TrackingStore(cprog.checked), "")
         loc = spark.createDataFrame(
-            [tuple(r[c] for c in _COLS) for r in extra],
+            [tuple(r[c] for c in _COLS) for r in zero],
             schema=CHUNK_SCHEMA,
-        ).select(
-            [c for c in _COLS if c not in ("row_type", "payload_json")]
-        )
+        ).select(out_cols)
         partials = partials.unionByName(loc)
     out = _merge_chunk_partials(
         partials, cprog.name, kinds=cprog.exported_kinds

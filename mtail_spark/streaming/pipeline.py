@@ -296,7 +296,23 @@ def run_program_stream(
         lines = lines.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             if batch_id > store.last_batch_id:
-                result = prog.run_batch(spark, lines, cache_plan=False)
+                input_bytes = None
+                if prog.checked.cross_line_state and prog.chunkfoldable:
+                    # micro-batch relations report no inputFiles, so
+                    # the chunkfold auto-route needs a measured size
+                    # hint; the agg also materializes the persist the
+                    # batch plan reuses.  Only registers programs pay
+                    # this extra store-sized job.
+                    input_bytes = int(
+                        lines.agg(
+                            F.sum(F.length("line"))
+                        ).first()[0]
+                        or 0
+                    )
+                result = prog.run_batch(
+                    spark, lines, cache_plan=False,
+                    input_bytes=input_bytes,
+                )
                 n = lines.count()
                 store.n_lines += n
                 if hasattr(store, "merge_batch_df"):
