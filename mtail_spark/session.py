@@ -63,7 +63,53 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _prewarm_python_workers(spark, cpus)
+    return spark
+
+
+_PREWARMED: set = set()
+
+
+def _prewarm_python_workers(spark: SparkSession, cpus: int) -> None:
+    """Fire-and-forget a tiny mapInPandas job that faults in every
+    Python worker slot (pandas/numpy/pyarrow imports plus the
+    interpreter modules phase A needs) while the caller is still
+    loading data and building plans.  A 32-slot local session
+    otherwise pays ~3.5 s of worker cold-start inside the FIRST
+    pandas-path query (measured on mtail_prog_txn sf1); daemons warm
+    pools at startup for exactly this reason.  Workers are reused
+    across jobs (spark.python.worker.reuse default), so the warmth
+    persists.  Off via SPARK_GRAFT_PREWARM=0."""
+    key = id(spark.sparkContext)
+    if key in _PREWARMED or os.environ.get(
+        "SPARK_GRAFT_PREWARM", "1"
+    ) == "0":
+        return
+    _PREWARMED.add(key)
+
+    def _job():
+        try:
+            def warm(batches):
+                import numpy  # noqa: F401
+                import pandas as pd
+
+                import mtail_spark.compiler.interp  # noqa: F401
+
+                for _ in batches:
+                    pass
+                yield pd.DataFrame({"n": [0]})
+
+            ensure_workers_can_import(spark)
+            spark.range(0, cpus * 2, 1, cpus * 2).mapInPandas(
+                warm, schema="n long"
+            ).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # prewarm is best-effort; never break session startup
+
+    import threading
+
+    threading.Thread(target=_job, daemon=True).start()
 
 
 def sf_dir(default: str = "/root/testdata/sf0.1") -> str:
