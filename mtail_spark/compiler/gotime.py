@@ -172,23 +172,50 @@ def _days_in_month(y: int, m: int) -> int:
     return _DAYS_IN_MONTH[m - 1]
 
 
+def _name_entry(directive: str):
+    """(pattern, month-lookup) for a name-valued directive, built from
+    the SAME locale tables Python _strptime matches against, so the
+    fast path accepts exactly what the slow path accepts.  Weekday
+    names are matched (and validated) but carry no date information in
+    strptime — the lookup is None for them."""
+    import _strptime
+
+    lt = _strptime.TimeRE().locale_time
+    seqs = {
+        "%b": lt.a_month[1:],
+        "%B": lt.f_month[1:],
+        "%a": lt.a_weekday,
+        "%A": lt.f_weekday,
+    }[directive]
+    names = sorted({n for n in seqs if n}, key=len, reverse=True)
+    pat = "(?i:(" + "|".join(re.escape(n) for n in names) + "))"
+    if directive in ("%b", "%B"):
+        lookup = {n.lower(): i for i, n in enumerate(seqs, 1)}
+    else:
+        lookup = None
+    return pat, lookup
+
+
 class _CompiledLayout:
     """Per-layout parse artifacts, computed once (strptime runs per
     LINE in the fold/chunkfold interpreters — re-tokenizing the layout
     each call dominated the txn/mysql profile at ~4x the rest of the
     line's work combined)."""
 
-    __slots__ = ("pyfmt", "fields", "zone", "fast_re", "order")
+    __slots__ = (
+        "pyfmt", "fields", "zone", "fast_re", "order", "month_lookup"
+    )
 
     def __init__(self, layout: str):
         toks, fields = parse_layout(layout)
         self.fields = fields
         self.pyfmt = normalize_spaces(to_python(layout)[0])
         self.zone = "zone" in fields
-        # Compiled direct regex for purely-numeric layouts: group
-        # order mirrors token order; duplicates or any non-numeric
-        # field (names, am/pm, 12h, zones) disable it.
+        # Compiled direct regex for numeric + month/weekday-name
+        # layouts: group order mirrors token order; duplicates or any
+        # other field (am/pm, 12h, zones) disable it.
         self.fast_re = None
+        self.month_lookup = None
         order: list[str] = []
         parts: list[str] = []
         lit = ""
@@ -203,17 +230,27 @@ class _CompiledLayout:
                 parts.append(re.escape(normalize_spaces(lit)))
                 lit = ""
             ent = _FAST_DIRECTIVE_PATS.get(v[1])
-            # adjacent numeric tokens (no separating literal) can
-            # backtrack differently under fullmatch than strptime's
-            # match-then-check-leftover — keep those on the slow path
+            if ent is None and v[1] in ("%b", "%B", "%a", "%A"):
+                pat, lookup = _name_entry(v[1])
+                field = "month_name" if lookup else "wday_name"
+                if lookup:
+                    self.month_lookup = lookup
+                ent = (pat, field)
+            # adjacent tokens (no separating literal) can backtrack
+            # differently under fullmatch than strptime's
+            # match-then-check-leftover — keep those on the slow
+            # path.  Name tokens are fixed-string alternations, so a
+            # numeric token may follow one, but not precede one.
             if ent is None or (prev_tok and v[1] != ".%f"):
                 ok = False
                 break
             pat, field = ent
-            if field in order:
+            if field in order or (
+                field == "month_name" and "month" in order
+            ) or (field == "month" and "month_name" in order):
                 ok = False
                 break
-            prev_tok = True
+            prev_tok = v[1] not in ("%b", "%B", "%a", "%A")
             if field == "frac":
                 # the layout token carries the leading dot
                 parts.append(r"\.")
@@ -284,7 +321,11 @@ def parse_go_time_us(
                 else:
                     y = 1900  # datetime's default year, shifted below
                     yearless = True
-            mo = int(vals.get("month", 1))
+            mn = vals.get("month_name")
+            if mn is not None:
+                mo = cl.month_lookup[mn.lower()]
+            else:
+                mo = int(vals.get("month", 1))
             d = int(vals.get("day", 1))
             # y >= 1 mirrors datetime's MINYEAR; year-0 GOLDEN datums
             # come from YEARLESS layouts (shifted below), never a

@@ -111,10 +111,55 @@ def test_fast_path_is_active_for_the_txn_layout():
     )
 
 
-def test_name_and_zone_layouts_stay_slow():
-    for layout in ("Jan _2 15:04:05", "2006-01-02 15:04:05 -0700",
-                   "03:04:05 PM", "Mon Jan 2 15:04:05 2006"):
+def test_ampm_and_zone_layouts_stay_slow():
+    for layout in ("2006-01-02 15:04:05 -0700", "03:04:05 PM",
+                   "2006-01-02T15:04:05Z07:00"):
         assert G._layout(layout).fast_re is None
+
+
+def test_month_name_layouts_are_fast_and_match():
+    """The syslog shape — THE serve-mode hot layout — takes the fast
+    path and matches the strptime route on every month, padded and
+    space-padded days, and case variants."""
+    assert G._layout("Jan _2 15:04:05").fast_re is not None
+    months = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+              "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+    for layout in ("Jan _2 15:04:05", "Jan 02 15:04:05",
+                   "Mon Jan _2 15:04:05 2006",
+                   "January 2, 2006 15:04:05"):
+        for mi, mon in enumerate(months, 1):
+            for d, rest in ((2, " 2"), (28, "28")):
+                val = (layout
+                       .replace("January", mon + "uary_FULL")
+                       .replace("Jan", mon)
+                       .replace("uary_FULL", "")
+                       .replace("Mon", "Tue")
+                       .replace("_2", rest).replace("02", f"{d:02d}")
+                       .replace("2,", f"{d},")
+                       .replace("2006", "2021")
+                       .replace("15:04:05", "07:45:59"))
+                if "January" in layout:
+                    import calendar
+
+                    val = val.replace(mon, calendar.month_name[mi])
+                for v in (val, val.lower(), val.upper()):
+                    want, got = _both(v, layout, 2024)
+                    assert want == got, (layout, v, want, got)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(
+        alphabet="0123456789-T:. JanFebMrpyulgSOcNovDi",
+        min_size=0,
+        max_size=26,
+    ),
+    st.sampled_from(["Jan _2 15:04:05", "02/Jan/2006 15:04:05",
+                     "Mon Jan _2 15:04:05 2006"]),
+)
+def test_fuzz_name_layout_values_match(value, layout):
+    want, got = _both(value, layout)
+    assert want == got, (layout, value, want, got)
 
 
 def test_day_range_mirrors_datetime():
