@@ -296,24 +296,24 @@ def run_program_stream(
         lines = lines.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             if batch_id > store.last_batch_id:
-                input_bytes = None
+                input_bytes = n = None
                 if prog.checked.cross_line_state and prog.chunkfoldable:
                     # micro-batch relations report no inputFiles, so
                     # the chunkfold auto-route needs a measured size
                     # hint; the agg also materializes the persist the
-                    # batch plan reuses.  Only registers programs pay
+                    # batch plan reuses and carries the line count the
+                    # store needs anyway.  Only register programs pay
                     # this extra store-sized job.
-                    input_bytes = int(
-                        lines.agg(
-                            F.sum(F.length("line"))
-                        ).first()[0]
-                        or 0
-                    )
+                    n, total_len = lines.agg(
+                        F.count(F.lit(1)), F.sum(F.length("line"))
+                    ).first()
+                    input_bytes = int(total_len or 0)
                 result = prog.run_batch(
                     spark, lines, cache_plan=False,
                     input_bytes=input_bytes,
                 )
-                n = lines.count()
+                if n is None:
+                    n = lines.count()
                 store.n_lines += n
                 if hasattr(store, "merge_batch_df"):
                     # table-backed store: the batch store merges into
