@@ -767,6 +767,86 @@ def q_multimodal_features(spark, sf):
     )
 
 
+def q_boilerplate_ngrams(spark, sf):
+    """Inter-document boilerplate detection (operators/curation.py):
+    word 5-grams appearing in >= 3 distinct documents are corpus
+    boilerplate; report each document's exposure.  Frequent set is
+    heavy-hitter-sized and broadcast; the corpus sees one scan and
+    one per-doc aggregation."""
+    import mtail_spark.operators.curation as CU
+
+    docs = _t(spark, sf, "documents")
+    return CU.boilerplate_report(docs, n=5, min_docs=3)
+
+
+def q_dedup_keep_best(spark, sf):
+    """Canonical selection per near-exact dup group: normalize
+    (case-fold + whitespace-collapse) an 80-char prefix, group by its
+    md5, keep the longest document (ties: smallest id).  One
+    hash-partitioned window, no self-join."""
+    import mtail_spark.operators.curation as CU
+
+    docs = _t(spark, sf, "documents")
+    keyed = docs.withColumn(
+        "grp", CU.normalized_content_key(F.col("text"), 80)
+    )
+    return CU.keep_best(keyed, "grp", "n_chars").select(
+        "doc_id", "grp", "keep_id", "is_kept"
+    )
+
+
+def q_epoch_shuffle(spark, sf):
+    """Deterministic global training order (operators/curation.py):
+    dense positions by salted-hash order WITHOUT the single-partition
+    window — hash high bits bucket the corpus into contiguous ranges,
+    bucket counts prefix-sum on the driver (aggregate-sized), each
+    bucket numbers itself in parallel."""
+    import mtail_spark.operators.curation as CU
+
+    docs = _t(spark, sf, "documents")
+    return CU.epoch_shuffle(docs, "doc_id", epoch=1).select(
+        "doc_id", "pos"
+    )
+
+
+def q_mixture_sample(spark, sf):
+    """Mixture-weighted sampling to a token budget: per-source rates
+    from target weights over actual availability (aggregate-sized
+    rate table broadcast back), deterministic salted-bucket
+    membership.  Report per-source kept counts/tokens + the rate."""
+    import mtail_spark.operators.curation as CU
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "toks", TX.token_count_ws(F.col("text"))
+    )
+    kept = CU.mixture_sample(
+        docs, "source", "toks",
+        weights={"src1": 0.5, "src7": 0.3, "src13": 0.2},
+        token_budget=1000,
+        default_weight=0.05,
+        salt="mix",
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").cast("long").alias("kept_toks"),
+        F.min("rate_ppm").alias("rate_ppm"),
+    )
+
+
+def q_chunk_windows(spark, sf):
+    """Fixed-context-window chunking (operators/packing.py): cut each
+    source's concatenated token stream every 256 tokens; documents
+    cross boundaries.  Prefix-sum expressible, so it's one per-shard
+    window cumsum + map-side sequence()/explode — all codegen, no
+    Python."""
+    import mtail_spark.operators.packing as PK
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "toks", TX.token_count_ws(F.col("text"))
+    )
+    return PK.chunk_fixed_windows(docs, "toks", 256, "source", "doc_id")
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -823,6 +903,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "pack_sequences": q_pack_sequences,
         "decontamination": q_decontamination,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "dedup_keep_best": q_dedup_keep_best,
+        "epoch_shuffle": q_epoch_shuffle,
+        "mixture_sample": q_mixture_sample,
+        "chunk_windows": q_chunk_windows,
         "training_data_pipeline": q_training_data_pipeline,
         "curation_pipeline": q_curation_pipeline,
         "multimodal_meta": q_multimodal_meta,
@@ -1503,6 +1588,107 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN b ON c.ng = b.ng
             GROUP BY c.doc_id
             HAVING count(DISTINCT c.ng) >= 1
+        """,
+        "boilerplate_ngrams": f"""
+            WITH sh AS (
+              SELECT doc_id, unnest({_sql_shingles('text', 5)}) AS ng
+              FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents
+              )
+            ), freq AS (
+              SELECT ng FROM sh
+              GROUP BY ng HAVING count(DISTINCT doc_id) >= 3
+            ), per_doc AS (
+              SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+            ), boiler AS (
+              SELECT sh.doc_id, count(*) AS n_boiler
+              FROM sh JOIN freq ON sh.ng = freq.ng GROUP BY sh.doc_id
+            )
+            SELECT p.doc_id, p.n_shingles,
+                   COALESCE(b.n_boiler, 0) AS n_boiler,
+                   CAST(floor(COALESCE(b.n_boiler, 0) * 1000
+                              / p.n_shingles) AS BIGINT) AS boiler_permille
+            FROM per_doc p LEFT JOIN boiler b ON p.doc_id = b.doc_id
+        """,
+        "dedup_keep_best": """
+            SELECT doc_id, grp,
+                   first_value(doc_id) OVER
+                     (PARTITION BY grp
+                      ORDER BY n_chars DESC, doc_id ASC) AS keep_id,
+                   first_value(doc_id) OVER
+                     (PARTITION BY grp
+                      ORDER BY n_chars DESC, doc_id ASC) = doc_id AS is_kept
+            FROM (
+              SELECT doc_id, n_chars,
+                     md5(regexp_replace(trim(lower(substr(text, 1, 80))),
+                                        '\\s+', ' ', 'g')) AS grp
+              FROM documents
+            )
+        """,
+        "epoch_shuffle": f"""
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY h ASC, doc_id ASC) AS pos
+            FROM (
+              SELECT doc_id,
+                     {_sql_md5_long(
+                         "concat('shuffle-1-', CAST(doc_id AS VARCHAR))"
+                     )} AS h
+              FROM documents
+            )
+        """,
+        "mixture_sample": f"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                          AS BIGINT) AS toks
+              FROM documents
+            ), w AS (
+              SELECT source, CAST(sum(toks) AS BIGINT) AS total_toks,
+                     CASE source WHEN 'src1' THEN 0.5
+                                 WHEN 'src13' THEN 0.2
+                                 WHEN 'src7' THEN 0.3
+                                 ELSE 0.05 END AS wt
+              FROM d GROUP BY source
+            ), r AS (
+              SELECT source,
+                     least(CAST(1000000 AS BIGINT),
+                           CAST(floor((1000000.0 * (wt * 1000.0))
+                                / CAST(total_toks AS DOUBLE))
+                                AS BIGINT)) AS rate_ppm
+              FROM w
+            )
+            SELECT d.source, count(*) AS n_docs,
+                   CAST(sum(d.toks) AS BIGINT) AS kept_toks,
+                   min(r.rate_ppm) AS rate_ppm
+            FROM d JOIN r ON d.source = r.source
+            WHERE ({_sql_bucket("'mix'", "d.doc_id")}) < r.rate_ppm
+            GROUP BY d.source
+        """,
+        "chunk_windows": f"""
+            WITH d AS (
+              SELECT source, doc_id,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                          AS BIGINT) AS toks
+              FROM documents
+            ), c AS (
+              SELECT source, doc_id, toks,
+                     CAST(COALESCE(sum(toks) OVER
+                       (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+              FROM d WHERE toks > 0
+            ), e AS (
+              SELECT source, doc_id, toks, tok_start,
+                     unnest(generate_series(tok_start // 256,
+                       (tok_start + toks - 1) // 256)) AS chunk_id
+              FROM c
+            )
+            SELECT source, doc_id, toks, chunk_id,
+                   least((chunk_id + 1) * 256, tok_start + toks)
+                     - greatest(chunk_id * 256, tok_start) AS toks_in_chunk
+            FROM e
         """,
         "training_data_pipeline": _sql_training_data_pipeline(),
         "curation_pipeline": _sql_curation_pipeline(),

@@ -1,0 +1,247 @@
+"""Corpus-curation operators: boilerplate n-gram detection, canonical
+keep-best dedup, deterministic epoch shuffle, mixture-weighted
+sampling.
+
+These are the remaining standard stages of a large-scale training-data
+pipeline (CCNet/RefinedWeb/Dolma-style) not already covered by
+operators/{dedup,sampling,packing,decontam}.py.  Shared design rules:
+
+- Every decision is a pure function of stable keys (salted md5
+  buckets, document ids) — reruns, audits, and the DuckDB oracles
+  reproduce results bit-for-bit.  No rand(), no nondeterministic row
+  order dependence.
+- 100 TB shape: the corpus moves through map-side scans plus the
+  minimum shuffles (one per aggregation); anything joined back to the
+  corpus is either heavy-hitter-sized (frequent boilerplate shingles)
+  or aggregate-sized (per-source token totals) and is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mtail_spark.operators.dedup import md5_long, word_shingles
+from mtail_spark.operators.sampling import BUCKETS, sample_bucket
+
+
+def frequent_shingles(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Word n-grams appearing in >= min_docs DISTINCT documents —
+    the corpus's boilerplate inventory (headers, footers, license
+    blurbs, navigation chrome).  One explode + one aggregation; the
+    distinct-per-doc dedup happens map-side via array_distinct in
+    word_shingles, so the shuffle carries (shingle, doc) pairs once
+    per containing document, never per occurrence."""
+    return (
+        corpus.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("ng"),
+        )
+        .groupBy("ng")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_report(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Per-document boilerplate exposure: how many of the document's
+    distinct n-grams are corpus-frequent, plus the per-mille ratio
+    used as a drop/clean signal.  The frequent set is heavy-hitter-
+    sized by construction (df >= min_docs over distinct docs), so it
+    broadcasts; the corpus is scanned once and re-aggregated by id —
+    the only corpus-sized shuffle."""
+    freq = frequent_shingles(corpus, id_col, text_col, n, min_docs)
+    exploded = corpus.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("ng"),
+    )
+    # per-doc denominator is map-side (array size) — no explode, no
+    # exchange for it
+    per_doc = corpus.select(
+        F.col(id_col),
+        F.size(word_shingles(F.col(text_col), n)).cast("long")
+        .alias("n_shingles"),
+    )
+    boiler = (
+        exploded.join(F.broadcast(freq.select("ng")), "ng")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        per_doc.join(boiler, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_shingles"),
+            F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
+            # floor() (not a bare cast) so Spark's truncating
+            # double->long and DuckDB's rounding double->BIGINT agree
+            F.floor(
+                F.coalesce(F.col("n_boiler"), F.lit(0)) * F.lit(1000)
+                / F.col("n_shingles")
+            ).cast("long").alias("boiler_permille"),
+        )
+    )
+
+
+def keep_best(
+    df: DataFrame,
+    group_key,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-document selection: within each duplicate group
+    (group_key — typically a normalized-content hash), keep the row
+    with the highest quality, ties broken by smallest id (fully
+    deterministic).  Adds `keep_id` (the group's canonical id) and
+    `is_kept`.  One hash-partitioned window — no self-join, no
+    driver state; group sizes are dup-group-sized, so the window
+    never sees skew beyond the corpus's worst duplication factor."""
+    w = Window.partitionBy(group_key).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn(
+            "keep_id", F.first(F.col(id_col)).over(w)
+        )
+        .withColumn("is_kept", (F.col("keep_id") == F.col(id_col)))
+    )
+
+
+def normalized_content_key(text_col, prefix_chars: int = 80):
+    """Near-exact dedup key: md5 of the case-folded,
+    whitespace-collapsed text prefix.  Catches trivially-reformatted
+    copies that byte-exact hashing misses, while staying a pure
+    map-side expression."""
+    norm = F.regexp_replace(
+        F.trim(F.lower(F.substring(text_col, 1, prefix_chars))),
+        r"\s+",
+        " ",
+    )
+    return F.md5(norm)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    epoch: int = 0,
+    salt: str = "shuffle",
+    out_col: str = "pos",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic global training order for one epoch: every row
+    gets a dense position by ascending salted hash (ties by key).
+    Same corpus + same epoch => identical order on any cluster; a new
+    epoch is a new salt, i.e. an independent permutation.
+
+    A naive `row_number() OVER (ORDER BY h)` collapses to ONE
+    partition in Spark (Exchange SinglePartition) — a non-starter at
+    scale.  Instead: the hash's high bits define n_buckets contiguous
+    hash RANGES; bucket counts (aggregate-sized) come back to the
+    driver once, prefix-sum into offsets, broadcast-join back, and
+    each bucket numbers itself independently (hash-partitioned
+    window, zero skew because the hash is uniform).  pos =
+    bucket_offset + bucket-local row_number — identical to the
+    single-partition answer, computed with bucket-parallel
+    exchanges."""
+    h = md5_long(
+        F.concat(F.lit(f"{salt}-{epoch}-"), F.col(key_col).cast("string"))
+    )
+    # md5_long is 60 bits; high bits => contiguous hash ranges.
+    shift = max(0, 60 - max(1, n_buckets - 1).bit_length())
+    with_b = df.withColumn("_h", h).withColumn(
+        "_b", (F.col("_h") / F.lit(2 ** shift)).cast("long")
+    )
+    counts = sorted(
+        (r["_b"], r["n"])
+        for r in with_b.groupBy("_b").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    )
+    offsets, acc = [], 0
+    for b, n in counts:
+        offsets.append((b, acc))
+        acc += n
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, ["_b", "_off"])
+    w = Window.partitionBy("_b").orderBy(
+        F.col("_h").asc(), F.col(key_col).asc()
+    )
+    return (
+        with_b.join(F.broadcast(off_df), "_b")
+        .withColumn(
+            out_col,
+            (F.col("_off") + F.row_number().over(w)).cast("long"),
+        )
+        .drop("_h", "_b", "_off")
+    )
+
+
+def mixture_rates(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    weights: dict,
+    token_budget: int,
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Per-source ppm sampling rates that hit a token budget with a
+    target mixture: source s should contribute ~weights[s] *
+    token_budget tokens, so its rate is min(1, target / available).
+    Returns the aggregate-sized (source, total_toks, rate_ppm) table.
+    Floating point is used identically in the DuckDB oracle (same op
+    order, IEEE doubles), so rates match bit-for-bit."""
+    totals = df.groupBy(source_col).agg(
+        F.sum(F.col(token_col).cast("long")).alias("total_toks")
+    )
+    w = F.lit(float(default_weight))
+    for value, weight in sorted(weights.items()):
+        w = F.when(
+            F.col(source_col) == F.lit(value), F.lit(float(weight))
+        ).otherwise(w)
+    raw = F.floor(
+        F.lit(float(BUCKETS))
+        * (w * F.lit(float(token_budget)))
+        / F.col("total_toks").cast("double")
+    ).cast("long")
+    return totals.withColumn(
+        "rate_ppm", F.least(F.lit(BUCKETS).cast("long"), raw)
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    weights: dict,
+    token_budget: int,
+    key_col: str = "doc_id",
+    salt: str = "mix",
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Deterministic mixture-weighted sampling: keep each row iff its
+    salted bucket falls under its source's computed rate.  The rate
+    table is aggregate-sized (one row per source) and broadcast back
+    onto the corpus — the corpus itself sees one scan, one
+    aggregation shuffle for the totals, and a broadcast-join filter.
+    Membership is reproducible row-by-row (audit any shard
+    independently)."""
+    rates = mixture_rates(
+        df, source_col, token_col, weights, token_budget, default_weight
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(sample_bucket(F.col(key_col), salt) < F.col("rate_ppm"))
+        .drop("total_toks")
+    )

@@ -27,7 +27,7 @@ does not mean "non-SQL-expressible".
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -93,6 +93,73 @@ def pack_sequences(
     return df.join(
         packed.select(shard_col, order_col, "seq_id", "seq_pos"),
         [shard_col, order_col],
+    )
+
+
+def chunk_fixed_windows(
+    df: DataFrame,
+    token_col: str,
+    window: int,
+    shard_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Fixed-context-window chunking: concatenate each shard's
+    documents in order and cut the token stream every `window`
+    tokens (the "pack everything, split at 2048" regime — documents
+    CROSS chunk boundaries, unlike pack_sequences' greedy
+    no-split bins).
+
+    Unlike the greedy recurrence, this IS prefix-sum expressible:
+    a document starting at cumulative offset s with t tokens spans
+    chunks floor(s/K) .. floor((s+t-1)/K).  So the whole operator is
+    one per-shard window cumsum (single hash-partitioned exchange)
+    plus a map-side sequence()+explode — no applyInPandas, no
+    sequential anything; every shard's chunk assignment is
+    whole-stage codegen.  Returns one row per (document, chunk) with
+    the token overlap carried by that chunk."""
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = F.col(token_col).cast("long")
+    start = F.coalesce(F.sum(toks).over(w), F.lit(0).cast("long"))
+    k = F.lit(int(window)).cast("long")
+    base = (
+        df.filter(toks > 0)
+        .select(
+            F.col(shard_col),
+            F.col(order_col),
+            toks.alias("toks"),
+            start.alias("tok_start"),
+        )
+        .withColumn(
+            # integer `div`, not double division: token offsets on a
+            # 100 TB corpus overflow double's 2^53 exact-int range
+            "first_chunk",
+            F.expr(f"tok_start div {int(window)}"),
+        )
+        .withColumn(
+            "last_chunk",
+            F.expr(f"(tok_start + toks - 1) div {int(window)}"),
+        )
+    )
+    exploded = base.withColumn(
+        "chunk_id",
+        F.explode(F.sequence(F.col("first_chunk"), F.col("last_chunk"))),
+    )
+    chunk_lo = F.col("chunk_id") * k
+    chunk_hi = chunk_lo + k
+    doc_lo = F.col("tok_start")
+    doc_hi = doc_lo + F.col("toks")
+    return exploded.select(
+        shard_col,
+        order_col,
+        "toks",
+        "chunk_id",
+        (
+            F.least(chunk_hi, doc_hi) - F.greatest(chunk_lo, doc_lo)
+        ).alias("toks_in_chunk"),
     )
 
 
