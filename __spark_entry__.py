@@ -847,6 +847,20 @@ def q_chunk_windows(spark, sf):
     return PK.chunk_fixed_windows(docs, "toks", 256, "source", "doc_id")
 
 
+def q_search_topk(spark, sf):
+    """Distributed keyword search (operators/search.py): inverted
+    index (one explode + one agg), vocabulary-sized df table, query
+    terms broadcast, BM25-shaped integer scoring, global top-k via
+    TakeOrderedAndProject (per-partition heaps, never a
+    single-partition sort)."""
+    import mtail_spark.operators.search as SR
+
+    docs = _t(spark, sf, "documents")
+    return SR.search_topk(
+        docs, ["spark", "merge", "window"], k=15
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -908,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "mixture_sample": q_mixture_sample,
         "chunk_windows": q_chunk_windows,
+        "search_topk": q_search_topk,
         "training_data_pipeline": q_training_data_pipeline,
         "curation_pipeline": q_curation_pipeline,
         "multimodal_meta": q_multimodal_meta,
@@ -1689,6 +1704,41 @@ def oracle_sql() -> dict[str, str]:
                    least((chunk_id + 1) * 256, tok_start + toks)
                      - greatest(chunk_id * 256, tok_start) AS toks_in_chunk
             FROM e
+        """,
+        "search_topk": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+')) AS term
+              FROM documents
+            ), post AS (
+              SELECT term, doc_id, count(*) AS tf
+              FROM tok WHERE term <> '' GROUP BY term, doc_id
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM post GROUP BY term
+            ), q AS (
+              SELECT unnest(['spark', 'merge', 'window']) AS term
+            ), n AS (
+              SELECT count(*) AS n_docs FROM documents
+            ), hits AS (
+              SELECT post.doc_id,
+                     CAST(floor(
+                       (CAST(floor((n_docs - df) * 1000000
+                                   / (n_docs + df)) AS BIGINT)
+                        * CAST(floor((tf * 1000000) / (tf + 2))
+                               AS BIGINT)) / 1000000) AS BIGINT) AS contrib
+              FROM post
+              JOIN q ON post.term = q.term
+              JOIN dfreq ON post.term = dfreq.term
+              CROSS JOIN n
+            )
+            SELECT doc_id, score, n_terms_matched, rank FROM (
+              SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score,
+                     count(*) AS n_terms_matched,
+                     row_number() OVER (ORDER BY sum(contrib) DESC,
+                                        doc_id ASC) AS rank
+              FROM hits GROUP BY doc_id
+            ) WHERE rank <= 15
         """,
         "training_data_pipeline": _sql_training_data_pipeline(),
         "curation_pipeline": _sql_curation_pipeline(),

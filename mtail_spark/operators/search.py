@@ -1,0 +1,125 @@
+"""Distributed keyword search: inverted-index construction and
+BM25-shaped top-k retrieval.
+
+The canonical text query at corpus scale.  Shape:
+
+- The POSTINGS list (term -> doc, tf) is the corpus exploded once and
+  aggregated by (term, doc) — one shuffle, map-side partial counts.
+  At 100 TB this is the materialized inverted index; here it stays a
+  DataFrame any downstream query composes with.
+- DOCUMENT FREQUENCY (term -> df) aggregates the postings once more —
+  vocabulary-sized, not corpus-sized.
+- A QUERY is a handful of terms: broadcast them, semi-join the
+  postings (index lookup, not a corpus scan), score, global top-k via
+  the standard per-partition-top-k + final-k pattern (window over an
+  already-k-bounded set).
+
+Scoring is BM25-SHAPED but computed in exact integer arithmetic:
+ln-idf is replaced by the rational surrogate
+floor(SCALE * (N - df) / (N + df))  (monotone-decreasing in df, like
+idf) and tf-saturation by floor(SCALE * tf / (tf + K1)) (BM25's
+tf/(tf+k) curve with the length term dropped).  Rationale: every
+operation is integer or exactly-specified IEEE division+floor, so the
+DuckDB oracle reproduces scores bit-for-bit — transcendental ln()
+may differ by ULPs across math libraries and would turn a correct
+engine red.  A production deployment would swap `_idf`/`_sat` for the
+ln form; the distributed shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mtail_spark.operators.dedup import words
+
+SCALE = 1_000_000
+
+
+def postings(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Inverted index as a DataFrame: (term, doc, tf).  Lowercased
+    whitespace tokens; one explode + one aggregation."""
+    return (
+        corpus.select(
+            F.col(id_col),
+            F.explode(words(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_freq(post: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """term -> number of documents containing it (vocabulary-sized)."""
+    return post.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+
+
+def _sat(tf, k1: int):
+    """Integer tf-saturation: floor(SCALE * tf / (tf + k1))."""
+    return F.floor(
+        (tf.cast("long") * F.lit(SCALE)) / (tf.cast("long") + F.lit(k1))
+    ).cast("long")
+
+
+def _idf(df_col, n_docs: int):
+    """Integer idf surrogate: floor(SCALE * (N - df) / (N + df)) —
+    1-ish for rare terms, ~0 for ubiquitous ones."""
+    return F.floor(
+        (F.lit(int(n_docs)) - df_col.cast("long")) * F.lit(SCALE)
+        / (F.lit(int(n_docs)) + df_col.cast("long"))
+    ).cast("long")
+
+
+def search_topk(
+    corpus: DataFrame,
+    query_terms: list,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: int = 2,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query.
+
+    score(doc) = sum over matched query terms of
+                 idf(term) * sat(tf) / SCALE     (integer floor)
+
+    The query-term list broadcasts (it is tiny by definition); the
+    postings build is the only corpus-sized work and in a real
+    deployment is a pre-built table this just reads.  Ties broken by
+    ascending doc id, so top-k is fully deterministic."""
+    spark = corpus.sparkSession
+    n_docs = corpus.count()
+    post = postings(corpus, id_col, text_col)
+    dfreq = doc_freq(post, id_col)
+    q = spark.createDataFrame(
+        [(t.lower(),) for t in query_terms], ["term"]
+    ).distinct()
+    hits = (
+        post.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfreq.join(F.broadcast(q), "term")), "term")
+        .withColumn(
+            "contrib",
+            F.floor(
+                (_idf(F.col("df"), n_docs) * _sat(F.col("tf"), k1))
+                / F.lit(SCALE)
+            ).cast("long"),
+        )
+    )
+    scored = hits.groupBy(id_col).agg(
+        F.sum("contrib").alias("score"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject: every partition
+    # keeps its own top-k and only k-row heaps merge — no
+    # single-partition sort even when a ubiquitous term matches half
+    # the corpus.  The ranking window then runs over k rows only.
+    top = scored.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
