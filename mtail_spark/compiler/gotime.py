@@ -275,6 +275,16 @@ def _layout(layout: str) -> _CompiledLayout:
     return cl
 
 
+# Last-parse memo: log timestamps have second resolution and many
+# lines per second, so consecutive strptime calls overwhelmingly see
+# the SAME string.  One cell holding one ((value, layout, now_year,
+# tz), result) tuple — read and replaced as a single object, so
+# concurrent readers (stateful streaming threads share this module)
+# can never observe a torn key/value pair.  Only successful parses are
+# memoized; errors always re-raise through the real path.
+_MEMO: list = [None]
+
+
 def parse_go_time_us(
     value: str,
     layout: str,
@@ -293,6 +303,11 @@ def parse_go_time_us(
     patch, proxy year 1 for unpatched year-0 results) — DST rules
     then match the date the datum actually carries."""
     from datetime import datetime, timezone
+
+    key = (value, layout, now_year, tz)
+    memo = _MEMO[0]
+    if memo is not None and memo[0] == key:
+        return memo[1]
 
     cl = _layout(layout)
     v = value.strip()
@@ -343,6 +358,7 @@ def parse_go_time_us(
                     us -= year_shift_us(1900, mo)
                     if now_year is not None:
                         us += year_shift_us(now_year, mo)
+                _MEMO[0] = (key, us)
                 return us
             # fall through: strptime raises the canonical day-range
             # ValueError for this value
@@ -384,6 +400,7 @@ def parse_go_time_us(
     us = base_us - shift
     if year is None and now_year is not None:
         us += year_shift_us(now_year, dt.month) - 0
+    _MEMO[0] = (key, us)
     return us
 
 
