@@ -313,7 +313,14 @@ class Interp:
         self.tz = tz
         self.prog = prog
         self.syslog_use_current_year = syslog_use_current_year
+        from mtail_spark.compiler.literals import required_literal_py
+
         self.res = {r.id: re.compile(r.pattern) for r in prog.regexes}
+        # C-speed substring prefilter per regex: `lit not in s` proves
+        # search() would return None without running the regex engine
+        # (Go's RE2 does the same literal-prefix skip natively)
+        self.re_lit = {r.id: required_literal_py(r.pattern)
+                       for r in prog.regexes}
         self.subjects = {
             r.id: (self._c_expr(r.subject) if r.subject is not None else None)
             for r in prog.regexes
@@ -504,12 +511,13 @@ class Interp:
     def _match_fn(self, regex_id):
         rx = self.res[regex_id]
         subj = self.subjects[regex_id]
+        lit = self.re_lit.get(regex_id)
 
-        def do_match(rt, rx=rx, subj=subj, regex_id=regex_id):
+        def do_match(rt, rx=rx, subj=subj, regex_id=regex_id, lit=lit):
             s = rt.line if subj is None else subj(rt)
             if not isinstance(s, str):
                 s = label_str(s)
-            m = rx.search(s)
+            m = rx.search(s) if (lit is None or lit in s) else None
             rt.matches[regex_id] = m
             return m is not None
         return do_match

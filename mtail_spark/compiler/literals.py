@@ -164,3 +164,61 @@ def _skip_lazy(pattern: str, i: int) -> int:
     if i < len(pattern) and pattern[i] in ("?", "+"):
         return i + 1
     return i
+
+
+def required_literal_py(pattern: str, min_len: int = 3) -> str | None:
+    """`required_literal` for PYTHON-dialect patterns (the interpreter
+    backends run `re`, the vectorized backend runs Java regex — hence
+    two analyzers).  This one walks re's own parse tree, so it is
+    exact on syntax (no mis-decode risk) and finds literals INSIDE
+    groups and min>=1 repeats, which the Java-dialect scanner above
+    conservatively skips: `(?P<h>\\S+) said hello` yields " said hello"
+    here but None above (named groups make it bail)."""
+    import re
+
+    try:
+        import re._parser as sre_parse
+    except ImportError:  # pragma: no cover - Python < 3.11
+        import sre_parse
+
+    try:
+        parsed = sre_parse.parse(pattern)
+    except Exception:
+        return None
+    if parsed.state.flags & re.IGNORECASE:
+        return None
+
+    runs: list[str] = []
+
+    def walk(seq) -> None:
+        cur: list[str] = []
+
+        def flush():
+            if cur:
+                runs.append("".join(cur))
+                cur.clear()
+
+        for op, av in seq:
+            name = str(op)
+            if name == "LITERAL":
+                cur.append(chr(av))
+            elif name == "SUBPATTERN":
+                flush()
+                # av = (group, add_flags, del_flags, subseq); a
+                # (?i:...) group's literals are unreliable - skip it
+                if not (av[1] & re.IGNORECASE):
+                    walk(av[3])
+            elif name in ("MAX_REPEAT", "MIN_REPEAT"):
+                flush()
+                lo, _hi, body = av
+                if lo >= 1:
+                    walk(body)
+            else:
+                # BRANCH, IN, ANY, AT, ASSERT*, GROUPREF, ...: the
+                # run ends; the construct itself guarantees nothing
+                flush()
+        flush()
+
+    walk(parsed)
+    runs = [r for r in runs if len(r) >= min_len]
+    return max(runs, key=len) if runs else None

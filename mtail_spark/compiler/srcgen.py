@@ -190,18 +190,25 @@ class _Gen:
 
     def match_var(self, rid: int) -> str:
         """Evaluate regex `rid` against its subject (or the line),
-        record in rt.matches, return the local holding the match."""
+        record in rt.matches, return the local holding the match.
+        A required-literal `in` prefilter (interp.required_literal)
+        skips the regex engine when the search provably fails."""
         reg = self.prog.regexes[rid]
+        lit = self.it.re_lit.get(rid)
         m = self.tmp()
         if reg.subject is None:
-            self.emit(f"{m} = RX{rid}.search(line)")
+            sv = "line"
         else:
             s = self.ex(reg.subject)
             sv = self.tmp()
             self.emit(f"{sv} = {s}")
             self.emit(f"if not isinstance({sv}, str): "
                       f"{sv} = label_str({sv})")
+        if lit is None:
             self.emit(f"{m} = RX{rid}.search({sv})")
+        else:
+            self.emit(f"{m} = RX{rid}.search({sv}) "
+                      f"if {lit!r} in {sv} else None")
         self.emit(f"matches[{rid}] = {m}")
         return m
 

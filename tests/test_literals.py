@@ -6,7 +6,10 @@ import re
 
 import pytest
 
-from mtail_spark.compiler.literals import required_literal
+from mtail_spark.compiler.literals import (
+    required_literal,
+    required_literal_py,
+)
 
 
 CASES = [
@@ -104,3 +107,57 @@ def test_sound_on_reference_examples():
     # the analyzer should find literals for a decent share of real
     # patterns — if this drops, the prefilter silently stopped firing
     assert claimed >= len(pats) // 3, (claimed, len(pats))
+
+
+PY_CASES = [
+    # Python-dialect analyzer: recurses into named groups and min>=1
+    # repeats, so it claims literals the Java-dialect scanner can't
+    (r"(?P<h>\S+) said hello", " said hello"),
+    (r"DHCPACK on (?P<ip>\S+) to (?P<mac>\S+)", "DHCPACK on "),
+    (r"(foo|bar) baz", " baz"),
+    (r"(?:rsync) (to|on)", "rsync "),   # literal inside a group
+    (r"(connect from )+x", "connect from "),  # min>=1 repeat body
+    (r"(?i)case", None),
+    (r"(?i:Case) sensitive tail", " sensitive tail"),
+    (r"foo|bar", None),
+    (r"a[bc]def", "def"),
+    (r"back(\w+)\1ref", "back"),  # groupref breaks the run safely
+    (r"x(?=abcdef)", None),  # lookaround guarantees nothing (conservative)
+    (r"ab", None),  # below min length
+]
+
+
+@pytest.mark.parametrize("pat,want", PY_CASES)
+def test_py_expected(pat, want):
+    assert required_literal_py(pat) == want
+
+
+def test_py_sound_on_reference_examples():
+    """Soundness of the Python-dialect analyzer on every pattern in
+    the reference examples: any line of the matching golden log that
+    the regex matches must contain the claimed literal."""
+    import glob
+
+    checked = claimed = 0
+    logs = [
+        open(p, errors="replace").read().split("\n")
+        for p in glob.glob("/root/reference/internal/mtail/testdata/*log*")
+    ]
+    for path in glob.glob("/root/reference/examples/*.mtail"):
+        for m in re.finditer(r"/((?:[^/\\\n]|\\.)+)/", open(path).read()):
+            raw = m.group(1).replace("\\/", "/")
+            try:
+                rx = re.compile(raw)
+            except re.error:
+                continue
+            lit = required_literal_py(raw)
+            if lit is None:
+                continue
+            claimed += 1
+            for lines in logs:
+                for line in lines:
+                    if rx.search(line):
+                        checked += 1
+                        assert lit in line, (raw, lit, line)
+    assert claimed >= 20, claimed   # the analyzer fires on real programs
+    assert checked >= 100, checked  # and the soundness check had teeth
