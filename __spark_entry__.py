@@ -513,6 +513,19 @@ def q_sim_ivf(spark, sf):
     return S.knn_ivf(corpus, queries, k=3, n_lists=8, n_probe=2, iters=3, dim=EMB_DIM)
 
 
+def q_semantic_dedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023): k-means cluster the embeddings,
+    within-cluster cosine >= 0.35 against any lower-id cluster-mate
+    drops the vector.  The trained quantizer is the bit-deterministic
+    kmeans_centroids kernel, so the full (vec_id, cluster, keep)
+    decision table hash-matches the unrolled DuckDB oracle."""
+    emb = _t(spark, sf, "embeddings")
+    return S.semantic_dedup(
+        emb, "vec_id", "embedding", k=8, iters=3, threshold=0.35,
+        dim=EMB_DIM,
+    )
+
+
 def q_sim_ivf_fixed(spark, sf):
     """IVF ANN over a FIXED md5-derived coarse quantizer
     (similarity.make_centroids): assign -> probe(2) -> exact re-rank
@@ -594,6 +607,29 @@ def q_text_pii(spark, sf):
         TX.pii_counts(F.col("t"), "ipv4").alias("n_ipv4"),
         TX.pii_counts(F.col("t"), "phone").alias("n_phone"),
         F.md5(TX.pii_scrub(F.col("t"))).alias("scrub_md5"),
+    )
+
+
+def q_text_lm_xent(spark, sf):
+    """Perplexity-style quality filtering (CCNet, Wenzek et al. 2019):
+    bigram-LM cross entropy per document, with the LM trained on the
+    corpus itself (two count aggregations).  Fixed-point micro-nat
+    terms make the per-doc sum order-independent and hash-stable."""
+    docs = _t(spark, sf, "documents")
+    return TX.lm_xent(docs, "doc_id", "text")
+
+
+def q_dsir_weights(spark, sf):
+    """DSIR importance weights (Xie et al. 2023): hashed-bigram
+    bag-of-ngrams importance of every document toward an English
+    target domain, Laplace-smoothed over 8192 hash buckets; fixed-
+    point micro-nat terms keep the per-doc sum hash-stable."""
+    import mtail_spark.operators.sampling as SP
+
+    docs = _t(spark, sf, "documents")
+    return SP.dsir_logweights(
+        docs, docs.filter(F.col("lang") == "en"),
+        "doc_id", "text", n_buckets=8192,
     )
 
 
@@ -906,12 +942,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_bucketed": q_sim_lsh_bucketed,
         "sim_ivf": q_sim_ivf,
         "sim_ivf_fixed": q_sim_ivf_fixed,
+        "semantic_dedup": q_semantic_dedup,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
+        "text_lm_xent": q_text_lm_xent,
+        "dsir_weights": q_dsir_weights,
         "sample_documents": q_sample_documents,
         "sample_stratified": q_sample_stratified,
         "dataset_split": q_dataset_split,
@@ -1184,37 +1223,35 @@ def _sql_ivf_fixed() -> str:
     """
 
 
-def _sql_ivf_trained() -> str:
-    """DuckDB mirror of the FULL trained-IVF pipeline (knn_ivf):
-    Lloyd's k-means UNROLLED as chained CTEs — iteration is bounded
-    and compile-time constant, so "iterative" does not mean
-    "non-SQL-expressible".  Bit-equality holds because both engines
-    use the same fixed reduction orders: seed = first k corpus
-    vectors by id; assignment = first-occurrence argmin over a
-    0.0-seeded left fold of squared dims; centroid update = a
-    two-level summation tree (values fold in id order within
-    id-range blocks of KMEANS_BLOCK, block partials fold in block
-    order — similarity.kmeans_centroids builds the identical tree);
-    then the fixed-quantizer probe/re-rank shape of _sql_ivf_fixed
-    against the trained centroids."""
-    k_lists, n_probe, iters, topk = IVF_LISTS, 2, 3, 3
-    dim, block = EMB_DIM, S.KMEANS_BLOCK
-
-    def sq(vec, cv):
-        return (
-            f"list_reduce(list_prepend(0.0, "
-            f"[({vec}[j] - {cv}[j]) * ({vec}[j] - {cv}[j]) "
-            f"for j in generate_series(1, {dim})]), (x, y) -> x + y)"
-        )
-
-    dvec = (
-        f"[CAST(embedding[j] AS DOUBLE) "
-        f"for j in generate_series(1, {dim})]"
+def _sql_sqd(vec: str, cv: str) -> str:
+    """Left-fold squared distance between two double-list exprs —
+    the reduction order of similarity._sqdist_matrix."""
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"[({vec}[j] - {cv}[j]) * ({vec}[j] - {cv}[j]) "
+        f"for j in generate_series(1, {EMB_DIM})]), (x, y) -> x + y)"
     )
+
+
+_SQL_DVEC = (
+    f"[CAST(embedding[j] AS DOUBLE) "
+    f"for j in generate_series(1, {EMB_DIM})]"
+)
+
+
+def _sql_kmeans_chain(corp_where: str, k_lists: int, iters: int) -> list[str]:
+    """CTE chain unrolling similarity.kmeans_centroids over the
+    embeddings table (filtered by `corp_where`): produces `corp`
+    (cid, vec double-list) and cent0..cent{iters}.  Shared by the
+    trained-IVF and semantic-dedup oracles; see _sql_ivf_trained for
+    why the fixed reduction orders make this bit-identical to the
+    Spark training loop."""
+    sq, dvec = _sql_sqd, _SQL_DVEC
+    dim, block = EMB_DIM, S.KMEANS_BLOCK
     parts = [
         f"""corp AS (
           SELECT vec_id AS cid, {dvec} AS vec
-          FROM embeddings WHERE vec_id >= 5
+          FROM embeddings {corp_where}
         ), cent0 AS (
           SELECT row_number() OVER (ORDER BY cid) - 1 AS cluster,
                  vec AS cvec
@@ -1258,6 +1295,25 @@ def _sql_ivf_trained() -> str:
             FROM u{i} GROUP BY cluster
           ) nu USING (cluster)
         )""")
+    return parts
+
+
+def _sql_ivf_trained() -> str:
+    """DuckDB mirror of the FULL trained-IVF pipeline (knn_ivf):
+    Lloyd's k-means UNROLLED as chained CTEs — iteration is bounded
+    and compile-time constant, so "iterative" does not mean
+    "non-SQL-expressible".  Bit-equality holds because both engines
+    use the same fixed reduction orders: seed = first k corpus
+    vectors by id; assignment = first-occurrence argmin over a
+    0.0-seeded left fold of squared dims; centroid update = a
+    two-level summation tree (values fold in id order within
+    id-range blocks of KMEANS_BLOCK, block partials fold in block
+    order — similarity.kmeans_centroids builds the identical tree);
+    then the fixed-quantizer probe/re-rank shape of _sql_ivf_fixed
+    against the trained centroids."""
+    k_lists, n_probe, iters, topk = IVF_LISTS, 2, 3, 3
+    sq, dvec = _sql_sqd, _SQL_DVEC
+    parts = _sql_kmeans_chain("WHERE vec_id >= 5", k_lists, iters)
     parts.append(f"""ca AS (
           SELECT cid AS corpus_id, vec,
                  list_position(dl, list_min(dl)) - 1 AS list_id
@@ -1294,6 +1350,38 @@ def _sql_ivf_trained() -> str:
                             c.corpus_id ASC) rk
           FROM probes p JOIN ca c ON p.list_id = c.list_id
         ) WHERE rk <= {topk}
+    """
+
+
+def _sql_semantic_dedup() -> str:
+    """DuckDB mirror of similarity.semantic_dedup: the shared k-means
+    chain over the FULL embeddings table, nearest-centroid assignment,
+    within-cluster lower-id cosine pairs at the SemDeDup threshold,
+    then the keep decision."""
+    k_lists, iters, thr = 8, 3, 0.35
+    sq = _sql_sqd
+    parts = _sql_kmeans_chain("", k_lists, iters)
+    parts.append(f"""asg AS (
+          SELECT cid, vec,
+                 list_position(dl, list_min(dl)) - 1 AS cluster
+          FROM (
+            SELECT e.cid, e.vec,
+                   list({sq('e.vec', 'c.cvec')}
+                        ORDER BY c.cluster) AS dl
+            FROM corp e CROSS JOIN cent{iters} c
+            GROUP BY e.cid, e.vec
+          )
+        ), dropped AS (
+          SELECT DISTINCT b.cid
+          FROM asg a JOIN asg b
+            ON a.cluster = b.cluster AND a.cid < b.cid
+          WHERE {_sql_cosine('a.vec', 'b.vec')} >= {thr}
+        )""")
+    return f"""
+        WITH {', '.join(parts)}
+        SELECT a.cid AS vec_id, CAST(a.cluster AS INT) AS cluster,
+               (d.cid IS NULL) AS keep
+        FROM asg a LEFT JOIN dropped d ON a.cid = d.cid
     """
 
 
@@ -1825,6 +1913,7 @@ FROM lab
             ) WHERE rk <= 3
         """,
         "sim_ivf": _sql_ivf_trained(),
+        "semantic_dedup": _sql_semantic_dedup(),
         "sim_ivf_fixed": _sql_ivf_fixed(),
         "sim_lsh_bucketed": f"""
             WITH q AS (
@@ -1919,6 +2008,83 @@ FROM lab
             FROM s
         """
         ),
+        "text_lm_xent": """
+            WITH base AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+              FROM documents
+            ), ex AS (
+              SELECT doc_id, unnest(bgs) AS bg FROM (
+                SELECT doc_id,
+                       [w[i] || ' ' || w[i+1]
+                        for i in generate_series(1, len(w) - 1)] AS bgs
+                FROM base
+              )
+            ), bgc AS (
+              SELECT bg, count(*) AS c_bg FROM ex GROUP BY bg
+            ), ugc AS (
+              SELECT w1, count(*) AS c_w
+              FROM (SELECT unnest(w) AS w1 FROM base) GROUP BY w1
+            ), terms AS (
+              SELECT e.doc_id,
+                     CAST(round((ln(u.c_w) - ln(b.c_bg)) * 1000000, 0)
+                          AS BIGINT) AS nll
+              FROM ex e
+              JOIN bgc b USING (bg)
+              JOIN ugc u ON split_part(e.bg, ' ', 1) = u.w1
+            ), agg AS (
+              SELECT doc_id, count(*) AS n_bigrams, sum(nll) AS xent
+              FROM terms GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(a.xent, 0) AS BIGINT) AS xent_micronats,
+                   CAST(CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+                             THEN a.xent // a.n_bigrams
+                             ELSE 0 END AS BIGINT) AS xent_avg_micronats
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "dsir_weights": f"""
+            WITH base AS (
+              SELECT doc_id, lang,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+              FROM documents
+            ), ex AS (
+              SELECT doc_id, lang, unnest(bgs) AS g FROM (
+                SELECT doc_id, lang,
+                       [w[i] || ' ' || w[i+1]
+                        for i in generate_series(1, len(w) - 1)] AS bgs
+                FROM base
+              )
+            ), f AS (
+              SELECT doc_id, lang,
+                     ({_sql_md5_long('g')}) % 8192 AS b
+              FROM ex
+            ), rawc AS (
+              SELECT b, count(*) AS c_raw FROM f GROUP BY b
+            ), tgtc AS (
+              SELECT b, count(*) AS c_tgt FROM f WHERE lang = 'en'
+              GROUP BY b
+            ), tot AS (
+              SELECT (SELECT count(*) FROM f) AS n_raw,
+                     (SELECT count(*) FROM f WHERE lang = 'en') AS n_tgt
+            ), bk AS (
+              SELECT r.b,
+                     CAST(round((ln(COALESCE(t.c_tgt, 0) + 1)
+                                 - ln(n_tgt + 8192)
+                                 - ln(r.c_raw + 1)
+                                 + ln(n_raw + 8192)) * 1000000, 0)
+                          AS BIGINT) AS term
+              FROM rawc r LEFT JOIN tgtc t USING (b) CROSS JOIN tot
+            ), agg AS (
+              SELECT doc_id, count(*) AS n_feats, sum(term) AS logw
+              FROM f JOIN bk USING (b) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_feats, 0) AS BIGINT) AS n_feats,
+                   CAST(COALESCE(a.logw, 0) AS BIGINT) AS logw_micronats
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         "multimodal_meta": """
             SELECT source, count(*) AS n_media,
                    CAST(sum(octet_length(encode(md5(text)))) AS BIGINT)

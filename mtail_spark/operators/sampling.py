@@ -100,3 +100,96 @@ def split_assign(
     last = splits[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(out_col, expr)
+
+
+def dsir_logweights(
+    docs,
+    target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    scale: int = 1_000_000,
+):
+    """DSIR — Data Selection with Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): score every raw document by the log
+    importance weight of its hashed-bigram features under a
+    target-domain bag-of-ngrams model vs the raw-corpus model, both
+    Laplace-smoothed over `n_buckets` hash buckets:
+
+        log w(doc) = sum_{bigram g in doc}
+            ln( (c_target(h(g)) + 1) / (N_target + B) )
+          - ln( (c_raw(h(g))    + 1) / (N_raw    + B) )
+
+    High scores mark documents that look like the target domain;
+    resampling by these weights shifts the corpus mixture toward it.
+
+    Like lm_xent, every per-feature term is rounded to FIXED-POINT
+    micro-nats before the per-document sum, so the score is
+    order-independent and reproducible bit-for-bit by a DuckDB
+    oracle.  Returns (id_col, n_feats, logw_micronats).
+
+    At 100 TB: two bucket-count aggregations (the hash space is
+    n_buckets, so both count tables are broadcast-sized regardless of
+    corpus size — that is the point of hashed features), one
+    broadcast join from exploded features to the bucket table, one
+    per-doc sum.  The raw corpus is scanned twice (once to count,
+    once to score); no shuffle ever carries more than the exploded
+    feature stream."""
+    from pyspark.sql import functions as F
+
+    from mtail_spark.operators.dedup import md5_long
+    from mtail_spark.operators.textstats import word_ngrams
+
+    t = F.lower(F.col(text_col))
+    # explode_outer + filter: the codegen Generate re-runs the bigram
+    # regex per OUTPUT row for computed arrays (see dedup.simhash)
+    feats = lambda df: (
+        df.select(
+            F.col(id_col).alias("did"),
+            F.explode_outer(word_ngrams(t, 2)).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .withColumn("b", md5_long(F.col("g")) % n_buckets)
+    )
+    raw_f, tgt_f = feats(docs), feats(target)
+    raw_c = raw_f.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt_c = tgt_f.groupBy("b").agg(F.count(F.lit(1)).alias("c_tgt"))
+    raw_n = raw_f.agg(F.count(F.lit(1)).alias("n_raw"))
+    tgt_n = tgt_f.agg(F.count(F.lit(1)).alias("n_tgt"))
+    buckets = (
+        raw_c.join(F.broadcast(tgt_c), "b", "left")
+        .crossJoin(F.broadcast(raw_n))
+        .crossJoin(F.broadcast(tgt_n))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(F.coalesce("c_tgt", F.lit(0)) + F.lit(1))
+                    - F.log(F.col("n_tgt") + F.lit(n_buckets))
+                    - F.log(F.col("c_raw") + F.lit(1))
+                    + F.log(F.col("n_raw") + F.lit(n_buckets))
+                )
+                * scale,
+                0,
+            )
+            .cast("long")
+            .alias("term"),
+        )
+    )
+    agg = (
+        raw_f.join(F.broadcast(buckets), "b")
+        .groupBy("did")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("term").alias("logw"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(agg, F.col(id_col) == F.col("did"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("logw", F.lit(0)).cast("long").alias("logw_micronats"),
+        )
+    )

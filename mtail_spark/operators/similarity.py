@@ -620,3 +620,62 @@ def cosine_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.35,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means
+    cluster the embedding space, compare cosine similarity only
+    WITHIN clusters, and drop every vector that is >= threshold
+    similar to a lower-id vector in its cluster.  Returns
+    (id_col, cluster, keep) — one row per input vector.
+
+    The keep rule is the parallel one-pass variant (drop if similar
+    to ANY lower-id cluster-mate, not just to surviving keepers):
+    fully expressible as one self-join, no sequential greedy chain,
+    and the common choice in distributed curation pipelines.  The
+    trained quantizer reuses the bit-deterministic kmeans_centroids
+    kernel, so the whole decision table is reproducible by the
+    unrolled DuckDB oracle.
+
+    At 100 TB: centroids are k*dim driver-side floats; assignment is
+    one Arrow-batched map; the only shuffle is the self-join keyed on
+    cluster.  Clusters at that scale must be sized (k grows with N,
+    SemDeDup uses ~100k clusters for LAION) so each cluster's
+    pairwise pass stays executor-local — k is the knob, and a skewed
+    giant cluster is AQE-split."""
+    cents = kmeans_centroids(
+        corpus, k=k, id_col=id_col, vec_col=vec_col, iters=iters, dim=dim
+    )
+    base = (
+        corpus.select(
+            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("cluster", nearest_centroid_udf(cents)(F.col("v")))
+    )
+    kern = cosine_fold_udf()
+    l, r = base.alias("l"), base.alias("r")
+    dropped = (
+        l.join(
+            r,
+            (F.col("l.cluster") == F.col("r.cluster"))
+            & (F.col("l.vid") < F.col("r.vid")),
+        )
+        .filter(kern(F.col("l.v"), F.col("r.v")) >= threshold)
+        .select(F.col("r.vid").alias("dvid"))
+        .distinct()
+    )
+    return base.join(
+        dropped, base["vid"] == dropped["dvid"], "left"
+    ).select(
+        F.col("vid").alias(id_col),
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("dvid").isNull().alias("keep"),
+    )

@@ -130,3 +130,89 @@ def pii_scrub(col: Column) -> Column:
     out = F.regexp_replace(out, PII_PATTERNS["ipv4"], "<IP>")
     out = F.regexp_replace(out, PII_PATTERNS["phone"], "<PHONE>")
     return out
+
+
+def lm_xent(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+):
+    """Corpus-trained bigram-LM cross-entropy scoring — the
+    perplexity-filtering signal of CCNet (Wenzek et al. 2019) /
+    KenLM-style quality pipelines, trained on the corpus itself so no
+    external model file is needed: unigram and bigram counts are two
+    aggregations, and each document is scored by the total negative
+    log-likelihood of its bigrams under the MLE model
+    p(w2 | w1) = c(w1 w2) / c(w1).
+
+    Scores are FIXED-POINT micro-nats: every per-bigram term rounds
+    to an integer BEFORE the per-document sum, so the result is
+    order-independent (a float sum is not: shuffle order varies) and
+    reproducible bit-for-bit by a DuckDB oracle.  ln() is evaluated
+    on exact integer counts in both engines; a last-ulp libm
+    difference would need to land within ~1e-10 of a rounding
+    boundary to flip a term.
+
+    Returns (id_col, n_bigrams, xent_micronats, xent_avg_micronats):
+    total and per-bigram cross entropy in 1e-6 nats; documents with
+    fewer than two tokens score 0.
+
+    At 100 TB: two count aggregations (bigram, unigram) and two
+    shuffle joins keyed on the n-gram — the standard distributed
+    LM-training shape; partial aggregation absorbs the head of the
+    Zipf curve map-side, and nothing driver-sized exists anywhere.
+    The hot n-gram skew (the count tables' top keys) is bounded by
+    map-side combine; the scoring join's skew on frequent bigrams is
+    AQE-split.
+    """
+    t = F.lower(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("did"), word_ngrams(t, 2).alias("bgs")
+    )
+    # explode_outer: projection collapse would route a plain explode
+    # of the computed bigram array to the codegen Generate, which
+    # re-runs the regex per OUTPUT bigram (see dedup.simhash); outer
+    # evaluates once per row.  Null rows (docs with <2 tokens) are
+    # filtered, matching explode semantics.
+    ex = base.select(
+        "did", F.explode_outer("bgs").alias("bg")
+    ).filter(F.col("bg").isNotNull())
+    bgc = ex.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    ugc = (
+        docs.select(F.explode_outer(words(t)).alias("w1"))
+        .filter(F.col("w1").isNotNull())
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    terms = (
+        ex.join(bgc, "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(ugc, "w1")
+        .select(
+            "did",
+            F.round((F.log("c_w") - F.log("c_bg")) * scale, 0)
+            .cast("long")
+            .alias("nll"),
+        )
+    )
+    agg = terms.groupBy("did").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("nll").alias("xent"),
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(agg, F.col(id_col) == F.col("did"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("xent", F.lit(0)).cast("long").alias("xent_micronats"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                F.expr("xent div n_bigrams"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("xent_avg_micronats"),
+        )
+    )

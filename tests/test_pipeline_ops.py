@@ -124,3 +124,56 @@ def test_connected_components_matches_union_find(spark):
     assert got == {
         n: (g, sizes[g]) for n, g in expected.items()
     }
+
+
+def test_lm_xent_hand_computed(spark):
+    # corpus: "a b a b" and "a c"; unigrams a:3 b:2 c:1;
+    # bigrams "a b":2 "b a":1 "a c":1
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "solo"), (4, "")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r for r in TX.lm_xent(docs, "doc_id", "text").collect()
+    }
+    m = lambda num, den: round((math.log(den) - math.log(num)) * 1e6)
+    # doc 1: a b (c=2/ctx a=3), b a (1/2), a b (2/3)
+    d1 = m(2, 3) + m(1, 2) + m(2, 3)
+    assert (rows[1]["n_bigrams"], rows[1]["xent_micronats"]) == (3, d1)
+    assert rows[1]["xent_avg_micronats"] == d1 // 3
+    # doc 2: a c (1/3)
+    assert (rows[2]["n_bigrams"], rows[2]["xent_micronats"]) == (1, m(1, 3))
+    # <2 tokens -> zero score, rows preserved
+    assert (rows[3]["n_bigrams"], rows[3]["xent_micronats"]) == (0, 0)
+    assert (rows[4]["n_bigrams"], rows[4]["xent_avg_micronats"]) == (0, 0)
+
+
+def test_lm_xent_case_folded(spark):
+    docs = spark.createDataFrame(
+        [(1, "The cat"), (2, "the cat")], ["doc_id", "text"]
+    )
+    rows = TX.lm_xent(docs).collect()
+    # both docs are the same bigram after lowercasing: p = 2/2 -> 0
+    assert all(r["xent_micronats"] == 0 for r in rows)
+
+
+def test_semantic_dedup_keep_rule(spark):
+    # cluster A near (1,0,...): ids 0,1 near-identical (drop 1), id 2
+    # orthogonal-ish within same half-space; cluster B near (-1,...)
+    dim = 4
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # ~cos 1 with id 0 -> dropped
+        (2, [-1.0, 0.0, 0.0, 0.0]),
+        (3, [-0.999, -0.02, 0.0, 0.0]),  # ~cos 1 with id 2 -> dropped
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in S.semantic_dedup(
+            df, k=2, iters=2, threshold=0.9, dim=dim
+        ).collect()
+    }
+    assert out == {0: True, 1: False, 2: True, 3: False}

@@ -78,3 +78,45 @@ def test_sample_plan_is_shuffle_free(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_dsir_logweights_hand_computed(spark):
+    """Target-domain docs must outscore off-domain docs, and each
+    term must match the Laplace-smoothed hand formula."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat", "en"),
+            (2, "the cat ran", "en"),
+            (3, "der hund lief", "de"),
+            (4, "x", "de"),  # <2 tokens -> no features
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    target = docs.filter(F.col("lang") == "en")
+    B = 8192
+    out = {
+        r["doc_id"]: r
+        for r in SP.dsir_logweights(docs, target, n_buckets=B).collect()
+    }
+    # raw has 6 bigram tokens, target 4; bigram "the cat" occurs twice
+    # in both raw and target
+    n_raw, n_tgt = 6, 4
+
+    def term(c_tgt, c_raw):
+        return round(
+            (
+                math.log(c_tgt + 1)
+                - math.log(n_tgt + B)
+                - math.log(c_raw + 1)
+                + math.log(n_raw + B)
+            )
+            * 1e6
+        )
+
+    assert out[1]["n_feats"] == 2
+    assert out[1]["logw_micronats"] == term(2, 2) + term(1, 1)
+    assert out[3]["logw_micronats"] == term(0, 1) + term(0, 1)
+    assert out[1]["logw_micronats"] > out[3]["logw_micronats"]
+    assert (out[4]["n_feats"], out[4]["logw_micronats"]) == (0, 0)
