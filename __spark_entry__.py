@@ -619,6 +619,15 @@ def q_text_lm_xent(spark, sf):
     return TX.lm_xent(docs, "doc_id", "text")
 
 
+def q_span_dedup(spark, sf):
+    """Exact-substring duplication stats (Lee et al. 2022,
+    ExactSubstr): positional 8-token spans hashed and counted
+    corpus-wide; per-doc duplicated-window counts and integer
+    per-mille ratio."""
+    docs = _t(spark, sf, "documents")
+    return D.duplicate_spans(docs, "doc_id", "text", k=8)
+
+
 def q_dsir_weights(spark, sf):
     """DSIR importance weights (Xie et al. 2023): hashed-bigram
     bag-of-ngrams importance of every document toward an English
@@ -951,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,
         "text_lm_xent": q_text_lm_xent,
         "dsir_weights": q_dsir_weights,
+        "span_dedup": q_span_dedup,
         "sample_documents": q_sample_documents,
         "sample_stratified": q_sample_stratified,
         "dataset_split": q_dataset_split,
@@ -2042,6 +2052,36 @@ FROM lab
                    CAST(CASE WHEN COALESCE(a.n_bigrams, 0) > 0
                              THEN a.xent // a.n_bigrams
                              ELSE 0 END AS BIGINT) AS xent_avg_micronats
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "span_dedup": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents
+            ), sp AS (
+              SELECT doc_id,
+                     {_sql_md5_long('s')} AS h
+              FROM (
+                SELECT doc_id,
+                       unnest([array_to_string(w[i:i+7], ' ')
+                               for i in generate_series(1, len(w) - 7)])
+                         AS s
+                FROM base
+              )
+            ), c AS (
+              SELECT h, count(*) AS c FROM sp GROUP BY h
+            ), agg AS (
+              SELECT doc_id, count(*) AS n_spans,
+                     sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS n_dup
+              FROM sp JOIN c USING (h) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup_spans,
+                   CAST(CASE WHEN COALESCE(a.n_spans, 0) > 0
+                             THEN (a.n_dup * 1000) // a.n_spans
+                             ELSE 0 END AS BIGINT) AS dup_permille
             FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "dsir_weights": f"""

@@ -41,8 +41,11 @@ def frequent_shingles(
     return (
         corpus.select(
             F.col(id_col),
-            F.explode(word_shingles(F.col(text_col), n)).alias("ng"),
+            # explode_outer: codegen Generate re-runs the shingle
+            # regex per OUTPUT row for computed arrays (dedup.simhash)
+            F.explode_outer(word_shingles(F.col(text_col), n)).alias("ng"),
         )
+        .filter(F.col("ng").isNotNull())
         .groupBy("ng")
         .agg(F.count_distinct(id_col).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
@@ -65,8 +68,8 @@ def boilerplate_report(
     freq = frequent_shingles(corpus, id_col, text_col, n, min_docs)
     exploded = corpus.select(
         F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), n)).alias("ng"),
-    )
+        F.explode_outer(word_shingles(F.col(text_col), n)).alias("ng"),
+    ).filter(F.col("ng").isNotNull())
     # per-doc denominator is map-side (array size) — no explode, no
     # exchange for it
     per_doc = corpus.select(

@@ -34,18 +34,21 @@ def contamination(
     """Per-document contamination report: how many distinct benchmark
     n-grams each corpus document contains (rows only for documents at
     or above min_hits — the flag list to drop or audit)."""
+    # explode_outer: codegen Generate re-runs the shingle regex per
+    # OUTPUT row for computed arrays (see dedup.simhash)
     bench_ngrams = (
         benchmark.select(
-            F.explode(
+            F.explode_outer(
                 word_shingles(F.col(bench_text_col), n)
             ).alias("ng")
         )
+        .filter(F.col("ng").isNotNull())
         .distinct()
     )
     corpus_ngrams = corpus.select(
         F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), n)).alias("ng"),
-    )
+        F.explode_outer(word_shingles(F.col(text_col), n)).alias("ng"),
+    ).filter(F.col("ng").isNotNull())
     hits = (
         corpus_ngrams.join(F.broadcast(bench_ngrams), "ng")
         .groupBy(id_col)

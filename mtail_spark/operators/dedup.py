@@ -409,3 +409,65 @@ def connected_components(
         F.col("label").alias("group_id"),
         F.col("group_size"),
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Exact-substring duplication stats — the span-level signal of
+    "Deduplicating Training Data Makes Language Models Better" (Lee
+    et al. 2022, ExactSubstr): every POSITIONAL k-token span of every
+    document (multiplicity kept, unlike the distinct shingles the
+    near-dup family uses), counted globally; a span occurring more
+    than once anywhere in the corpus — another document OR a repeat
+    inside the same one — is duplicated text.
+
+    Returns per document: n_spans (token windows), n_dup_spans
+    (windows whose text occurs >1 time corpus-wide), and
+    dup_permille (integer per-mille ratio — exact in both engines,
+    no float division).  Docs shorter than k tokens have 0 spans.
+
+    At 100 TB: one explode + one count aggregation keyed on the span
+    hash (map-side combine absorbs within-partition repeats), one
+    shuffle join back keyed the same way, one per-doc re-aggregation.
+    The reference method's suffix array is a single-machine
+    construction; hashed fixed-length windows are the standard
+    distributed approximation (window length = the paper's minimum
+    match length).  Hot spans (the corpus's top boilerplate) skew the
+    join key — AQE skew-join splits them."""
+    from mtail_spark.operators.textstats import word_ngrams
+
+    spans = docs.select(
+        F.col(id_col).alias("did"),
+        F.explode_outer(word_ngrams(F.col(text_col), k)).alias("s"),
+    ).filter(F.col("s").isNotNull()).select(
+        "did", md5_long(F.col("s")).alias("h")
+    )
+    counts = spans.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    agg = (
+        spans.join(counts, "h")
+        .groupBy("did")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("c") > 1).cast("long")).alias("n_dup"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(agg, F.col(id_col) == F.col("did"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) > 0,
+                F.expr("(n_dup * 1000) div n_spans"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_permille"),
+        )
+    )

@@ -44,9 +44,11 @@ def postings(
     return (
         corpus.select(
             F.col(id_col),
-            F.explode(words(F.lower(F.col(text_col)))).alias("term"),
+            # explode_outer: codegen Generate re-splits the text per
+            # OUTPUT token for computed arrays (see dedup.simhash)
+            F.explode_outer(words(F.lower(F.col(text_col)))).alias("term"),
         )
-        .filter(F.col("term") != "")
+        .filter(F.col("term").isNotNull() & (F.col("term") != ""))
         .groupBy("term", id_col)
         .agg(F.count(F.lit(1)).alias("tf"))
     )

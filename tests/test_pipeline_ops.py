@@ -177,3 +177,25 @@ def test_semantic_dedup_keep_rule(spark):
         ).collect()
     }
     assert out == {0: True, 1: False, 2: True, 3: False}
+
+
+def test_duplicate_spans_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),   # spans(k=3): abc bcd cde
+            (2, "a b c x y"),   # abc bcx cxy -> abc duplicated
+            (3, "z z z z"),     # zzz zzz -> intra-doc repeat counts
+            (4, "u v"),         # <k tokens -> 0 spans
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in D.duplicate_spans(docs, "doc_id", "text", k=3).collect()
+    }
+    assert (rows[1]["n_spans"], rows[1]["n_dup_spans"]) == (3, 1)
+    assert (rows[2]["n_spans"], rows[2]["n_dup_spans"]) == (3, 1)
+    assert (rows[3]["n_spans"], rows[3]["n_dup_spans"]) == (2, 2)
+    assert rows[3]["dup_permille"] == 1000
+    assert (rows[4]["n_spans"], rows[4]["dup_permille"]) == (0, 0)
+    assert rows[1]["dup_permille"] == 333
