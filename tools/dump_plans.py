@@ -52,6 +52,21 @@ SHOW = [
      "the composed curation pipeline: quality filter at the scan, "
      "ids-only LSH band join, sampling/split as filters (no "
      "exchange), one packing group exchange, one final aggregate"),
+    ("text_lm_xent",
+     "bigram-LM scoring: two count aggregations with map-side "
+     "partials, n-gram-keyed joins (broadcast at this SF, SMJ with "
+     "exchange reuse at scale), fixed-point terms keep the per-doc "
+     "sum a plain HashAggregate"),
+    ("span_dedup",
+     "span counting and the count join share the span-hash key; "
+     "explode_outer keeps the window regex once-per-row"),
+    ("dsir_weights",
+     "bucket tables are n_buckets-sized -> broadcast by "
+     "construction at ANY corpus scale; corpus scanned twice, "
+     "never cached"),
+    ("semantic_dedup",
+     "Arrow-batched assignment + cosine kernels only; self-join "
+     "keyed on cluster (k is the skew knob at scale)"),
 ]
 
 INTERESTING = re.compile(
