@@ -299,6 +299,11 @@ class SpecStore(TrackingStore):
         # register name -> set of Known label tuples this chunk
         self.known: dict[str, set] = {}
         self._known_line: list[tuple] = []  # Known-adds of this line
+        # scalar-only programs can retire speculation entirely once
+        # every register is Known (see _AllKnownStore)
+        self._scalar_only = all(
+            not prog.metrics[n].decl.keys for n in self._hidden
+        )
 
     def _gate(self, name, labels):
         if name in self._hidden and labels not in self.known.get(
@@ -312,6 +317,15 @@ class SpecStore(TrackingStore):
             if labels not in s:
                 s.add(labels)
                 self._known_line.append((name, labels))
+                if self._scalar_only and len(self.known) == len(
+                    self._hidden
+                ):
+                    # every register Known -> NeedState is impossible
+                    # for the rest of the chunk; retire the
+                    # speculation tax (mid-line swap is safe: the
+                    # only rollback trigger is NeedState)
+                    self.journal.clear()
+                    self.__class__ = _AllKnownStore
 
     def get(self, name, labels):
         self._gate(name, labels)
@@ -347,6 +361,44 @@ class SpecStore(TrackingStore):
             for name, entries in self.known.items()
             for labels in entries
         }
+
+
+class _AllKnownStore(SpecStore):
+    """Post-speculation fast mode for SCALAR-only register programs:
+    once every register is Known, `_gate` can never trip (a scalar
+    register has exactly one entry, and `del` keeps it Known — a
+    deleted entry reads back as the typed zero, a DEFINED value), so
+    NeedState — the ONLY rollback trigger — is impossible for the
+    rest of the chunk.  SpecStore._learn swaps the instance's
+    __class__ here the moment the last register becomes Known, which
+    retires the per-op speculation tax (gate checks, the undo
+    journal + datum snapshots, Known bookkeeping) with zero per-call
+    flag tests.  Data layout, merge tags, and `known` are untouched,
+    so chunk output is bit-identical to the slow path (asserted
+    across backends in test_chunkfold.py / test_fuzz_consistency.py).
+    Profiled on mysql_slowqueries phase A: the speculation tax was
+    ~40% of single-thread line time."""
+
+    def get(self, name, labels):
+        return Store.get(self, name, labels)
+
+    def inc(self, name, labels, delta, ts_us):
+        Store.inc(self, name, labels, delta, ts_us)
+        self.last_upd[(name, labels)] = (self.cur_chunk, self.cur_line)
+
+    def set(self, name, labels, value, ts_us):
+        Store.set(self, name, labels, value, ts_us)
+        self.last_upd[(name, labels)] = (self.cur_chunk, self.cur_line)
+
+    def observe(self, name, labels, v, ts_us):
+        Store.observe(self, name, labels, v, ts_us)
+        self.last_upd[(name, labels)] = (self.cur_chunk, self.cur_line)
+
+    def delete(self, name, labels):
+        Store.delete(self, name, labels)
+
+    def begin_line(self, line_no: int):
+        self.cur_line = line_no
 
 
 # --------------------------------------------------- state serialization
