@@ -304,6 +304,14 @@ class SpecStore(TrackingStore):
         self._scalar_only = all(
             not prog.metrics[n].decl.keys for n in self._hidden
         )
+        # storage type per non-histogram metric for the fast-mode
+        # set() hot path (exact-type check, no coercion)
+        _pytypes = {"Int": int, "Float": float, "String": str}
+        self._vt = {
+            n: _pytypes[mi.vtype]
+            for n, mi in prog.metrics.items()
+            if mi.decl.kind != "histogram" and mi.vtype in _pytypes
+        }
 
     def _gate(self, name, labels):
         if name in self._hidden and labels not in self.known.get(
@@ -380,14 +388,32 @@ class _AllKnownStore(SpecStore):
     ~40% of single-thread line time."""
 
     def get(self, name, labels):
+        d = self.data[name].get(labels)
+        if d is not None:
+            return d[0]
         return Store.get(self, name, labels)
 
     def inc(self, name, labels, delta, ts_us):
-        Store.inc(self, name, labels, delta, ts_us)
+        d = self.data[name].get(labels)
+        if d is not None and type(d[0]) in (int, float):
+            d[0] += delta
+            d[1] = ts_us
+        else:
+            Store.inc(self, name, labels, delta, ts_us)
         self.last_upd[(name, labels)] = (self.cur_chunk, self.cur_line)
 
     def set(self, name, labels, value, ts_us):
-        Store.set(self, name, labels, value, ts_us)
+        # hot path: value already the storage type (srcgen emits
+        # typed values for statically-known expressions); histograms
+        # have no _vt entry and fall through to Store.set -> observe
+        if type(value) is self._vt.get(name):
+            d = self.data[name].get(labels)
+            if d is None:
+                d = self._datum(name, labels)
+            d[0] = value
+            d[1] = ts_us
+        else:
+            Store.set(self, name, labels, value, ts_us)
         self.last_upd[(name, labels)] = (self.cur_chunk, self.cur_line)
 
     def observe(self, name, labels, v, ts_us):
