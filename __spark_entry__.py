@@ -906,6 +906,49 @@ def q_search_topk(spark, sf):
     )
 
 
+def q_tfidf_top_terms(spark, sf):
+    """Per-document TF-IDF term profile (operators/search.py): top-3
+    terms per document by tf * integer-idf.  Postings shuffle + a
+    term-keyed df join + a per-document ranking window."""
+    import mtail_spark.operators.search as SR
+
+    docs = _t(spark, sf, "documents")
+    return SR.tfidf_top_terms(docs, k=3)
+
+
+def q_source_cap(spark, sf):
+    """Per-source document cap (operators/curation.py): keep the 20
+    highest-quality documents per source — the per-domain frequency
+    cap of CommonCrawl-style pipelines.  One window keyed on source."""
+    import mtail_spark.operators.curation as CU
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "quality", TX.quality_score(F.col("text"))
+    )
+    return CU.source_cap(docs, cap=20).select(
+        "doc_id", "source", "quality", "src_rank", "is_kept"
+    )
+
+
+def q_length_quantiles(spark, sf):
+    """Per-source corpus calibration (operators/curation.py): exact
+    p50/p90/p99 of n_chars as type-1 order statistics — integer index
+    selection, engine-portable unlike interpolated quantiles."""
+    import mtail_spark.operators.curation as CU
+
+    docs = _t(spark, sf, "documents")
+    return CU.order_stat_quantiles(docs, "n_chars", "source")
+
+
+def q_cluster_profile(spark, sf):
+    """Document clustering profile (operators/similarity.py): k-means
+    cluster sizes, min-id representative, and fixed-point
+    within-cluster squared distance, on the bit-deterministic
+    kmeans_centroids kernel shared with sim_ivf / semantic_dedup."""
+    emb = _t(spark, sf, "embeddings")
+    return S.cluster_profile(emb, k=8, iters=3)
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -972,6 +1015,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "chunk_windows": q_chunk_windows,
         "search_topk": q_search_topk,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "source_cap": q_source_cap,
+        "length_quantiles": q_length_quantiles,
+        "cluster_profile": q_cluster_profile,
         "training_data_pipeline": q_training_data_pipeline,
         "curation_pipeline": q_curation_pipeline,
         "multimodal_meta": q_multimodal_meta,
@@ -1392,6 +1439,38 @@ def _sql_semantic_dedup() -> str:
         SELECT a.cid AS vec_id, CAST(a.cluster AS INT) AS cluster,
                (d.cid IS NULL) AS keep
         FROM asg a LEFT JOIN dropped d ON a.cid = d.cid
+    """
+
+
+def _sql_cluster_profile() -> str:
+    """DuckDB mirror of similarity.cluster_profile: the shared
+    k-means chain over the FULL embeddings table, nearest-centroid
+    assignment with list_min(dl) as the member's squared distance
+    (bit-identical to the numpy sequential accumulation), per-member
+    micro-unit rounding, integer sums per cluster."""
+    k_lists, iters = 8, 3
+    sq = _sql_sqd
+    parts = _sql_kmeans_chain("", k_lists, iters)
+    parts.append(f"""asg AS (
+          SELECT cid,
+                 list_position(dl, list_min(dl)) - 1 AS cluster,
+                 list_min(dl) AS sqd
+          FROM (
+            SELECT e.cid,
+                   list({sq('e.vec', 'c.cvec')}
+                        ORDER BY c.cluster) AS dl
+            FROM corp e CROSS JOIN cent{iters} c
+            GROUP BY e.cid, e.vec
+          )
+        )""")
+    return f"""
+        WITH {', '.join(parts)}
+        SELECT CAST(cluster AS INT) AS cluster,
+               count(*) AS n_members,
+               min(cid) AS min_member,
+               CAST(sum(CAST(round(sqd * 1000000) AS BIGINT)) AS BIGINT)
+                 AS sum_sqd_micro
+        FROM asg GROUP BY cluster
     """
 
 
@@ -1838,6 +1917,66 @@ def oracle_sql() -> dict[str, str]:
               FROM hits GROUP BY doc_id
             ) WHERE rank <= 15
         """,
+        "tfidf_top_terms": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+')) AS term
+              FROM documents
+            ), post AS (
+              SELECT term, doc_id, count(*) AS tf
+              FROM tok WHERE term <> '' GROUP BY term, doc_id
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM post GROUP BY term
+            ), n AS (
+              SELECT count(*) AS n_docs FROM documents
+            ), scored AS (
+              SELECT p.doc_id, p.term,
+                     CAST(p.tf AS BIGINT) AS tf,
+                     CAST(d.df AS BIGINT) AS df,
+                     CAST(p.tf AS BIGINT)
+                       * CAST(floor((n_docs - d.df) * 1000000
+                                    / (n_docs + d.df)) AS BIGINT) AS score
+              FROM post p JOIN dfreq d ON p.term = d.term CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, df, score, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, term ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 3
+        """,
+        "source_cap": f"""
+            SELECT doc_id, source, quality, src_rank,
+                   src_rank <= 20 AS is_kept
+            FROM (
+              SELECT doc_id, source, quality,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY quality DESC, doc_id ASC) AS src_rank
+              FROM (SELECT doc_id, source, {_sql_quality()} AS quality
+                    FROM documents)
+            )
+        """,
+        "length_quantiles": """
+            WITH r AS (
+              SELECT source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars ASC, doc_id ASC) AS rn,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM documents
+            )
+            SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+                   CAST(max(CASE WHEN rn = CAST(floor((n * 1 + 1) / 2)
+                                 AS BIGINT) THEN n_chars END)
+                        AS BIGINT) AS p50,
+                   CAST(max(CASE WHEN rn = CAST(floor((n * 9 + 9) / 10)
+                                 AS BIGINT) THEN n_chars END)
+                        AS BIGINT) AS p90,
+                   CAST(max(CASE WHEN rn = CAST(floor((n * 99 + 99) / 100)
+                                 AS BIGINT) THEN n_chars END)
+                        AS BIGINT) AS p99
+            FROM r GROUP BY source
+        """,
+        "cluster_profile": _sql_cluster_profile(),
         "training_data_pipeline": _sql_training_data_pipeline(),
         "curation_pipeline": _sql_curation_pipeline(),
         "dedup_groups_cc": (

@@ -122,6 +122,77 @@ def keep_best(
     )
 
 
+def source_cap(
+    df: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source document cap: keep at most `cap` documents from each
+    source, preferring the highest quality — the per-domain frequency
+    cap of CommonCrawl-derived pipelines (a handful of domains
+    otherwise dominate the corpus).  Ranks within source by
+    (quality desc, id asc) — fully deterministic — and adds
+    `src_rank` / `is_kept`.
+
+    One hash-partitioned window keyed on source.  At 100 TB the skew
+    IS the point (the capped sources are exactly the giant ones): a
+    monster source becomes one big sort partition, so production runs
+    would pre-filter with a per-source count and a quality threshold
+    from approx quantiles before the exact window — the semantics
+    here are the exact reference those two-phase runs must match."""
+    w = Window.partitionBy(source_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return df.withColumn(
+        "src_rank", F.row_number().over(w).cast("long")
+    ).withColumn("is_kept", F.col("src_rank") <= cap)
+
+
+def order_stat_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group corpus profile: exact p50/p90/p99 of an integer
+    column as ORDER STATISTICS (the value at index ceil(p*n), type-1
+    quantiles) — pure integer index arithmetic, no interpolation, so
+    any engine agrees bit-for-bit (interpolated quantiles differ in
+    last-ulp double ops across engines).  The calibration query behind
+    length filters and packing budgets.
+
+    Shape: one window (rank within group by value, then id for full
+    determinism) sharing its shuffle with the per-group count and the
+    final group-by — a single exchange on the group key.  At 100 TB
+    per-group sort cost is the knob: groups here are source-sized;
+    for one giant group use sampled/sketched quantiles instead (this
+    is the exact-answer reference)."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    ranked = (
+        df.select(group_col, value_col, id_col)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(group_col)))
+    )
+
+    def at(num: int, den: int):
+        # ceil(num*n/den) as pure integer arithmetic
+        idx = F.floor((F.col("n") * num + (den - 1)) / den).cast("long")
+        return F.max(
+            F.when(F.col("rn") == idx, F.col(value_col))
+        ).cast("long")
+
+    return ranked.groupBy(group_col).agg(
+        F.max("n").cast("long").alias("n_docs"),
+        at(1, 2).alias("p50"),
+        at(9, 10).alias("p90"),
+        at(99, 100).alias("p99"),
+    )
+
+
 def normalized_content_key(text_col, prefix_chars: int = 80):
     """Near-exact dedup key: md5 of the case-folded,
     whitespace-collapsed text prefix.  Catches trivially-reformatted

@@ -77,6 +77,52 @@ def _idf(df_col, n_docs: int):
     ).cast("long")
 
 
+def tfidf_top_terms(
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document TF-IDF term profile: the k highest-scoring terms
+    of every document — the standard bag-of-words feature extraction
+    (topic labeling, keyword indexing, near-dup blocking keys).
+
+    score = tf * idf_ppm with the same integer idf surrogate as
+    search_topk (floor(SCALE*(N-df)/(N+df)), ln-free so the DuckDB
+    oracle reproduces scores bit-for-bit); tf is the raw in-document
+    count, so the product is an exact BIGINT.  Ties break by
+    ascending term, making the top-k fully deterministic.
+
+    At 100 TB: the postings build is the corpus-sized shuffle (one
+    explode + map-side-combined count); the df join is keyed on term
+    (Zipf-skewed hot terms are AQE-split; never broadcast — the
+    vocabulary is unbounded); the ranking window partitions by
+    document, bounded by per-document vocabulary.  N comes from one
+    count job (metadata-sized)."""
+    n_docs = corpus.count()
+    post = postings(corpus, id_col, text_col)
+    dfreq = doc_freq(post, id_col)
+    scored = post.join(dfreq, "term").withColumn(
+        "score",
+        (F.col("tf").cast("long") * _idf(F.col("df"), n_docs)).cast("long"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score",
+            "rank",
+        )
+    )
+
+
 def search_topk(
     corpus: DataFrame,
     query_terms: list,

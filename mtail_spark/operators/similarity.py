@@ -622,6 +622,82 @@ def cosine_dup_pairs(
     )
 
 
+def assign_with_dist_udf(centroids: list[list[float]]):
+    """Arrow-batched (cluster, squared-distance) assignment: the same
+    stable argmin as nearest_centroid_udf plus the distance to the
+    chosen centroid, taken from the same sequentially-accumulated
+    matrix so the double is bit-identical to the oracle's
+    list_min(dl)."""
+    cents = [list(c) for c in centroids]
+
+    def assign(v):
+        import numpy as np
+        import pandas as pd
+
+        A = np.stack(v.to_numpy()).astype(np.float64)
+        C = np.asarray(cents, dtype=np.float64)
+        D = _sqdist_matrix(A, C)
+        arg = np.argmin(D, axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": arg.astype(np.int32),
+                "sqd": D[np.arange(D.shape[0]), arg],
+            }
+        )
+
+    return F.pandas_udf(assign, "cluster int, sqd double")
+
+
+def cluster_profile(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Document clustering as a first-class output: k-means cluster
+    sizes, representative (minimum-id) member, and total
+    within-cluster squared distance — the corpus-structure profile
+    behind cluster-balanced sampling and SemDeDup-style curation.
+
+    Reuses the bit-deterministic kmeans_centroids kernel, so the whole
+    table is reproducible by the unrolled DuckDB oracle.  Distances
+    are fixed-point micro-units rounded PER MEMBER before the integer
+    sum (order-independent; a float sum would vary with shuffle
+    order).
+
+    At 100 TB: centroids are k*dim driver-side floats; assignment is
+    one Arrow-batched map over the corpus; the profile is one
+    aggregation keyed on cluster (k groups, map-side combined) — no
+    self-join, nothing corpus-sized on the driver."""
+    cents = kmeans_centroids(
+        corpus, k=k, id_col=id_col, vec_col=vec_col, iters=iters, dim=dim
+    )
+    base = corpus.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("a", assign_with_dist_udf(cents)(F.col("v")))
+    per = base.select(
+        "vid",
+        F.col("a.cluster").alias("cluster"),
+        F.round(F.col("a.sqd") * 1_000_000).cast("long").alias("sqd_micro"),
+    )
+    return (
+        per.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vid").alias("min_member"),
+            F.sum("sqd_micro").cast("long").alias("sum_sqd_micro"),
+        )
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "n_members",
+            "min_member",
+            "sum_sqd_micro",
+        )
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -67,6 +67,17 @@ SHOW = [
     ("semantic_dedup",
      "Arrow-batched assignment + cosine kernels only; self-join "
      "keyed on cluster (k is the skew knob at scale)"),
+    ("tfidf_top_terms",
+     "postings build with map-side partial count; df join keyed on "
+     "term (broadcast at this SF's tiny vocabulary, SMJ at scale); "
+     "WindowGroupLimit pushes the top-k below the per-doc exchange"),
+    ("length_quantiles",
+     "ONE exchange on the group key shared by the rank window, the "
+     "count window, and the final aggregate — order statistics, no "
+     "interpolation"),
+    ("cluster_profile",
+     "Arrow-batched assignment; the profile is a k-group aggregate "
+     "with map-side partials — nothing corpus-sized anywhere"),
 ]
 
 INTERESTING = re.compile(
