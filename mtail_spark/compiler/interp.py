@@ -349,11 +349,17 @@ class Interp:
         # the fallback for A/B and equivalence testing.
         self.closure_program = self.program
         self.chunk_program = None
+        # *_fast: store access inlined to datum-dict ops, rt.fired
+        # dropped — valid only when type(rt.store) is exactly Store
+        # (feed / streaming/stateful.py check before selecting)
+        self.fast_program = None
+        self.fast_chunk_program = None
         from mtail_spark.compiler.srcgen import generate
 
         gen = generate(self)
         if gen is not None:
-            self.program, self.chunk_program = gen
+            (self.program, self.chunk_program,
+             self.fast_program, self.fast_chunk_program) = gen
 
     def _implied_rids(self, e) -> set:
         """Regex ids a condition's TRUTH implies matched the line."""
@@ -404,10 +410,20 @@ class Interp:
                 return
             if len(first) == 2:
                 # generated whole-chunk loop: per-line resets +
-                # error-kills-line handled inside one Python frame
-                self.chunk_program(rt, chain((first,), rows))
+                # error-kills-line handled inside one Python frame.
+                # Exact-Store runtimes take the store-inlined variant
+                # (subclasses — chunkfold SpecStore — need the
+                # virtual calls).
+                fn = self.chunk_program
+                if (self.fast_chunk_program is not None
+                        and type(rt.store) is Store):
+                    fn = self.fast_chunk_program
+                fn(rt, chain((first,), rows))
                 return
             rows = chain((first,), rows)
+        program = self.program
+        if self.fast_program is not None and type(rt.store) is Store:
+            program = self.fast_program  # never appends to rt.fired
         for row in rows:
             if len(row) == 3:
                 rt.filename, rt.line_no, rt.line = row
@@ -420,7 +436,7 @@ class Interp:
             # don't accumulate O(total register writes) memory.
             rt.fired.clear()
             try:
-                self.program(rt)
+                program(rt)
             except (StopLine, LineError):
                 pass
 

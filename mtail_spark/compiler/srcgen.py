@@ -74,14 +74,49 @@ class _Unsupported(Exception):
     pass
 
 
+def _uses_subst(node) -> bool:
+    """Generic AST walk: does any subtree contain a subst() call?
+    (Its closure fallback reads rt.matches, so fast mode must keep
+    the dict maintained.)  Walks dataclass fields and list items."""
+    if isinstance(node, A.BuiltinCall) and node.name == "subst":
+        return True
+    if isinstance(node, (list, tuple)):
+        return any(_uses_subst(x) for x in node)
+    if hasattr(node, "__dict__"):
+        return any(
+            _uses_subst(v)
+            for v in vars(node).values()
+            if isinstance(v, (list, tuple)) or hasattr(v, "__dict__")
+        )
+    return False
+
+
 class _Gen:
     def __init__(self, it: Interp, base_ind: int = 1,
-                 stop_stmt: str = "return"):
+                 stop_stmt: str = "return", fast: bool = False):
         self.it = it
         self.prog = it.prog
         self.lines: list[str] = []
         self.ind = base_ind
         self.stop_stmt = stop_stmt
+        # fast mode: the runtime store is EXACTLY interp.Store (plain
+        # fold / stateful streaming), so metric access inlines to
+        # direct datum-dict operations hoisted per metric (no method
+        # dispatch; the chunkfold SpecStore's gating/journal semantics
+        # need the virtual calls and keep the non-fast variants).
+        # Fast code also drops rt.fired bookkeeping entirely — only
+        # the chunkfold salvage path ever reads it.
+        self.fast = fast
+        self.metric_vars: dict[str, str] = {}
+        # fast mode: per-regex dedicated match locals replace the
+        # rt.matches dict (reset to None per line by the wrapper) —
+        # UNLESS the program contains a subst() fallback closure,
+        # which reads rt.matches for caprefs inside its arguments.
+        self.match_vars: dict[int, str] = {}
+        self.need_matches_dict = (not fast) or _uses_subst(
+            [it.prog.stmts.stmts]
+            + [r.subject for r in it.prog.regexes if r.subject is not None]
+        )
         self.n_tmp = 0
         self.n_blk = 0
         self.globals: dict = {
@@ -106,6 +141,15 @@ class _Gen:
     def tmp(self) -> str:
         self.n_tmp += 1
         return f"_t{self.n_tmp}"
+
+    def dvar(self, name: str) -> str:
+        """Per-metric datum-dict local (fast mode): hoisted as
+        `Dn = store.data[name]` in the function preamble."""
+        v = self.metric_vars.get(name)
+        if v is None:
+            v = f"_D{len(self.metric_vars)}"
+            self.metric_vars[name] = v
+        return v
 
     def emit(self, s: str) -> None:
         self.lines.append("    " * self.ind + s)
@@ -195,7 +239,13 @@ class _Gen:
         skips the regex engine when the search provably fails."""
         reg = self.prog.regexes[rid]
         lit = self.it.re_lit.get(rid)
-        m = self.tmp()
+        if self.fast:
+            # dedicated per-regex local: re-assigned at every
+            # evaluation site, reset to None per line by the wrapper;
+            # caprefs read it directly instead of the matches dict
+            m = self.match_vars.setdefault(rid, f"_m_re{rid}")
+        else:
+            m = self.tmp()
         if reg.subject is None:
             sv = "line"
         else:
@@ -209,7 +259,8 @@ class _Gen:
         else:
             self.emit(f"{m} = RX{rid}.search({sv}) "
                       f"if {lit!r} in {sv} else None")
-        self.emit(f"matches[{rid}] = {m}")
+        if self.need_matches_dict:
+            self.emit(f"matches[{rid}] = {m}")
         return m
 
     def labels_tuple(self, target: A.IndexedExpr) -> str:
@@ -228,6 +279,52 @@ class _Gen:
         """Closure-allocated site id for this AST occurrence (None for
         exported metrics)."""
         return self.it.site_by_node.get(id(node))
+
+    def emit_inc(self, name: str, labt: str, delta: str) -> None:
+        """Statement-position metric increment.  Fast mode: direct
+        datum mutation when the datum exists and is numeric (the Store
+        fallback covers first-touch creation and the non-numeric
+        LineError path with identical semantics)."""
+        if not self.fast:
+            self.emit(f"store.inc({name!r}, {labt}, {delta}, rt.ts_us)")
+            return
+        d = self.tmp()
+        self.emit(f"{d} = {self.dvar(name)}.get({labt})")
+        self.emit(f"if {d} is not None and "
+                  f"(type({d}[0]) is int or type({d}[0]) is float):")
+        self.ind += 1
+        self.emit(f"{d}[0] += {delta}")
+        self.emit(f"{d}[1] = rt.ts_us")
+        self.ind -= 1
+        self.emit("else:")
+        self.ind += 1
+        self.emit(f"store.inc({name!r}, {labt}, {delta}, rt.ts_us)")
+        self.ind -= 1
+
+    def emit_set(self, name: str, labt: str, v: str) -> None:
+        """Statement-position metric assignment.  Fast mode: direct
+        datum mutation when the value already has the metric's storage
+        type (Store.set would store it unchanged); histograms and
+        coercions fall back to the virtual call (observe / typed
+        parse / LineError)."""
+        mi = self.prog.metrics[name]
+        pyt = {"Int": "int", "Float": "float", "String": "str"}.get(
+            mi.vtype
+        )
+        if not self.fast or mi.decl.kind == "histogram" or pyt is None:
+            self.emit(f"store.set({name!r}, {labt}, {v}, rt.ts_us)")
+            return
+        d = self.tmp()
+        self.emit(f"{d} = {self.dvar(name)}.get({labt})")
+        self.emit(f"if {d} is not None and type({v}) is {pyt}:")
+        self.ind += 1
+        self.emit(f"{d}[0] = {v}")
+        self.emit(f"{d}[1] = rt.ts_us")
+        self.ind -= 1
+        self.emit("else:")
+        self.ind += 1
+        self.emit(f"store.set({name!r}, {labt}, {v}, rt.ts_us)")
+        self.ind -= 1
 
     def ex(self, e, need: bool = True) -> str:
         if isinstance(e, A.IntLit):
@@ -249,14 +346,28 @@ class _Gen:
             return self.ex_builtin(e, need)
         if isinstance(e, A.IndexedExpr):
             lab = self.labels_tuple(e)
+            if self.fast:
+                # single expression (order-preserving like the inline
+                # store.get): datum lists are always truthy, .get miss
+                # falls through to _datum (create-on-read zero-init,
+                # exactly Store.get).  The label expr re-evaluates on
+                # the miss branch only; labels are pure.
+                return (f"({self.dvar(e.lhs.name)}.get({lab}) or "
+                        f"store._datum({e.lhs.name!r}, {lab}))[0]")
             return f"store.get({e.lhs.name!r}, {lab})"
         if isinstance(e, A.OtherwiseCond):
             return "True"
         raise _Unsupported(type(e).__name__)
 
     def ex_capref(self, e: A.Capref) -> str:
-        m = self.tmp()
-        self.emit(f"{m} = matches.get({e.regex_id})")
+        if self.fast:
+            # the per-line None reset makes the local always bound
+            m = self.match_vars.setdefault(
+                e.regex_id, f"_m_re{e.regex_id}"
+            )
+        else:
+            m = self.tmp()
+            self.emit(f"{m} = matches.get({e.regex_id})")
         self.emit(f"if {m} is None: "
                   f"raise LineError('capref without match')")
         v = self.tmp()
@@ -297,13 +408,17 @@ class _Gen:
             labt = self.tmp()
             self.emit(f"{labt} = {self.labels_tuple(target)}")
             delta = 1 if e.op == "++" else -1
-            self.emit(f"store.inc({name!r}, {labt}, {delta}, rt.ts_us)")
+            self.emit_inc(name, labt, repr(delta))
             sid = self.write_site(e, name)
-            if sid is not None:
+            if sid is not None and not self.fast:
                 self.emit(f"fired.append(({sid}, {labt}))")
             if need:
                 v = self.tmp()
-                self.emit(f"{v} = store.get({name!r}, {labt})")
+                if self.fast:
+                    self.emit(f"{v} = ({self.dvar(name)}.get({labt}) or "
+                              f"store._datum({name!r}, {labt}))[0]")
+                else:
+                    self.emit(f"{v} = store.get({name!r}, {labt})")
                 return v
             return "None"
         raise _Unsupported(f"unary {e.op}")
@@ -390,24 +505,28 @@ class _Gen:
         self.emit(f"{v} = {self.ex(e.rhs)}")
         sid = self.write_site(e, name)
         if e.op == "=":
-            self.emit(f"store.set({name!r}, {labt}, {v}, rt.ts_us)")
-            if sid is not None:
+            self.emit_set(name, labt, v)
+            if sid is not None and not self.fast:
                 self.emit(f"fired.append(({sid}, {labt}))")
             return v if need else "None"
         # +=
         if self.etype(e.rhs) in NUMERIC:
-            self.emit(f"store.inc({name!r}, {labt}, {v}, rt.ts_us)")
+            self.emit_inc(name, labt, v)
         else:
             vn = self.tmp()
             self.emit(f"{vn} = to_num({v})")
             self.emit(f"if {vn} is None: "
                       f"raise LineError('non-numeric +=')")
-            self.emit(f"store.inc({name!r}, {labt}, {vn}, rt.ts_us)")
-        if sid is not None:
+            self.emit_inc(name, labt, vn)
+        if sid is not None and not self.fast:
             self.emit(f"fired.append(({sid}, {labt}))")
         if need:
             rv = self.tmp()
-            self.emit(f"{rv} = store.get({name!r}, {labt})")
+            if self.fast:
+                self.emit(f"{rv} = ({self.dvar(name)}.get({labt}) or "
+                          f"store._datum({name!r}, {labt}))[0]")
+            else:
+                self.emit(f"{rv} = store.get({name!r}, {labt})")
             return rv
         return "None"
 
@@ -566,23 +685,38 @@ class _Gen:
             self.emit(f"{labt} = {self.labels_tuple(t)}")
             self.emit(f"store.delete({name!r}, {labt})")
             sid = self.it.site_by_node.get(id(s))
-            if sid is not None:
+            if sid is not None and not self.fast:
                 self.emit(f"fired.append(({sid}, {labt}))")
             return
         raise _Unsupported(type(s).__name__)
 
 
+def _hoists(g: _Gen) -> list[str]:
+    """Fast-mode preamble: one datum-dict local per touched metric."""
+    return [
+        f"    {var} = _data[{name!r}]"
+        for name, var in g.metric_vars.items()
+    ]
+
+
 def generate(it: Interp):
-    """Compile it.prog into (run_line, run_chunk); returns None when
-    the AST uses something the generator doesn't cover (closure
-    program stays in charge).
+    """Compile it.prog into (run_line, run_chunk, run_line_fast,
+    run_chunk_fast); returns None when the AST uses something the
+    generator doesn't cover (closure program stays in charge).
 
     run_line(rt) is call-compatible with the closure program (the
     chunkfold/stateful paths drive lines one at a time with their own
     per-line state resets).  run_chunk(rt, rows) additionally inlines
     the fold driver loop — per-line attribute resets, the
     error-kills-line try, and `stop` as `continue` — saving the
-    remaining per-line Python call for the plain fold path (feed)."""
+    remaining per-line Python call for the plain fold path (feed).
+
+    The *_fast variants additionally inline store get/inc/set to
+    direct datum-dict operations and drop rt.fired bookkeeping; they
+    are valid ONLY when type(rt.store) is exactly interp.Store (the
+    chunkfold SpecStore's gating/undo-journal semantics require the
+    virtual calls, and only its salvage path reads rt.fired) — the
+    callers (Interp.feed, streaming/stateful.py) check."""
     if os.environ.get("MTAIL_SPARK_INTERP") == "closures":
         return None
     from mtail_spark.compiler.interp import StopLine
@@ -632,19 +766,86 @@ def generate(it: Interp):
             ]
         )
 
+    def _mreset(g_, ind):
+        """Per-line None reset of the dedicated match locals."""
+        if not g_.match_vars:
+            return []
+        return [ind + " = ".join(
+            sorted(g_.match_vars.values())
+        ) + " = None"]
+
+    gf = _Gen(it, fast=True)
+    try:
+        gf.block(it.prog.stmts.stmts)
+    except _Unsupported:
+        gf = None
+    fast_src = None
+    if gf is not None:
+        fast_src = "\n".join(
+            [
+                "def run_line_fast(rt):",
+                "    store = rt.store",
+                "    _data = store.data",
+            ]
+            + _hoists(gf)
+            + ["    line = rt.line"]
+            + (["    matches = rt.matches"]
+               if gf.need_matches_dict else [])
+            + _mreset(gf, "    ")
+            + (gf.lines or ["    pass"])
+        )
+
+    gcf = _Gen(it, base_ind=3, stop_stmt="continue", fast=True)
+    try:
+        gcf.block(it.prog.stmts.stmts)
+    except _Unsupported:
+        gcf = None
+    fast_chunk_src = None
+    if gcf is not None:
+        fast_chunk_src = "\n".join(
+            [
+                "def run_chunk_fast(rt, rows):",
+                "    store = rt.store",
+                "    _data = store.data",
+            ]
+            + _hoists(gcf)
+            + [
+                "    for _lno, _line in rows:",
+                "        rt.line_no = _lno",
+                "        line = rt.line = _line",
+            ]
+            + (["        matches = rt.matches = {}"]
+               if gcf.need_matches_dict else [])
+            + ["        rt.ts_us = None"]
+            + _mreset(gcf, "        ")
+            + ["        try:"]
+            + (gcf.lines or ["            pass"])
+            + [
+                "        except (StopLine, LineError):",
+                "            pass",
+            ]
+        )
+
     ns = dict(g.globals)
-    if gc is not None:
-        ns.update(gc.globals)
+    for extra in (gc, gf, gcf):
+        if extra is not None:
+            ns.update(extra.globals)
     ns["StopLine"] = StopLine
     exec(compile(src, f"<srcgen:{it.prog.name}>", "exec"), ns)
     fn = ns["run_line"]
     fn.__mtail_src__ = src
-    chunk_fn = None
-    if chunk_src is not None:
-        exec(
-            compile(chunk_src, f"<srcgen-chunk:{it.prog.name}>", "exec"),
-            ns,
-        )
-        chunk_fn = ns["run_chunk"]
-        chunk_fn.__mtail_src__ = chunk_src
-    return fn, chunk_fn
+
+    def _build(fsrc, fname, tag):
+        if fsrc is None:
+            return None
+        exec(compile(fsrc, f"<{tag}:{it.prog.name}>", "exec"), ns)
+        built = ns[fname]
+        built.__mtail_src__ = fsrc
+        return built
+
+    chunk_fn = _build(chunk_src, "run_chunk", "srcgen-chunk")
+    fast_fn = _build(fast_src, "run_line_fast", "srcgen-fast")
+    fast_chunk_fn = _build(
+        fast_chunk_src, "run_chunk_fast", "srcgen-fastchunk"
+    )
+    return fn, chunk_fn, fast_fn, fast_chunk_fn

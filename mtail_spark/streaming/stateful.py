@@ -78,17 +78,25 @@ class DriverStatefulRunner:
 
     def process(self, pairs) -> None:
         """pairs: iterable of (stream_key, line) in arrival order."""
+        # stream stores are exactly Store (built in _runtime), so the
+        # store-inlined generated variant applies; it never appends to
+        # rt.fired (chunkfold-only scratch), so no per-line clear.
+        program = self.interp.fast_program
+        fast = program is not None
+        if not fast:
+            program = self.interp.program
         with self.lock:
             for key, line in pairs:
                 rt = self._runtime(key)
                 rt.line = line
                 rt.matches = {}
                 rt.ts_us = None
-                # chunkfold-only scratch; clear per line or a serve-mode
-                # daemon accumulates one entry per register write forever.
-                rt.fired.clear()
+                if not fast:
+                    # clear per line or a serve-mode daemon accumulates
+                    # one entry per register write forever
+                    rt.fired.clear()
                 try:
-                    self.interp.program(rt)
+                    program(rt)
                 except (StopLine, LineError):
                     pass
                 rt.line_no += 1

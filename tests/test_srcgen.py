@@ -188,6 +188,61 @@ def test_run_chunk_equals_run_line():
         sorted(map(repr, rt2.store.export_rows("p")))
 
 
+def test_fast_variants_generated_and_selected():
+    """The store-inlined fast variants exist, differ from the virtual
+    ones, drop rt.fired bookkeeping, and feed() selects them for an
+    exact-Store runtime with identical results."""
+    _, gen = _two_interps(EDGE_PROG, "edge.mtail")
+    assert gen.fast_program is not None
+    assert gen.fast_chunk_program is not None
+    fsrc = gen.fast_chunk_program.__mtail_src__
+    assert "_data[" in fsrc            # hoisted datum dicts
+    assert "fired" not in fsrc         # no chunkfold scratch
+    lines = ["n 4 2", "garbage", "s abc", "stopline", "n 5 0",
+             "f 1.5", "badcap ff", "s "]
+    rt_fast = gen.new_runtime()
+    gen.feed(rt_fast, list(enumerate(lines)))
+    saved = gen.fast_chunk_program, gen.fast_program
+    gen.fast_chunk_program = gen.fast_program = None
+    try:
+        rt_virt = gen.new_runtime()
+        gen.feed(rt_virt, list(enumerate(lines)))
+    finally:
+        gen.fast_chunk_program, gen.fast_program = saved
+    assert rt_fast.store.data == rt_virt.store.data
+
+
+def test_fast_keeps_matches_dict_for_subst():
+    """subst()'s contained closure reads rt.matches for caprefs, so a
+    program using subst must keep the dict maintained in fast mode —
+    and still fold identically to the closures."""
+    src = (
+        'counter c by k\n'
+        '/v=(\\d+)/ {\n'
+        '  c[subst("0", "Z", $1)]++\n'
+        '}\n'
+    )
+    closures, gen = _two_interps(src, "subst.mtail")
+    assert "matches[" in gen.fast_chunk_program.__mtail_src__
+    lines = ["v=10", "v=7", "nothing", "v=100"]
+    assert _rows(closures, lines) == _rows(gen, lines)
+
+
+def test_fast_create_on_read_zero_init():
+    """A fast-mode register/metric READ of a never-written label must
+    create the zero-init datum exactly like Store.get."""
+    src = (
+        'counter total\n'
+        'hidden gauge reg\n'
+        '/x/ { total = total + 1\n'
+        '  reg = reg + 2\n'
+        '}\n'
+    )
+    closures, gen = _two_interps(src, "cor.mtail")
+    lines = ["x", "y", "x x"]
+    assert _rows(closures, lines) == _rows(gen, lines)
+
+
 def test_srcgen_equals_closures_on_mgen_programs():
     import sys
 
