@@ -940,6 +940,25 @@ def q_length_quantiles(spark, sf):
     return CU.order_stat_quantiles(docs, "n_chars", "source")
 
 
+def q_dedup_incremental(spark, sf):
+    """Delta dedup (operators/dedup.py): flag a new shard's documents
+    (doc_id % 3 == 0 stands in for today's crawl) that near-duplicate
+    the existing corpus — new-side buckets join base-side buckets on
+    (band, bkey); the base is never self-joined."""
+    docs = _t(spark, sf, "documents")
+    is_new = (F.col("doc_id") % 3) == 0
+    return D.incremental_minhash_dups(
+        docs.filter(is_new),
+        docs.filter(~is_new),
+        "doc_id",
+        "text",
+        num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS,
+        shingle_k=MINHASH_K,
+        threshold=MINHASH_THRESHOLD,
+    )
+
+
 def q_cluster_profile(spark, sf):
     """Document clustering profile (operators/similarity.py): k-means
     cluster sizes, min-id representative, and fixed-point
@@ -1019,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "length_quantiles": q_length_quantiles,
         "cluster_profile": q_cluster_profile,
+        "dedup_incremental": q_dedup_incremental,
         "training_data_pipeline": q_training_data_pipeline,
         "curation_pipeline": q_curation_pipeline,
         "multimodal_meta": q_multimodal_meta,
@@ -1977,6 +1997,20 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY source
         """,
         "cluster_profile": _sql_cluster_profile(),
+        # the incremental operator's new x base band join finds
+        # exactly the cross-set subset of the full self-join's pairs
+        # (same signature family), so the oracle filters the shared
+        # CTE block to pairs straddling the shard boundary
+        "dedup_incremental": (
+            "WITH " + _sql_minhash_cte_block("documents") + """
+            SELECT CASE WHEN id_a % 3 = 0 THEN id_a ELSE id_b END
+                     AS new_id,
+                   CASE WHEN id_a % 3 = 0 THEN id_b ELSE id_a END
+                     AS base_id,
+                   jaccard
+            FROM mh_pairs
+            WHERE (id_a % 3 = 0) <> (id_b % 3 = 0)
+        """),
         "training_data_pipeline": _sql_training_data_pipeline(),
         "curation_pipeline": _sql_curation_pipeline(),
         "dedup_groups_cc": (

@@ -79,6 +79,70 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _minhash_signatures(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc_id, shingles) -> (doc_id, sig0..sigN-1).
+
+    Signature via explode + groupBy-min rather than array lambdas:
+    higher-order functions evaluate interpreted per element, while
+    this shape is whole-stage codegen with map-side partial min —
+    also exactly the plan that scales (shuffle carries one row per
+    doc x num_hashes longs).
+
+    The num_hashes hash family is UNIVERSAL-HASH DERIVED (Broder's
+    classic construction): ONE md5 per shingle split into two 32-bit
+    lanes h1, h2, with hash_j = h1 + j*h2.  One digest + long
+    arithmetic replaces num_hashes digests; fixed-width agg buffers
+    cut the signature stage ~7x at sf1 (string min buffers copy the
+    whole UnsafeRow per update).  max j*h2 < 2^36, no overflow.
+
+    explode_OUTER on purpose: whole-stage-codegen GenerateExec
+    inlines the generator expression and re-evaluates the shingling
+    regex per OUTPUT row (O(shingles^2) per doc); outer routes to the
+    row-at-a-time GenerateExec which evaluates the array once per
+    input row.  word_shingles never yields an empty array, so outer
+    adds no null rows — the filter is belt-and-braces."""
+    hashed = (
+        sh.select("doc_id", F.explode_outer("shingles").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .withColumn("h", F.md5("s"))
+        .withColumn(
+            "h1", F.conv(F.substring("h", 1, 8), 16, 10).cast("long")
+        )
+        .withColumn(
+            "h2", F.conv(F.substring("h", 9, 8), 16, 10).cast("long")
+        )
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h1") + F.lit(j) * F.col("h2")).alias(f"sig{j}")
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def _band_struct_array(num_hashes: int, bands: int):
+    """Band keys straight off the signature columns — no join back to
+    the shingle relation, and the bucket rows carry ONLY
+    (doc_id, band, bkey).  At 100 TB the candidate-pair exchange is
+    then id-pairs, not pairs of full shingle arrays."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        *[F.col(f"sig{b * rows_per_band + r}").cast("string")
+                          for r in range(rows_per_band)]
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -95,7 +159,6 @@ def minhash_lsh_pairs(
     id_a < id_b, jaccard >= threshold.
     """
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
 
     # Shingling + hashing is CPU-heavy and runs MAP-SIDE (partial min
     # before the signature exchange), so it inherits the SCAN's split
@@ -117,63 +180,8 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), shingle_k).alias("shingles"),
     )
-    # Signature via explode + groupBy-min rather than array lambdas:
-    # higher-order functions evaluate interpreted per element, while
-    # this shape is whole-stage codegen with map-side partial min —
-    # also exactly the plan that scales (shuffle carries one row per
-    # doc x 16 longs).
-    #
-    # The num_hashes hash family is UNIVERSAL-HASH DERIVED (Broder's
-    # classic construction): ONE md5 per shingle split into two
-    # 32-bit lanes h1, h2, with hash_j = h1 + j*h2.  One digest + long
-    # arithmetic replaces 4 md5s + 16 string mins; fixed-width agg
-    # buffers cut the signature stage ~7x at sf1 (string min buffers
-    # copy the whole UnsafeRow per update).  max j*h2 < 2^36, no
-    # overflow.
-    # explode_OUTER on purpose: whole-stage-codegen GenerateExec
-    # inlines the generator expression and re-evaluates the shingling
-    # regex per OUTPUT row (O(shingles^2) per doc); outer routes to
-    # the row-at-a-time GenerateExec which evaluates the array once
-    # per input row (same trick as compiler/codegen.py's event
-    # explode).  word_shingles never yields an empty array, so outer
-    # adds no null rows — the filter is belt-and-braces.
-    hashed = (
-        sh.select("doc_id", F.explode_outer("shingles").alias("s"))
-        .filter(F.col("s").isNotNull())
-        .withColumn("h", F.md5("s"))
-        .withColumn(
-            "h1", F.conv(F.substring("h", 1, 8), 16, 10).cast("long")
-        )
-        .withColumn(
-            "h2", F.conv(F.substring("h", 9, 8), 16, 10).cast("long")
-        )
-    )
-    sigs = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(F.col("h1") + F.lit(j) * F.col("h2")).alias(f"sig{j}")
-            for j in range(num_hashes)
-        ]
-    )
-
-    # Band keys straight off the signature columns — no join back to
-    # the shingle relation, and the bucket rows carry ONLY
-    # (doc_id, band, bkey).  At 100 TB the candidate-pair exchange is
-    # then id-pairs, not pairs of full shingle arrays.
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "-",
-                        *[F.col(f"sig{b * rows_per_band + r}").cast("string")
-                          for r in range(rows_per_band)]
-                    )
-                ).alias("bkey"),
-            )
-            for b in range(bands)
-        ]
-    )
+    sigs = _minhash_signatures(sh, num_hashes)
+    band_structs = _band_struct_array(num_hashes, bands)
     # persist: the candidate self-join consumes buckets TWICE; without
     # this the whole shingle->hash->min pipeline runs once per side.
     # bands x docs rows of (id, band, 32-char key) — corpus-fraction
@@ -218,6 +226,86 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def incremental_minhash_dups(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Delta dedup: flag documents in `new_df` that near-duplicate
+    anything already in `base_df` — the shape of every growing-corpus
+    ingestion pipeline (today's crawl against the accumulated corpus;
+    re-running the full self-join per increment is quadratic in
+    corpus history).  Returns (new_id, base_id, jaccard) with
+    jaccard >= threshold; duplicates WITHIN the new shard are
+    minhash_lsh_pairs on new_df alone, deliberately not repeated here.
+
+    Same signature family / band keys as minhash_lsh_pairs (one md5
+    per shingle, hash_j = h1 + j*h2), so at 100 TB the base side's
+    buckets are a precomputed, bucketed-by-(band, bkey) TABLE the
+    increment just joins against: base text is never rescanned, the
+    join is new-shard-sized on one side, and only verification
+    fetches the candidate base shingles.  Here both sides derive from
+    their scans; no persist — each bucket relation feeds exactly one
+    join."""
+    assert num_hashes % bands == 0
+    from mtail_spark.session import ensure_parallelism
+
+    spark = new_df.sparkSession
+
+    def prep(df):
+        sh = ensure_parallelism(df, spark).select(
+            F.col(id_col).alias("doc_id"),
+            word_shingles(F.col(text_col), shingle_k).alias("shingles"),
+        )
+        buckets = (
+            _minhash_signatures(sh, num_hashes)
+            .select(
+                "doc_id",
+                F.explode(_band_struct_array(num_hashes, bands)).alias(
+                    "bb"
+                ),
+            )
+            .select("doc_id", "bb.band", "bb.bkey")
+        )
+        return sh, buckets
+
+    sh_new, bk_new = prep(new_df)
+    sh_base, bk_base = prep(base_df)
+    cand = (
+        bk_new.alias("n")
+        .join(
+            bk_base.alias("b"),
+            (F.col("n.band") == F.col("b.band"))
+            & (F.col("n.bkey") == F.col("b.bkey")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("b.doc_id").alias("base_id"),
+        )
+        .dropDuplicates(["new_id", "base_id"])
+    )
+    return (
+        cand.join(
+            sh_new.select(F.col("doc_id").alias("new_id"),
+                          F.col("shingles").alias("sh_n")),
+            "new_id",
+        )
+        .join(
+            sh_base.select(F.col("doc_id").alias("base_id"),
+                           F.col("shingles").alias("sh_b")),
+            "base_id",
+        )
+        .withColumn("jaccard", jaccard(F.col("sh_n"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "base_id", "jaccard")
     )
 
 

@@ -31,6 +31,47 @@ def test_minhash_identical_docs_pair(spark):
     assert pairs[0]["jaccard"] == 1.0
 
 
+def test_incremental_minhash_flags_only_cross_set_dups(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different words entirely here in this one text"
+    new = spark.createDataFrame(
+        [(10, text), (11, other), (12, other)], ["id", "text"]
+    )
+    base = spark.createDataFrame(
+        [(1, text), (2, "nothing shared with anything at all truly")],
+        ["id", "text"],
+    )
+    out = D.incremental_minhash_dups(new, base, "id", "text", 16, 8, 3, 0.9)
+    rows = out.collect()
+    # 10 duplicates base doc 1; 11/12 duplicate each other but that is
+    # WITHIN the new shard — deliberately not reported
+    assert [(r["new_id"], r["base_id"], r["jaccard"]) for r in rows] == [
+        (10, 1, 1.0)
+    ]
+
+
+def test_incremental_minhash_matches_self_join_cross_subset(spark):
+    from mtail_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    is_new = (F.col("doc_id") % 3) == 0
+    inc = {
+        (r["new_id"], r["base_id"])
+        for r in D.incremental_minhash_dups(
+            docs.filter(is_new), docs.filter(~is_new), "doc_id", "text"
+        ).collect()
+    }
+    full = D.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    want = set()
+    for r in full:
+        a_new, b_new = r["id_a"] % 3 == 0, r["id_b"] % 3 == 0
+        if a_new != b_new:
+            want.add(
+                (r["id_a"], r["id_b"]) if a_new else (r["id_b"], r["id_a"])
+            )
+    assert inc == want and len(want) > 0
+
+
 def test_simhash_similar_docs_close(spark):
     df = spark.createDataFrame(
         [

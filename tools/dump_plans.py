@@ -78,6 +78,10 @@ SHOW = [
     ("cluster_profile",
      "Arrow-batched assignment; the profile is a k-group aggregate "
      "with map-side partials — nothing corpus-sized anywhere"),
+    ("dedup_incremental",
+     "new-shard buckets join base buckets on (band, bkey) — ids "
+     "only; the base corpus is never self-joined, and verification "
+     "joins fetch only candidate shingles"),
 ]
 
 INTERESTING = re.compile(
