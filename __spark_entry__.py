@@ -968,6 +968,34 @@ def q_cluster_profile(spark, sf):
     return S.cluster_profile(emb, k=8, iters=3)
 
 
+CMS_TERMS = ["spark", "merge", "window", "table", "zz_absent_term"]
+
+
+def q_cms_counts(spark, sf):
+    """Count-min-sketch frequency estimation (operators/sketch.py):
+    token occurrences sketched into a FIXED 4x1024 cell grid —
+    constant aggregation state at any key cardinality, cellwise-
+    additive merge — then point queries for five terms (one absent).
+    Deterministic md5-lane hashing makes the 'approximate' estimates
+    exactly reproducible by the oracle."""
+    import mtail_spark.operators.sketch as SK
+
+    docs = _t(spark, sf, "documents")
+    return SK.cms_token_counts(docs, CMS_TERMS)
+
+
+def q_rate_anomalies(spark, sf):
+    """Tumbling-window rate anomaly detection (operators/
+    timeseries.py): hourly event counts per type, z-score against the
+    trailing 24 observed windows, flag |z| >= 2.  Exact integer
+    counts; the float stats use one shared literal formula and
+    IEEE-correctly-rounded sqrt, so even z hash-matches."""
+    import mtail_spark.operators.timeseries as TS
+
+    ev = _t(spark, sf, "events")
+    return TS.rate_anomalies(ev, "ts", "event_type", 3600, 24, 3)
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -1039,6 +1067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "cluster_profile": q_cluster_profile,
         "dedup_incremental": q_dedup_incremental,
+        "cms_counts": q_cms_counts,
+        "rate_anomalies": q_rate_anomalies,
         "training_data_pipeline": q_training_data_pipeline,
         "curation_pipeline": q_curation_pipeline,
         "multimodal_meta": q_multimodal_meta,
@@ -1492,6 +1522,85 @@ def _sql_cluster_profile() -> str:
                  AS sum_sqd_micro
         FROM asg GROUP BY cluster
     """
+
+
+def _sql_cms_counts() -> str:
+    """DuckDB mirror of sketch.cms_token_counts: same md5-lane bucket
+    construction per sketch row (UNION ALL of depth bucket selects),
+    same cell counts, and the SAME Python-computed lookup literals —
+    consistent with the Spark side by construction (both call
+    sketch.bucket_py)."""
+    import mtail_spark.operators.sketch as SK
+
+    d, w = SK.DEPTH, SK.WIDTH
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS r, CAST(concat('0x', substr(md5(concat("
+        f"'cms{i}-', term)), 1, 15)) AS BIGINT) % {w} AS b FROM tok"
+        for i in range(d)
+    )
+    lookups = ", ".join(
+        f"('{t}', {i}, {SK.bucket_py(t, i, w)})"
+        for t in CMS_TERMS
+        for i in range(d)
+    )
+    return f"""
+        WITH raw AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                              '\\s+')) AS term
+          FROM documents
+        ), tok AS (
+          SELECT term FROM raw WHERE term <> ''
+        ), cells AS (
+          SELECT r, b, count(*) AS c FROM ({rows}) GROUP BY r, b
+        ), q(term, r, b) AS (
+          VALUES {lookups}
+        )
+        SELECT q.term, CAST(min(COALESCE(cells.c, 0)) AS BIGINT)
+                 AS est_count
+        FROM q LEFT JOIN cells ON q.r = cells.r AND q.b = cells.b
+        GROUP BY q.term
+    """
+
+
+_SQL_RATE_ANOMALIES = """
+    WITH c AS (
+      SELECT event_type AS key,
+             epoch_us(ts) // 3600000000 AS widx,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT key, widx,
+             CAST(widx * 3600000000 AS BIGINT) AS window_start_us,
+             n_events,
+             CAST(count(*) OVER w AS BIGINT) AS n_prev,
+             CAST(COALESCE(sum(n_events) OVER w, 0) AS BIGINT) AS s1,
+             CAST(COALESCE(sum(n_events * n_events) OVER w, 0)
+                  AS BIGINT) AS s2
+      FROM c
+      WINDOW w AS (PARTITION BY key ORDER BY widx
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ), z AS (
+      SELECT *,
+             CASE WHEN n_prev >= 3 AND
+                  (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                     * CAST(s1 AS DOUBLE) / CAST(n_prev AS DOUBLE))
+                    / CAST(n_prev AS DOUBLE) > 0.0
+             THEN CAST(round(
+               (CAST(n_events AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) / CAST(n_prev AS DOUBLE))
+               * 1000000.0
+               / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                         * CAST(s1 AS DOUBLE) / CAST(n_prev AS DOUBLE))
+                      / CAST(n_prev AS DOUBLE))) AS BIGINT)
+             END AS z_micro
+      FROM s
+    )
+    SELECT key, widx, window_start_us,
+           CAST(n_events AS BIGINT) AS n_events, n_prev, z_micro,
+           CASE WHEN z_micro IS NULL THEN false
+                ELSE abs(z_micro) >= 2000000 END AS is_anomaly
+    FROM z
+"""
 
 
 def _sql_plane_literal(plane: list[float]) -> str:
@@ -2011,6 +2120,8 @@ def oracle_sql() -> dict[str, str]:
             FROM mh_pairs
             WHERE (id_a % 3 = 0) <> (id_b % 3 = 0)
         """),
+        "cms_counts": _sql_cms_counts(),
+        "rate_anomalies": _SQL_RATE_ANOMALIES,
         "training_data_pipeline": _sql_training_data_pipeline(),
         "curation_pipeline": _sql_curation_pipeline(),
         "dedup_groups_cc": (

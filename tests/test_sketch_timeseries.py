@@ -1,0 +1,104 @@
+"""Count-min sketch (operators/sketch.py) and tumbling-window rate
+anomaly detection (operators/timeseries.py)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+import mtail_spark.operators.sketch as SK
+import mtail_spark.operators.timeseries as TS
+
+
+# ---------------------------------------------------------------- sketch
+
+
+def test_cms_estimates_exact_without_collisions(spark):
+    rows = [(1, "alpha alpha beta"), (2, "alpha gamma")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    est = {
+        r.term: r.est_count
+        for r in SK.cms_token_counts(
+            df, ["alpha", "beta", "missing"]
+        ).collect()
+    }
+    # 3 distinct tokens into 4x1024 cells: collision-free, so the
+    # upper-bound estimate IS the exact count; absent key -> 0
+    assert est == {"alpha": 3, "beta": 1, "missing": 0}
+
+
+def test_cms_never_underestimates_and_state_is_bounded(spark):
+    from mtail_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    sketch = SK.cms_build(toks)
+    assert sketch.count() <= SK.DEPTH * SK.WIDTH
+    terms = ["spark", "merge", "window", "zz_absent_term"]
+    truth = {
+        r.term: r.n
+        for r in toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("term").isin(terms)).collect()
+    }
+    est = {
+        r.term: r.est_count
+        for r in SK.cms_estimate(sketch, terms).collect()
+    }
+    for t in terms:
+        assert est[t] >= truth.get(t, 0)
+    assert est["zz_absent_term"] >= 0
+
+
+def test_cms_python_bucket_matches_spark(spark):
+    df = spark.createDataFrame([("hello",)], ["term"])
+    for i in range(SK.DEPTH):
+        got = df.select(
+            SK._bucket_col(F.col("term"), i, SK.WIDTH).alias("b")
+        ).collect()[0].b
+        assert got == SK.bucket_py("hello", i, SK.WIDTH)
+
+
+# ----------------------------------------------------------- rate anomaly
+
+
+def _events(spark, counts_per_hour):
+    """counts_per_hour: list of event counts for consecutive hours."""
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h, n in enumerate(counts_per_hour):
+        for j in range(n):
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, seconds=j), "x")
+            )
+            eid += 1
+    return spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+
+
+def test_rate_anomalies_flags_spike_only(spark):
+    # 10 steady hours at ~100 (tiny jitter so variance > 0), then 200
+    steady = [100, 101, 99, 100, 101, 99, 100, 101, 99, 100]
+    ev = _events(spark, steady + [200])
+    out = {
+        r.widx: r
+        for r in TS.rate_anomalies(
+            ev, "ts", "event_type", 3600, 24, 3
+        ).collect()
+    }
+    ws = sorted(out)
+    spike = out[ws[-1]]
+    assert spike.n_events == 200 and spike.is_anomaly
+    assert all(not out[w].is_anomaly for w in ws[:-1])
+    # first min_windows hours have too little history: z is NULL
+    assert out[ws[0]].z_micro is None and out[ws[1]].z_micro is None
+    assert out[ws[-1]].n_prev == 10
+
+
+def test_rate_anomalies_zero_variance_never_flags(spark):
+    ev = _events(spark, [50] * 6 + [80])
+    rows = TS.rate_anomalies(ev, "ts", "event_type", 3600, 24, 3).collect()
+    # constant history -> variance 0 -> z undefined -> never anomalous,
+    # even for the 80 spike (documented conservative choice)
+    assert all(r.z_micro is None for r in rows)
+    assert all(not r.is_anomaly for r in rows)

@@ -82,6 +82,13 @@ SHOW = [
      "new-shard buckets join base buckets on (band, bkey) — ids "
      "only; the base corpus is never self-joined, and verification "
      "joins fetch only candidate shingles"),
+    ("cms_counts",
+     "sketch cells partial-aggregate map-side to <= d*w rows before "
+     "ONE exchange; the bounded sketch broadcasts to the lookup join"),
+    ("rate_anomalies",
+     "count merge exchanges on (key, widx) with map-side partials; "
+     "one count-row-sized exchange on key feeds a SINGLE Window node "
+     "for all three trailing stats — raw events never shuffle by key"),
 ]
 
 INTERESTING = re.compile(
