@@ -984,6 +984,25 @@ def q_cms_counts(spark, sf):
     return SK.cms_token_counts(docs, CMS_TERMS)
 
 
+def q_hll_distinct(spark, sf):
+    """HyperLogLog distinct-token estimate (operators/sketch.py):
+    register table = 256 max-aggregated integers regardless of
+    cardinality; exact-integer harmonic sum; one final double
+    division.  true_distinct rides along to demonstrate accuracy —
+    at 100 TB you would ship only the registers."""
+    import mtail_spark.operators.sketch as SK
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        F.explode_outer(D.words(F.lower(F.col("text")))).alias("term")
+    ).filter(F.col("term").isNotNull() & (F.col("term") != ""))
+    est = SK.hll_estimate(SK.hll_registers(toks))
+    true = toks.agg(
+        F.countDistinct("term").cast("long").alias("true_distinct")
+    )
+    return est.crossJoin(true)
+
+
 def q_rate_anomalies(spark, sf):
     """Tumbling-window rate anomaly detection (operators/
     timeseries.py): hourly event counts per type, z-score against the
@@ -1068,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_profile": q_cluster_profile,
         "dedup_incremental": q_dedup_incremental,
         "cms_counts": q_cms_counts,
+        "hll_distinct": q_hll_distinct,
         "rate_anomalies": q_rate_anomalies,
         "training_data_pipeline": q_training_data_pipeline,
         "curation_pipeline": q_curation_pipeline,
@@ -1559,6 +1579,57 @@ def _sql_cms_counts() -> str:
                  AS est_count
         FROM q LEFT JOIN cells ON q.r = cells.r AND q.b = cells.b
         GROUP BY q.term
+    """
+
+
+def _sql_hll_distinct() -> str:
+    """DuckDB mirror of sketch.hll_registers + hll_estimate: same
+    md5 lanes, the same exact-integer rho comparison tree (generated
+    from the same range), integer shifts for the harmonic sum, and
+    the same single Python-computed double numerator."""
+    import mtail_spark.operators.sketch as SK
+
+    m, cap = SK.HLL_BUCKETS, SK.HLL_CAP
+    alpha = 0.7213 / (1 + 1.079 / m)
+    k = float(alpha * m * m * (1 << cap))
+    rho_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN w >= {1 << (48 - r)} THEN {r}"
+            for r in range(1, cap)
+        )
+        + f" ELSE {cap} END"
+    )
+    return f"""
+        WITH raw AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                              '\\s+')) AS term
+          FROM documents
+        ), tok AS (
+          SELECT term FROM raw WHERE term <> ''
+        ), br AS (
+          SELECT CAST(concat('0x', substr(md5(concat('hll-', term)),
+                   1, 8)) AS BIGINT) % {m} AS bucket,
+                 CAST(concat('0x', substr(md5(concat('hll-', term)),
+                   9, 12)) AS BIGINT) AS w
+          FROM tok
+        ), rr AS (
+          SELECT bucket, max({rho_case}) AS reg FROM br GROUP BY bucket
+        ), a AS (
+          SELECT count(*) AS n_regs,
+                 CAST(sum(CAST(1 AS BIGINT) << ({cap} - reg))
+                      AS BIGINT) AS s_present
+          FROM rr
+        )
+        SELECT CAST(n_regs AS BIGINT) AS n_regs,
+               CAST(s_present + ({m} - n_regs)
+                    * (CAST(1 AS BIGINT) << {cap}) AS BIGINT)
+                 AS sum_scaled,
+               CAST(round({k!r} / CAST(s_present + ({m} - n_regs)
+                    * (CAST(1 AS BIGINT) << {cap}) AS DOUBLE))
+                    AS BIGINT) AS est_distinct,
+               (SELECT count(DISTINCT term) FROM tok) AS true_distinct
+        FROM a
     """
 
 
@@ -2121,6 +2192,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE (id_a % 3 = 0) <> (id_b % 3 = 0)
         """),
         "cms_counts": _sql_cms_counts(),
+        "hll_distinct": _sql_hll_distinct(),
         "rate_anomalies": _SQL_RATE_ANOMALIES,
         "training_data_pipeline": _sql_training_data_pipeline(),
         "curation_pipeline": _sql_curation_pipeline(),

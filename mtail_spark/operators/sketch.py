@@ -107,6 +107,87 @@ def cms_estimate(
     )
 
 
+HLL_BUCKETS = 256  # 2^8 registers; standard error ~1.04/sqrt(m) ~ 6.5%
+
+# rho (leading-zero rank) is capped so 2^(HLL_CAP - rho) is an exact
+# integer and the register sum of <= m such terms stays far below
+# 2^63 — the harmonic mean's sum is then EXACT integer arithmetic,
+# immune to float-add reordering across partitions.
+HLL_CAP = 40
+
+
+def hll_registers(
+    keys: DataFrame,
+    key_col: str = "term",
+    m: int = HLL_BUCKETS,
+) -> DataFrame:
+    """HyperLogLog registers for a key stream: bucket = one md5 lane
+    mod m, rho = position of the first 1-bit (from the MSB) of a
+    second, independent 48-bit lane, capped at HLL_CAP; register =
+    max(rho) per bucket (Flajolet et al. 2007).  max() is
+    associative, so the aggregation state is m integers with full
+    map-side combine — the distinct-count analog of the count-min
+    grid.
+
+    rho comes from an exact integer comparison tree, NOT
+    floor(log2(w)): log2 is a transcendental with no cross-engine
+    rounding guarantee and can misplace exact powers of two; the
+    comparisons make every step integer-deterministic and
+    bit-reproducible by the SQL oracle."""
+    h = F.md5(F.concat(F.lit("hll-"), F.col(key_col)))
+    bucket = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m
+    )
+    w = F.conv(F.substring(h, 9, 12), 16, 10).cast("long")
+    # rho = 49 - bit_length(w) for w > 0, capped: anything below
+    # 2^(48 - HLL_CAP + 1) — including w = 0 — lands on the cap
+    rho = F.lit(HLL_CAP)
+    for r in range(HLL_CAP - 1, 0, -1):  # r = rho value
+        rho = F.when(w >= (1 << (48 - r)), F.lit(r)).otherwise(rho)
+    return (
+        keys.select(bucket.alias("bucket"), rho.cast("long").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("long").alias("reg"))
+    )
+
+
+def hll_estimate(regs: DataFrame, m: int = HLL_BUCKETS) -> DataFrame:
+    """Raw HLL harmonic-mean estimate from the register table, in
+    EXACT integer arithmetic until one final double division: each
+    register contributes 2^(HLL_CAP - reg) (an exact integer), absent
+    buckets contribute 2^HLL_CAP, the sum is a plain BIGINT (order-
+    independent, unlike a float harmonic sum), and
+    est = round(alpha_m * m^2 * 2^HLL_CAP / S) with the numerator
+    folded into ONE Python-computed double literal.  The small-range
+    linear-counting correction is deliberately omitted — it needs
+    ln(), which is not bit-portable; the raw estimate is the
+    demonstrated kernel."""
+    alpha = 0.7213 / (1 + 1.079 / m)
+    k = float(alpha * m * m * (1 << HLL_CAP))
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(
+            # integer shift, never pow(): libm pow has no exactness
+            # guarantee even at integer exponents
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"{HLL_CAP} - CAST(reg AS INT))"
+            )
+        ).alias("s_present"),
+    )
+    s_total = (
+        F.col("s_present")
+        + (F.lit(m) - F.col("n_regs")) * F.lit(1 << HLL_CAP)
+    ).cast("long")
+    return agg.select(
+        F.col("n_regs").cast("long").alias("n_regs"),
+        s_total.alias("sum_scaled"),
+        F.round(F.lit(k) / s_total.cast("double"))
+        .cast("long")
+        .alias("est_distinct"),
+    )
+
+
 def cms_token_counts(
     corpus: DataFrame,
     terms: list,

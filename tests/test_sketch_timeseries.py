@@ -59,6 +59,33 @@ def test_cms_python_bucket_matches_spark(spark):
         assert got == SK.bucket_py("hello", i, SK.WIDTH)
 
 
+def test_hll_estimate_within_expected_error(spark):
+    # 5000 distinct keys; m=256 registers -> ~6.5% standard error.
+    # The whole pipeline is deterministic, so this is a fixed number,
+    # not a flaky statistical assertion.
+    df = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(5000)], ["term"]
+    )
+    r = SK.hll_estimate(SK.hll_registers(df)).collect()[0]
+    assert r.n_regs <= SK.HLL_BUCKETS
+    assert abs(r.est_distinct - 5000) / 5000 < 0.2
+    # duplicates must not move the registers at all
+    dup = spark.createDataFrame(
+        [(f"key-{i % 5000}",) for i in range(15000)], ["term"]
+    )
+    r2 = SK.hll_estimate(SK.hll_registers(dup)).collect()[0]
+    assert (r2.n_regs, r2.sum_scaled, r2.est_distinct) == (
+        r.n_regs, r.sum_scaled, r.est_distinct
+    )
+
+
+def test_hll_registers_bounded_and_capped(spark):
+    df = spark.createDataFrame([(f"x{i}",) for i in range(100)], ["term"])
+    regs = SK.hll_registers(df).collect()
+    assert len(regs) <= SK.HLL_BUCKETS
+    assert all(1 <= r.reg <= SK.HLL_CAP for r in regs)
+
+
 # ----------------------------------------------------------- rate anomaly
 
 

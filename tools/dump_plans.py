@@ -85,6 +85,10 @@ SHOW = [
     ("cms_counts",
      "sketch cells partial-aggregate map-side to <= d*w rows before "
      "ONE exchange; the bounded sketch broadcasts to the lookup join"),
+    ("hll_distinct",
+     "register table is a 256-key aggregate with map-side max "
+     "partials; the estimate is a single-row reduction — nothing "
+     "scales with cardinality except the scan"),
     ("rate_anomalies",
      "count merge exchanges on (key, widx) with map-side partials; "
      "one count-row-sized exchange on key feeds a SINGLE Window node "
