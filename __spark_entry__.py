@@ -984,6 +984,48 @@ def q_cms_counts(spark, sf):
     return SK.cms_token_counts(docs, CMS_TERMS)
 
 
+def q_hybrid_search(spark, sf):
+    """Hybrid retrieval (RAG-style two-stage): BM25 keyword top-50
+    candidates re-ranked by embedding cosine to a query vector, final
+    score = round(cos * 1e6) + bm25 (both integer-micro scaled, so
+    the combiner is exact).  The keyword stage prunes the corpus to
+    candidate-set size before any vector math — at 100 TB the rerank
+    touches 50 embeddings, not the corpus."""
+    import mtail_spark.operators.search as SR
+
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    cand = SR.search_topk(
+        docs, ["spark", "merge", "window"], k=50
+    ).select("doc_id", "score")
+    qvec = (
+        emb.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0][0]
+    )
+    qcol = F.array(*[F.lit(float(v)) for v in qvec])
+    kern = S.cosine_fold_udf()
+    scored = (
+        cand.join(emb, cand["doc_id"] == emb["vec_id"])
+        .withColumn(
+            "cos_sim", kern(S.as_double(F.col("embedding")), qcol)
+        )
+        .withColumn(
+            "hybrid_micro",
+            (F.round(F.col("cos_sim") * 1_000_000).cast("long")
+             + F.col("score")).cast("long"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("hybrid_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "score", "cos_sim", "hybrid_micro", "rank")
+    )
+
+
 def q_hll_distinct(spark, sf):
     """HyperLogLog distinct-token estimate (operators/sketch.py):
     register table = 256 max-aggregated integers regardless of
@@ -1088,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "cms_counts": q_cms_counts,
         "hll_distinct": q_hll_distinct,
+        "hybrid_search": q_hybrid_search,
         "rate_anomalies": q_rate_anomalies,
         "training_data_pipeline": q_training_data_pipeline,
         "curation_pipeline": q_curation_pipeline,
@@ -1579,6 +1622,64 @@ def _sql_cms_counts() -> str:
                  AS est_count
         FROM q LEFT JOIN cells ON q.r = cells.r AND q.b = cells.b
         GROUP BY q.term
+    """
+
+
+def _sql_hybrid_search() -> str:
+    """DuckDB mirror of q_hybrid_search: the search_topk integer
+    BM25 pipeline at k=50 (same CTEs as the `search_topk` oracle),
+    cosine re-rank against embeddings.vec_id = 0 with the shared
+    left-fold kernel, exact integer hybrid combiner."""
+    cos = _sql_cosine("e.embedding", "q.qv")
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(lower(text)),
+                                              '\\s+')) AS term
+          FROM documents
+        ), post AS (
+          SELECT term, doc_id, count(*) AS tf
+          FROM tok WHERE term <> '' GROUP BY term, doc_id
+        ), dfreq AS (
+          SELECT term, count(*) AS df FROM post GROUP BY term
+        ), qt AS (
+          SELECT unnest(['spark', 'merge', 'window']) AS term
+        ), n AS (
+          SELECT count(*) AS n_docs FROM documents
+        ), hits AS (
+          SELECT post.doc_id,
+                 CAST(floor(
+                   (CAST(floor((n_docs - df) * 1000000
+                               / (n_docs + df)) AS BIGINT)
+                    * CAST(floor((tf * 1000000) / (tf + 2))
+                           AS BIGINT)) / 1000000) AS BIGINT) AS contrib
+          FROM post
+          JOIN qt ON post.term = qt.term
+          JOIN dfreq ON post.term = dfreq.term
+          CROSS JOIN n
+        ), top AS (
+          SELECT doc_id, score FROM (
+            SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score,
+                   row_number() OVER (ORDER BY sum(contrib) DESC,
+                                      doc_id ASC) AS rank
+            FROM hits GROUP BY doc_id
+          ) WHERE rank <= 50
+        ), q AS (
+          SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+        )
+        SELECT doc_id, score, cos_sim, hybrid_micro, rank FROM (
+          SELECT t.doc_id, t.score,
+                 {cos} AS cos_sim,
+                 CAST(round({cos} * 1000000) AS BIGINT) + t.score
+                   AS hybrid_micro,
+                 row_number() OVER (
+                   ORDER BY CAST(round({cos} * 1000000) AS BIGINT)
+                            + t.score DESC,
+                            t.doc_id ASC) AS rank
+          FROM top t
+          JOIN embeddings e ON t.doc_id = e.vec_id
+          CROSS JOIN q
+        ) WHERE rank <= 10
     """
 
 
@@ -2193,6 +2294,7 @@ def oracle_sql() -> dict[str, str]:
         """),
         "cms_counts": _sql_cms_counts(),
         "hll_distinct": _sql_hll_distinct(),
+        "hybrid_search": _sql_hybrid_search(),
         "rate_anomalies": _SQL_RATE_ANOMALIES,
         "training_data_pipeline": _sql_training_data_pipeline(),
         "curation_pipeline": _sql_curation_pipeline(),

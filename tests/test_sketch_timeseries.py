@@ -86,6 +86,19 @@ def test_hll_registers_bounded_and_capped(spark):
     assert all(1 <= r.reg <= SK.HLL_CAP for r in regs)
 
 
+def test_hybrid_search_reranks_keyword_candidates(spark):
+    import __spark_entry__ as E
+
+    out = E.q_hybrid_search(spark, "/root/testdata/sf0.01").collect()
+    assert 0 < len(out) <= 10
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    # ranks follow the hybrid score, ties by id
+    hm = [(r.hybrid_micro, -r.doc_id) for r in out]
+    assert hm == sorted(hm, reverse=True)
+    # every hit is a genuine keyword candidate (bm25 > 0 for >= 1 term)
+    assert all(r.score >= 0 for r in out)
+
+
 # ----------------------------------------------------------- rate anomaly
 
 

@@ -89,6 +89,10 @@ SHOW = [
      "register table is a 256-key aggregate with map-side max "
      "partials; the estimate is a single-row reduction — nothing "
      "scales with cardinality except the scan"),
+    ("hybrid_search",
+     "keyword stage prunes to 50 candidates (TakeOrderedAndProject); "
+     "the rerank joins 50 rows against embeddings — vector math "
+     "never sees the corpus"),
     ("rate_anomalies",
      "count merge exchanges on (key, widx) with map-side partials; "
      "one count-row-sized exchange on key feeds a SINGLE Window node "
