@@ -1057,6 +1057,40 @@ def q_rate_anomalies(spark, sf):
     return TS.rate_anomalies(ev, "ts", "event_type", 3600, 24, 3)
 
 
+def q_rate_anomalies_stream(spark, sf):
+    """The SAME anomaly table as rate_anomalies, with the counting
+    stage executed through Structured Streaming: events replay as a
+    file stream, tumbling per-type counts accumulate in the state
+    store, and the trailing z-score layer runs over the final count
+    table.  Streaming and batch must agree exactly (same parity
+    target as session_window_stream)."""
+    import mtail_spark.operators.timeseries as TS
+    from mtail_spark.streaming.windows import (
+        run_replay_to_table,
+        stream_table,
+    )
+
+    ev = stream_table(spark, f"{sf}/events.parquet")
+    ts = F.col("ts").cast("timestamp")
+    counts = (
+        ev.groupBy(
+            F.window(ts, "1 hour").alias("w"),
+            F.col("event_type").alias("key"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "key",
+            F.expr(
+                "CAST(unix_micros(w.start) DIV 3600000000 AS BIGINT)"
+            ).alias("widx"),
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+        )
+    )
+    tbl = run_replay_to_table(counts, "rate_anomaly_counts")
+    return TS.trailing_z(tbl, trail=24, min_windows=3)
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -1131,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "hll_distinct": q_hll_distinct,
         "hybrid_search": q_hybrid_search,
+        "rate_anomalies_stream": q_rate_anomalies_stream,
         "rate_anomalies": q_rate_anomalies,
         "training_data_pipeline": q_training_data_pipeline,
         "curation_pipeline": q_curation_pipeline,
@@ -2296,6 +2331,9 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _sql_hll_distinct(),
         "hybrid_search": _sql_hybrid_search(),
         "rate_anomalies": _SQL_RATE_ANOMALIES,
+        # streaming replay of a finite table must equal the batch
+        # computation exactly — same oracle
+        "rate_anomalies_stream": _SQL_RATE_ANOMALIES,
         "training_data_pipeline": _sql_training_data_pipeline(),
         "curation_pipeline": _sql_curation_pipeline(),
         "dedup_groups_cc": (

@@ -73,6 +73,21 @@ def rate_anomalies(
     events by key to share one exchange would move the full volume
     onto the skew key.  Per-key frame state is `trail`-bounded."""
     counts = window_counts(events, ts_col, key_col, window_s)
+    return trailing_z(counts, trail, min_windows, z_thresh_micro)
+
+
+def trailing_z(
+    counts: DataFrame,
+    trail: int = 24,
+    min_windows: int = 3,
+    z_thresh_micro: int = 2_000_000,
+) -> DataFrame:
+    """The alerting layer of rate_anomalies, applicable to ANY counts
+    relation with (key, widx, window_start_us, n_events) — in
+    particular the table a Structured Streaming tumbling aggregation
+    maintains (q_rate_anomalies_stream): the counts accumulate in the
+    stream's state store, this trailing-statistics pass runs over the
+    current table."""
     w = (
         Window.partitionBy("key")
         .orderBy("widx")
