@@ -1057,6 +1057,20 @@ def q_rate_anomalies(spark, sf):
     return TS.rate_anomalies(ev, "ts", "event_type", 3600, 24, 3)
 
 
+GREP_NEEDLE = "merge batch"
+
+
+def q_substring_search(spark, sf):
+    """Index-accelerated exact substring search (operators/search.py):
+    char-trigram inverted index prunes to candidate documents, and
+    only candidates get the verification scan — grep without a
+    corpus-wide regex pass."""
+    import mtail_spark.operators.search as SR
+
+    docs = _t(spark, sf, "documents")
+    return SR.substring_search(docs, GREP_NEEDLE)
+
+
 def q_rate_anomalies_stream(spark, sf):
     """The SAME anomaly table as rate_anomalies, with the counting
     stage executed through Structured Streaming: events replay as a
@@ -1165,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "hll_distinct": q_hll_distinct,
         "hybrid_search": q_hybrid_search,
+        "substring_search": q_substring_search,
         "rate_anomalies_stream": q_rate_anomalies_stream,
         "rate_anomalies": q_rate_anomalies,
         "training_data_pipeline": q_training_data_pipeline,
@@ -1657,6 +1672,35 @@ def _sql_cms_counts() -> str:
                  AS est_count
         FROM q LEFT JOIN cells ON q.r = cells.r AND q.b = cells.b
         GROUP BY q.term
+    """
+
+
+def _sql_substring_search() -> str:
+    """DuckDB mirror of search.substring_search: same distinct
+    char-trigram index (shared _sql_ngram_shingles construction),
+    all-grams candidate intersection, literal-pattern verification."""
+    needle, n = GREP_NEEDLE, 3
+    qgrams = sorted({needle[i:i + n] for i in range(len(needle) - n + 1)})
+    import re as _re
+
+    pat = _re.escape(needle)
+    glits = ", ".join(f"'{g}'" for g in qgrams)
+    return f"""
+        WITH idx AS (
+          SELECT doc_id, unnest({_sql_ngram_shingles('text', n)}) AS gram
+          FROM documents
+        ), q AS (
+          SELECT unnest([{glits}]) AS gram
+        ), cand AS (
+          SELECT doc_id FROM idx JOIN q USING (gram)
+          GROUP BY doc_id HAVING count(*) = {len(qgrams)}
+        )
+        SELECT d.doc_id,
+               CAST(len(regexp_extract_all(d.text, '{pat}'))
+                    AS BIGINT) AS n_hits,
+               CAST(strpos(d.text, '{needle}') AS BIGINT) AS first_pos
+        FROM cand JOIN documents d USING (doc_id)
+        WHERE len(regexp_extract_all(d.text, '{pat}')) > 0
     """
 
 
@@ -2330,6 +2374,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_counts": _sql_cms_counts(),
         "hll_distinct": _sql_hll_distinct(),
         "hybrid_search": _sql_hybrid_search(),
+        "substring_search": _sql_substring_search(),
         "rate_anomalies": _SQL_RATE_ANOMALIES,
         # streaming replay of a finite table must equal the batch
         # computation exactly — same oracle

@@ -77,6 +77,66 @@ def _idf(df_col, n_docs: int):
     ).cast("long")
 
 
+def substring_search(
+    corpus: DataFrame,
+    needle: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Index-accelerated exact substring search (grep at corpus
+    scale): a document can contain `needle` only if it contains every
+    one of the needle's character n-grams, so candidates come from an
+    n-gram inverted index and only THEY are verified by an actual
+    substring scan.  Returns (doc_id, n_hits, first_pos) for true
+    matches, with exact occurrence counts.
+
+    At 100 TB the (gram, doc) index is a prebuilt bucketed table;
+    the query side is len(needle)-gram-sized and broadcast, the
+    candidate intersection is one count-filter aggregation, and the
+    full-text verification scan touches candidates only — the corpus
+    is never regex-scanned.  Here the index builds inline from the
+    same scan."""
+    from mtail_spark.operators.dedup import char_ngrams
+
+    assert len(needle) >= n
+    qgrams = sorted({needle[i:i + n] for i in range(len(needle) - n + 1)})
+    spark = corpus.sparkSession
+    q = spark.createDataFrame([(g,) for g in qgrams], ["gram"])
+    index = corpus.select(
+        F.col(id_col),
+        F.explode_outer(char_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    cand = (
+        index.join(F.broadcast(q), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+        .filter(F.col("n_grams") == len(qgrams))
+        .select(id_col)
+    )
+    # escape the needle for the exact-occurrence regex count; the
+    # candidate join is AQE-broadcast (match-count-sized) against the
+    # text fetch
+    import re as _re
+
+    pat = _re.escape(needle)
+    return (
+        cand.join(corpus.select(id_col, text_col), id_col)
+        .withColumn(
+            "n_hits",
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
+            ).cast("long"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .withColumn(
+            "first_pos",
+            F.locate(needle, F.col(text_col)).cast("long"),
+        )
+        .select(id_col, "n_hits", "first_pos")
+    )
+
+
 def tfidf_top_terms(
     corpus: DataFrame,
     k: int = 3,

@@ -86,6 +86,31 @@ def test_hll_registers_bounded_and_capped(spark):
     assert all(1 <= r.reg <= SK.HLL_CAP for r in regs)
 
 
+def test_substring_search_matches_like_scan(spark):
+    import mtail_spark.operators.search as SR
+    from mtail_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    needle = "merge batch"
+    got = {
+        r.doc_id: (r.n_hits, r.first_pos)
+        for r in SR.substring_search(docs, needle).collect()
+    }
+    want = {
+        r.doc_id: (r.n, r.p)
+        for r in docs.filter(
+            F.col("text").contains(needle)
+        ).select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all("text", F.lit(needle), 0)
+            ).cast("long").alias("n"),
+            F.locate(needle, F.col("text")).cast("long").alias("p"),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_hybrid_search_reranks_keyword_candidates(spark):
     import __spark_entry__ as E
 

@@ -93,6 +93,9 @@ SHOW = [
      "keyword stage prunes to 50 candidates (TakeOrderedAndProject); "
      "the rerank joins 50 rows against embeddings — vector math "
      "never sees the corpus"),
+    ("substring_search",
+     "trigram index join is ids-only with the query grams broadcast; "
+     "the verification regex runs on candidates, never the corpus"),
     ("rate_anomalies",
      "count merge exchanges on (key, widx) with map-side partials; "
      "one count-row-sized exchange on key feeds a SINGLE Window node "
