@@ -812,6 +812,31 @@ def q_multimodal_features(spark, sf):
     )
 
 
+def q_multimodal_frames(spark, sf):
+    """Video frame-sampling plumbing (operators/multimodal.py): each
+    synthesized video row explodes into one row per 250 ms sampled
+    frame through mapInPandas — the Arrow variable-rows-out contract
+    a real decoder needs.  The fake per-frame decode is byte-indexing
+    arithmetic, so every frame feature is oracle-checkable."""
+    docs = _t(spark, sf, "documents")
+    media = M.synthesize_media(docs, "doc_id", "text").withColumn(
+        "duration_ms",
+        ((F.col("media_id") % 5 + 1) * F.lit(400)).cast("long"),
+    )
+    frames = M.sample_frames(media, every_ms=250, feat_dim=4)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "t_ms",
+        *[
+            F.element_at("frame_feature", j + 1)
+            .cast("double")
+            .alias(f"f{j}")
+            for j in range(4)
+        ],
+    )
+
+
 def q_boilerplate_ngrams(spark, sf):
     """Inter-document boilerplate detection (operators/curation.py):
     word 5-grams appearing in >= 3 distinct documents are corpus
@@ -1186,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -1672,6 +1698,35 @@ def _sql_cms_counts() -> str:
                  AS est_count
         FROM q LEFT JOIN cells ON q.r = cells.r AND q.b = cells.b
         GROUP BY q.term
+    """
+
+
+def _sql_multimodal_frames() -> str:
+    """DuckDB mirror of q_multimodal_frames: same synthesized payload
+    (utf-8 of md5 hex, length 32), same frame grid (t = 0..duration in
+    250 ms steps), and the same byte-indexing fake decode truncated
+    through REAL to match the Arrow float32 feature column."""
+    comps = ",\n               ".join(
+        f"CAST(CAST(ord(substr(h, ((frame_idx * 4 + {j}) % 32) + 1, 1))"
+        f" / 255.0 AS REAL) AS DOUBLE) AS f{j}"
+        for j in range(4)
+    )
+    return f"""
+        WITH m AS (
+          SELECT doc_id AS media_id, md5(text) AS h,
+                 ((doc_id % 5) + 1) * 400 AS duration_ms
+          FROM documents
+        ), fr AS (
+          SELECT media_id, h,
+                 unnest(generate_series(0, duration_ms // 250))
+                   AS frame_idx
+          FROM m
+        )
+        SELECT media_id,
+               CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(frame_idx * 250 AS BIGINT) AS t_ms,
+               {comps}
+        FROM fr
     """
 
 
@@ -2673,6 +2728,7 @@ FROM lab
             FROM documents GROUP BY source
         """,
         "multimodal_features": _sql_multimodal_features(),
+        "multimodal_frames": _sql_multimodal_frames(),
     } | {
         # the streaming replay must produce the exact sessions the
         # batch operator (and therefore the batch oracle) produces

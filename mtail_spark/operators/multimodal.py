@@ -105,8 +105,78 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
-def sample_frames(media: DataFrame, every_ms: int) -> DataFrame:
-    """Video frame-sampling stub: the real implementation needs ffmpeg."""
-    raise NotImplementedError(
-        "video decode requires ffmpeg, not available in this environment"
-    )
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("t_ms", T.LongType(), False),
+        T.StructField("frame_feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int,
+    feat_dim: int = 4,
+    real_codec: bool = False,
+) -> DataFrame:
+    """Video frame sampling via mapInPandas: each media row EXPLODES
+    into one output row per sampled timestamp (t = 0, every_ms, ...,
+    <= duration_ms) — the Arrow batch-in / variable-rows-out contract
+    a real decoder needs is fully exercised.  Rows without a duration
+    (images) produce no frames.
+
+    The decode itself is a clearly-marked deterministic fake (frame
+    feature[j] = payload byte at (frame_idx*feat_dim + j) mod len,
+    scaled to [0,1] and truncated through float32 like a real feature
+    tensor); pass real_codec=True for the honest ffmpeg stub."""
+    if real_codec:
+        raise NotImplementedError(
+            "video decode requires ffmpeg, not available in this "
+            "environment; the deterministic fake exercises the full "
+            "mapInPandas explode plumbing"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, idxs, ts, feats = [], [], [], []
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if dur is None or pd.isna(dur) or payload is None:
+                    continue
+                n = int(dur) // every_ms + 1
+                ln = len(payload)
+                for k in range(n):
+                    ids.append(mid)
+                    idxs.append(k)
+                    ts.append(k * every_ms)
+                    # python floats (Arrow's object converter rejects
+                    # np.float32 lists) carrying the float32-rounded
+                    # value, so the arrow float cast stays exact
+                    feats.append(
+                        [
+                            float(np.float32(
+                                payload[(k * feat_dim + j) % ln] / 255.0
+                            ))
+                            for j in range(feat_dim)
+                        ]
+                    )
+            # explicit object dtype: an EMPTY plain column infers
+            # float64, which Arrow refuses to cast to list<float>
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "t_ms": pd.Series(ts, dtype="int64"),
+                    "frame_feature": pd.Series(feats, dtype="object"),
+                }
+            )
+
+    from mtail_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(media.sparkSession)
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

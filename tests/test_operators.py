@@ -72,6 +72,29 @@ def test_incremental_minhash_matches_self_join_cross_subset(spark):
     assert inc == want and len(want) > 0
 
 
+def test_sample_frames_explodes_videos_only(spark):
+    docs = spark.createDataFrame(
+        [(1, "some video text"), (2, "an image only")], ["doc_id", "text"]
+    )
+    media = M.synthesize_media(docs, "doc_id", "text").withColumn(
+        "duration_ms",
+        F.when(F.col("media_id") == 1, F.lit(900)).cast("long"),
+    )
+    rows = M.sample_frames(media, every_ms=250, feat_dim=4).collect()
+    # 900 ms at 250 ms steps -> t = 0, 250, 500, 750 (4 frames);
+    # the NULL-duration image contributes nothing
+    assert [(r.media_id, r.frame_idx, r.t_ms) for r in rows] == [
+        (1, 0, 0), (1, 1, 250), (1, 2, 500), (1, 3, 750)
+    ]
+    assert all(len(r.frame_feature) == 4 for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r.frame_feature)
+    # the honest codec stub is still the real-decoder path
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        M.sample_frames(media, every_ms=250, real_codec=True)
+
+
 def test_simhash_similar_docs_close(spark):
     df = spark.createDataFrame(
         [
@@ -139,8 +162,10 @@ def test_multimodal_stubs_raise(spark):
     media = M.synthesize_media(df, "doc_id", "text")
     with pytest.raises(NotImplementedError):
         M.resize_images(media, 10, 10)
+    # sample_frames now has real mapInPandas plumbing with a
+    # deterministic fake decode; the codec path stays an honest stub
     with pytest.raises(NotImplementedError):
-        M.sample_frames(media, 1000)
+        M.sample_frames(media, 1000, real_codec=True)
 
 
 def test_knn_gemm_matches_bruteforce(spark):
