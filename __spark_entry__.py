@@ -1096,6 +1096,34 @@ def q_substring_search(spark, sf):
     return SR.substring_search(docs, GREP_NEEDLE)
 
 
+def q_vocab_head(spark, sf):
+    """Vocabulary-head profile (tokenizer/vocab planning): the 20 most
+    frequent tokens with exact counts and cumulative corpus coverage
+    in permille.  Term counts map-side combine; the global top-k is
+    TakeOrderedAndProject (per-partition heaps); the cumulative window
+    runs over 20 rows only.  Integer arithmetic throughout."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        F.explode_outer(D.words(F.lower(F.col("text")))).alias("term")
+    ).filter(F.col("term").isNotNull() & (F.col("term") != ""))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(20)
+        .crossJoin(total)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "term",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.expr("CAST(sum(cnt) OVER (ORDER BY cnt DESC, term ASC "
+               "ROWS UNBOUNDED PRECEDING) * 1000 DIV total AS BIGINT)")
+        .alias("cum_permille"),
+    )
+
+
 def q_rate_anomalies_stream(spark, sf):
     """The SAME anomaly table as rate_anomalies, with the counting
     stage executed through Structured Streaming: events replay as a
@@ -1205,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "hybrid_search": q_hybrid_search,
         "substring_search": q_substring_search,
+        "vocab_head": q_vocab_head,
         "rate_anomalies_stream": q_rate_anomalies_stream,
         "rate_anomalies": q_rate_anomalies,
         "training_data_pipeline": q_training_data_pipeline,
@@ -2430,6 +2459,29 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _sql_hll_distinct(),
         "hybrid_search": _sql_hybrid_search(),
         "substring_search": _sql_substring_search(),
+        "vocab_head": """
+            WITH tok AS (
+              SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+')) AS term
+              FROM documents
+            ), t2 AS (
+              SELECT term FROM tok WHERE term <> ''
+            ), c AS (
+              SELECT term, count(*) AS cnt FROM t2 GROUP BY term
+            ), n AS (
+              SELECT count(*) AS total FROM t2
+            ), top AS (
+              SELECT term, cnt FROM c
+              ORDER BY cnt DESC, term ASC LIMIT 20
+            )
+            SELECT row_number() OVER (ORDER BY cnt DESC, term ASC)
+                     AS rank,
+                   term, CAST(cnt AS BIGINT) AS cnt,
+                   CAST(sum(cnt) OVER (ORDER BY cnt DESC, term ASC
+                          ROWS UNBOUNDED PRECEDING) * 1000 // total
+                        AS BIGINT) AS cum_permille
+            FROM top CROSS JOIN n
+        """,
         "rate_anomalies": _SQL_RATE_ANOMALIES,
         # streaming replay of a finite table must equal the batch
         # computation exactly — same oracle
