@@ -1167,57 +1167,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registered queries, in DELIBERATE order.
+
+    Rotation policy (established round 7): the external correctness
+    gate checks only the FIRST 50 dict entries, so that window is a
+    scarce resource.  Order queries least-proven-first:
+
+      1. queries with no driver CORRECTNESS row yet (new this round,
+         or displaced from the window in a previous round),
+      2. queries with exactly one green driver row,
+      3. the 14 ``mtail_*`` reference-parity core rows (always kept
+         inside the window — they are the engine's parity claim),
+      4. multi-round-stable rows (two or more green driver rows)
+         parked past position 50.
+
+    New queries are inserted at the TOP, never mid-dict: a mid-dict
+    insert silently ejects tail-of-window queries from the gate
+    (this happened in round 6).  tests/test_entry_contract.py pins
+    the window contents.
+    """
     return {
-        "mtail_linecount": q_mtail_linecount,
-        "mtail_counter_by": q_mtail_counter_by,
-        "mtail_bytes_sum": q_mtail_bytes_sum,
-        "mtail_gauge_lww": q_mtail_gauge_lww,
-        "mtail_histogram": q_mtail_histogram,
-        "mtail_strptime_hour": q_mtail_strptime_hour,
-        "mtail_getfilename": q_mtail_getfilename,
-        "mtail_prog_counters": q_mtail_prog_counters,
-        "mtail_prog_dhcpd": q_mtail_prog_dhcpd,
-        "mtail_prog_dhcpd_core": q_mtail_prog_dhcpd_core,
-        "mtail_prog_gauge": q_mtail_prog_gauge,
-        "mtail_prog_histogram": q_mtail_prog_histogram,
-        "mtail_prog_stateful": q_mtail_prog_stateful,
-        "mtail_prog_txn": q_mtail_prog_txn,
-        "tpch_pricing_summary": q_tpch_pricing_summary,
-        "join_revenue_by_nation": q_join_revenue_by_nation,
-        "window_topk_orders": q_window_topk_orders,
-        "sessionize_events": q_sessionize_events,
-        "session_window_native": q_session_window_native,
-        "session_window_stream": q_session_window_stream,
-        "tumbling_window_counts": q_tumbling_window_counts,
-        "set_ops_users": q_set_ops_users,
-        "distinct_users_by_type": q_distinct_users_by_type,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_groups_cc": q_dedup_groups_cc,
-        "dedup_embedding": q_dedup_embedding,
-        "embedding_nn": q_embedding_nn,
-        "sim_topk_bruteforce": q_sim_topk_bruteforce,
-        "sim_topk_gemm": q_sim_topk_gemm,
-        "sim_lsh_bucketed": q_sim_lsh_bucketed,
-        "sim_ivf": q_sim_ivf,
-        "sim_ivf_fixed": q_sim_ivf_fixed,
-        "semantic_dedup": q_semantic_dedup,
-        "text_token_counts": q_text_token_counts,
-        "text_quality": q_text_quality,
-        "text_lang_id": q_text_lang_id,
-        "text_fingerprint": q_text_fingerprint,
-        "text_repetition": q_text_repetition,
-        "text_pii": q_text_pii,
-        "text_lm_xent": q_text_lm_xent,
-        "dsir_weights": q_dsir_weights,
-        "span_dedup": q_span_dedup,
-        "sample_documents": q_sample_documents,
-        "sample_stratified": q_sample_stratified,
-        "dataset_split": q_dataset_split,
-        "pack_sequences": q_pack_sequences,
-        "decontamination": q_decontamination,
+        # -- tier 1: no driver CORRECTNESS row as of round 6 ---------------
+        "training_data_pipeline": q_training_data_pipeline,
+        "curation_pipeline": q_curation_pipeline,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "rate_anomalies": q_rate_anomalies,
+        "rate_anomalies_stream": q_rate_anomalies_stream,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "dedup_keep_best": q_dedup_keep_best,
         "epoch_shuffle": q_epoch_shuffle,
@@ -1234,13 +1211,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "substring_search": q_substring_search,
         "vocab_head": q_vocab_head,
-        "rate_anomalies_stream": q_rate_anomalies_stream,
-        "rate_anomalies": q_rate_anomalies,
-        "training_data_pipeline": q_training_data_pipeline,
-        "curation_pipeline": q_curation_pipeline,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
+        # -- tier 2: exactly one green driver row (round 6) -----------------
+        "semantic_dedup": q_semantic_dedup,
+        "text_lm_xent": q_text_lm_xent,
+        "dsir_weights": q_dsir_weights,
+        "span_dedup": q_span_dedup,
+        "sample_stratified": q_sample_stratified,
+        "session_window_stream": q_session_window_stream,
+        # -- tier 3: mtail_* reference-parity core (always in-window) -------
+        "mtail_linecount": q_mtail_linecount,
+        "mtail_counter_by": q_mtail_counter_by,
+        "mtail_bytes_sum": q_mtail_bytes_sum,
+        "mtail_gauge_lww": q_mtail_gauge_lww,
+        "mtail_histogram": q_mtail_histogram,
+        "mtail_strptime_hour": q_mtail_strptime_hour,
+        "mtail_getfilename": q_mtail_getfilename,
+        "mtail_prog_counters": q_mtail_prog_counters,
+        "mtail_prog_dhcpd": q_mtail_prog_dhcpd,
+        "mtail_prog_dhcpd_core": q_mtail_prog_dhcpd_core,
+        "mtail_prog_gauge": q_mtail_prog_gauge,
+        "mtail_prog_histogram": q_mtail_prog_histogram,
+        "mtail_prog_stateful": q_mtail_prog_stateful,
+        "mtail_prog_txn": q_mtail_prog_txn,
+        # -- window filler: flagship composites / recently-perf-touched -----
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_topk_gemm": q_sim_topk_gemm,
+        "pack_sequences": q_pack_sequences,
+        "decontamination": q_decontamination,
+        # ---------------- position 50 boundary is ABOVE this line ----------
+        # -- tier 4: multi-round-stable rows (>=2 green driver rows) --------
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "window_topk_orders": q_window_topk_orders,
+        "sessionize_events": q_sessionize_events,
+        "session_window_native": q_session_window_native,
+        "tumbling_window_counts": q_tumbling_window_counts,
+        "set_ops_users": q_set_ops_users,
+        "distinct_users_by_type": q_distinct_users_by_type,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_groups_cc": q_dedup_groups_cc,
+        "dedup_embedding": q_dedup_embedding,
+        "embedding_nn": q_embedding_nn,
+        "sim_topk_bruteforce": q_sim_topk_bruteforce,
+        "sim_lsh_bucketed": q_sim_lsh_bucketed,
+        "sim_ivf": q_sim_ivf,
+        "sim_ivf_fixed": q_sim_ivf_fixed,
+        "text_token_counts": q_text_token_counts,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "text_pii": q_text_pii,
+        "sample_documents": q_sample_documents,
+        "dataset_split": q_dataset_split,
     }
 
 
