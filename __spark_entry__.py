@@ -1923,9 +1923,14 @@ def _sql_hll_distinct() -> str:
 
 
 _SQL_RATE_ANOMALIES = """
+    -- widx is FLOOR division (pmod-adjusted: // truncates toward zero
+    -- in DuckDB), matching both the batch operator and the floor-aligned
+    -- window starts of the streaming dual's F.window() for any epoch sign
     WITH c AS (
       SELECT event_type AS key,
-             epoch_us(ts) // 3600000000 AS widx,
+             (epoch_us(ts)
+                - ((epoch_us(ts) % 3600000000 + 3600000000) % 3600000000))
+               // 3600000000 AS widx,
              count(*) AS n_events
       FROM events GROUP BY 1, 2
     ), s AS (

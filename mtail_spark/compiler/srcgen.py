@@ -826,22 +826,28 @@ def generate(it: Interp):
             ]
         )
 
-    ns = dict(g.globals)
-    for extra in (gc, gf, gcf):
-        if extra is not None:
-            ns.update(extra.globals)
-    ns["StopLine"] = StopLine
-    exec(compile(src, f"<srcgen:{it.prog.name}>", "exec"), ns)
-    fn = ns["run_line"]
-    fn.__mtail_src__ = src
-
-    def _build(fsrc, fname, tag):
-        if fsrc is None:
+    # Each variant execs into its OWN copy of its generator's globals:
+    # per-generator constants are counter-named (C1..Cn), so a shared
+    # namespace is only safe while every variant happens to emit
+    # const() calls in identical AST order — a future fast-mode branch
+    # that adds or reorders one would silently rebind a constant under
+    # an already-compiled sibling function.
+    def _exec_into(gen, fsrc, fname, tag):
+        if fsrc is None or gen is None:
             return None
-        exec(compile(fsrc, f"<{tag}:{it.prog.name}>", "exec"), ns)
-        built = ns[fname]
+        gns = dict(gen.globals)
+        gns["StopLine"] = StopLine
+        exec(compile(fsrc, f"<{tag}:{it.prog.name}>", "exec"), gns)
+        built = gns[fname]
         built.__mtail_src__ = fsrc
         return built
+
+    fn = _exec_into(g, src, "run_line", "srcgen")
+
+    def _build(fsrc, fname, tag):
+        gen = {"run_chunk": gc, "run_line_fast": gf,
+               "run_chunk_fast": gcf}[fname]
+        return _exec_into(gen, fsrc, fname, tag)
 
     chunk_fn = _build(chunk_src, "run_chunk", "srcgen-chunk")
     fast_fn = _build(fast_src, "run_line_fast", "srcgen-fast")

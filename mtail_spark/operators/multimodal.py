@@ -146,7 +146,10 @@ def sample_frames(
             for mid, payload, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
-                if dur is None or pd.isna(dur) or payload is None:
+                # `not payload` also skips zero-length payloads — an
+                # empty bytes would hit `% ln` with ln == 0 below and
+                # kill the whole mapInPandas task with ZeroDivisionError
+                if dur is None or pd.isna(dur) or not payload:
                     continue
                 n = int(dur) // every_ms + 1
                 ln = len(payload)

@@ -28,14 +28,20 @@ def window_counts(
     """Tumbling-window event counts per key: (key, widx,
     window_start_us, n_events).  One exchange on (key, widx) with
     map-side partial counts — the standard streaming-rate shape."""
-    # exact integer microseconds (unix_micros) and exact integer
-    # division (DIV) — a double round-trip could misplace a boundary
-    # event by one window vs the oracle's epoch_us // width.  The
-    # testdata ts is TIMESTAMP_NTZ; session tz is pinned UTC, so the
-    # cast is deterministic (same convention as q_sessionize_events).
+    # exact integer microseconds (unix_micros) — a double round-trip
+    # could misplace a boundary event by one window.  FLOOR division,
+    # not DIV: bare DIV truncates toward zero, but the streaming dual
+    # counts with F.window(), whose window starts floor-align, so a
+    # pre-1970 (negative-epoch) event would land in different windows
+    # batch vs stream.  pmod keeps it pure-integer: us - pmod(us, w)
+    # is exactly divisible, so the DIV after it is floor for any sign.
+    # The testdata ts is TIMESTAMP_NTZ; session tz is pinned UTC, so
+    # the cast is deterministic (same convention as q_sessionize_events).
+    w_us = window_s * US
     widx = F.expr(
-        f"CAST(unix_micros(CAST({ts_col} AS TIMESTAMP)) "
-        f"DIV {window_s * US} AS BIGINT)"
+        f"CAST((unix_micros(CAST({ts_col} AS TIMESTAMP)) "
+        f" - pmod(unix_micros(CAST({ts_col} AS TIMESTAMP)), {w_us})) "
+        f"DIV {w_us} AS BIGINT)"
     )
     return (
         events.select(F.col(key_col).alias("key"), widx.alias("widx"))
