@@ -1096,6 +1096,36 @@ def q_substring_search(spark, sf):
     return SR.substring_search(docs, GREP_NEEDLE)
 
 
+GREP_NEEDLE_2 = "scan query"
+
+
+def q_grep_index_reuse(spark, sf):
+    """One trigram index, TWO greps: build_trigram_index is written
+    once as a parquet table (the 100 TB deployment shape — there it
+    is bucketed on `gram` and amortized across every grep), then both
+    needles run against the STORED index: the corpus is exploded
+    exactly once at build time, and each query-side plan is a scan of
+    the index table + broadcast gram lookup + candidate-only verify.
+    Output = union of both greps tagged by needle."""
+    import tempfile
+
+    import mtail_spark.operators.search as SR
+
+    docs = _t(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="trigram_idx_") + "/index.parquet"
+    SR.build_trigram_index(docs).write.mode("overwrite").parquet(path)
+    idx = spark.read.parquet(path)
+    outs = [
+        SR.substring_search(docs, nd, index=idx).withColumn(
+            "needle", F.lit(nd)
+        )
+        for nd in (GREP_NEEDLE, GREP_NEEDLE_2)
+    ]
+    return outs[0].unionByName(outs[1]).select(
+        "needle", "doc_id", "n_hits", "first_pos"
+    )
+
+
 def q_vocab_head(spark, sf):
     """Vocabulary-head profile (tokenizer/vocab planning): the 20 most
     frequent tokens with exact counts and cumulative corpus coverage
@@ -1187,6 +1217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window contents.
     """
     return {
+        # -- tier 0: new this round ------------------------------------------
+        "grep_index_reuse": q_grep_index_reuse,
         # -- tier 1: no driver CORRECTNESS row as of round 6 ---------------
         "training_data_pipeline": q_training_data_pipeline,
         "curation_pipeline": q_curation_pipeline,
@@ -1784,11 +1816,10 @@ def _sql_multimodal_frames() -> str:
     """
 
 
-def _sql_substring_search() -> str:
+def _sql_substring_search(needle: str = GREP_NEEDLE, n: int = 3) -> str:
     """DuckDB mirror of search.substring_search: same distinct
     char-trigram index (shared _sql_ngram_shingles construction),
     all-grams candidate intersection, literal-pattern verification."""
-    needle, n = GREP_NEEDLE, 3
     qgrams = sorted({needle[i:i + n] for i in range(len(needle) - n + 1)})
     import re as _re
 
@@ -1811,6 +1842,19 @@ def _sql_substring_search() -> str:
         FROM cand JOIN documents d USING (doc_id)
         WHERE len(regexp_extract_all(d.text, '{pat}')) > 0
     """
+
+
+def _sql_grep_index_reuse() -> str:
+    """DuckDB mirror of q_grep_index_reuse: both greps unioned and
+    tagged by needle (the index-reuse part is a Spark-side execution
+    property — the RESULT is needle-wise identical to two independent
+    substring searches, which is exactly what this checks)."""
+    parts = [
+        f"SELECT '{nd}' AS needle, doc_id, n_hits, first_pos "
+        f"FROM ({_sql_substring_search(nd)})"
+        for nd in (GREP_NEEDLE, GREP_NEEDLE_2)
+    ]
+    return " UNION ALL ".join(parts)
 
 
 def _sql_hybrid_search() -> str:
@@ -2489,6 +2533,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _sql_hll_distinct(),
         "hybrid_search": _sql_hybrid_search(),
         "substring_search": _sql_substring_search(),
+        "grep_index_reuse": _sql_grep_index_reuse(),
         "vocab_head": """
             WITH tok AS (
               SELECT unnest(regexp_split_to_array(trim(lower(text)),

@@ -68,13 +68,52 @@ def _sat(tf, k1: int):
     ).cast("long")
 
 
-def _idf(df_col, n_docs: int):
+def _idf(df_col, n_docs):
     """Integer idf surrogate: floor(SCALE * (N - df) / (N + df)) —
-    1-ish for rare terms, ~0 for ubiquitous ones."""
+    1-ish for rare terms, ~0 for ubiquitous ones.  n_docs may be a
+    Python int or a Column (the 1-row corpus-count aggregate cross-
+    joined into the plan, so no separate count action runs)."""
+    n = (
+        F.lit(int(n_docs))
+        if isinstance(n_docs, int)
+        else n_docs.cast("long")
+    )
     return F.floor(
-        (F.lit(int(n_docs)) - df_col.cast("long")) * F.lit(SCALE)
-        / (F.lit(int(n_docs)) + df_col.cast("long"))
+        (n - df_col.cast("long")) * F.lit(SCALE)
+        / (n + df_col.cast("long"))
     ).cast("long")
+
+
+def _n_docs_rel(corpus: DataFrame) -> DataFrame:
+    """1-row relation carrying the corpus document count.  Cross-
+    joined (broadcast) into scoring plans instead of an eager
+    corpus.count(): keeps the whole query ONE logical plan — the
+    count subquery is column-pruned to nothing, and at 100 TB it
+    comes straight from parquet row-group metadata."""
+    return corpus.agg(F.count(F.lit(1)).cast("long").alias("_n_docs"))
+
+
+def build_trigram_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Character n-gram inverted index: (gram, doc) pairs, distinct
+    per document (char_ngrams array_distincts before the explode, so
+    no extra dedup shuffle is needed).
+
+    This is the PREBUILT side of substring_search: at 100 TB it is
+    written once as a table bucketed on `gram` (so the per-query
+    candidate lookup is a bucket-pruned scan) and amortized across
+    every grep that follows.  `substring_search(..., index=...)`
+    consumes it without re-exploding the corpus."""
+    from mtail_spark.operators.dedup import char_ngrams
+
+    return corpus.select(
+        F.col(id_col),
+        F.explode_outer(char_ngrams(F.col(text_col), n)).alias("gram"),
+    )
 
 
 def substring_search(
@@ -83,6 +122,7 @@ def substring_search(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Index-accelerated exact substring search (grep at corpus
     scale): a document can contain `needle` only if it contains every
@@ -91,22 +131,18 @@ def substring_search(
     substring scan.  Returns (doc_id, n_hits, first_pos) for true
     matches, with exact occurrence counts.
 
-    At 100 TB the (gram, doc) index is a prebuilt bucketed table;
-    the query side is len(needle)-gram-sized and broadcast, the
-    candidate intersection is one count-filter aggregation, and the
-    full-text verification scan touches candidates only — the corpus
-    is never regex-scanned.  Here the index builds inline from the
-    same scan."""
-    from mtail_spark.operators.dedup import char_ngrams
-
+    At 100 TB the (gram, doc) index is a prebuilt bucketed table
+    passed via `index=` (see build_trigram_index); the query side is
+    len(needle)-gram-sized and broadcast, the candidate intersection
+    is one count-filter aggregation, and the full-text verification
+    scan touches candidates only — the corpus is never regex-scanned.
+    With index=None it builds inline from the same scan."""
     assert len(needle) >= n
     qgrams = sorted({needle[i:i + n] for i in range(len(needle) - n + 1)})
     spark = corpus.sparkSession
     q = spark.createDataFrame([(g,) for g in qgrams], ["gram"])
-    index = corpus.select(
-        F.col(id_col),
-        F.explode_outer(char_ngrams(F.col(text_col), n)).alias("gram"),
-    )
+    if index is None:
+        index = build_trigram_index(corpus, id_col, text_col, n)
     cand = (
         index.join(F.broadcast(q), "gram")
         .groupBy(id_col)
@@ -157,14 +193,19 @@ def tfidf_top_terms(
     explode + map-side-combined count); the df join is keyed on term
     (Zipf-skewed hot terms are AQE-split; never broadcast — the
     vocabulary is unbounded); the ranking window partitions by
-    document, bounded by per-document vocabulary.  N comes from one
-    count job (metadata-sized)."""
-    n_docs = corpus.count()
+    document, bounded by per-document vocabulary.  N is a broadcast
+    1-row subquery inside the same plan — no separate count action."""
     post = postings(corpus, id_col, text_col)
     dfreq = doc_freq(post, id_col)
-    scored = post.join(dfreq, "term").withColumn(
-        "score",
-        (F.col("tf").cast("long") * _idf(F.col("df"), n_docs)).cast("long"),
+    scored = (
+        post.join(dfreq, "term")
+        .crossJoin(F.broadcast(_n_docs_rel(corpus)))
+        .withColumn(
+            "score",
+            (
+                F.col("tf").cast("long") * _idf(F.col("df"), F.col("_n_docs"))
+            ).cast("long"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("score").desc(), F.col("term").asc()
@@ -198,10 +239,11 @@ def search_topk(
 
     The query-term list broadcasts (it is tiny by definition); the
     postings build is the only corpus-sized work and in a real
-    deployment is a pre-built table this just reads.  Ties broken by
-    ascending doc id, so top-k is fully deterministic."""
+    deployment is a pre-built table this just reads.  N is a broadcast
+    1-row subquery inside the same plan — no separate count action.
+    Ties broken by ascending doc id, so top-k is fully
+    deterministic."""
     spark = corpus.sparkSession
-    n_docs = corpus.count()
     post = postings(corpus, id_col, text_col)
     dfreq = doc_freq(post, id_col)
     q = spark.createDataFrame(
@@ -210,10 +252,11 @@ def search_topk(
     hits = (
         post.join(F.broadcast(q), "term")
         .join(F.broadcast(dfreq.join(F.broadcast(q), "term")), "term")
+        .crossJoin(F.broadcast(_n_docs_rel(corpus)))
         .withColumn(
             "contrib",
             F.floor(
-                (_idf(F.col("df"), n_docs) * _sat(F.col("tf"), k1))
+                (_idf(F.col("df"), F.col("_n_docs")) * _sat(F.col("tf"), k1))
                 / F.lit(SCALE)
             ).cast("long"),
         )

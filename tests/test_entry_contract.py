@@ -20,6 +20,8 @@ WINDOW = 50
 # from this set only after the corresponding CORRECTNESS_r{N}.json
 # row lands green.
 MUST_BE_IN_WINDOW = {
+    # new round 7
+    "grep_index_reuse",
     # no driver row as of CORRECTNESS_r06.json
     "training_data_pipeline",
     "curation_pipeline",

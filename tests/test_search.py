@@ -73,3 +73,21 @@ def test_search_plan_is_take_ordered(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_prebuilt_index_matches_inline_and_skips_explode(spark, tmp_path):
+    """substring_search(index=stored) must return the same rows as the
+    inline build, and its plan must contain NO Generate (explode) node
+    — the corpus is exploded once at index-build time only."""
+    corpus = _corpus(spark)
+    needle = "spark merge"
+    inline = sorted(
+        map(tuple, SR.substring_search(corpus, needle).collect())
+    )
+    path = str(tmp_path / "idx.parquet")
+    SR.build_trigram_index(corpus).write.parquet(path)
+    idx = spark.read.parquet(path)
+    via_index = SR.substring_search(corpus, needle, index=idx)
+    assert sorted(map(tuple, via_index.collect())) == inline
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan

@@ -100,13 +100,26 @@ SHOW = [
      "count merge exchanges on (key, widx) with map-side partials; "
      "one count-row-sized exchange on key feeds a SINGLE Window node "
      "for all three trailing stats — raw events never shuffle by key"),
+    ("vocab_head",
+     "top-k tokens via TakeOrderedAndProject (per-partition heaps, "
+     "no single-partition sort of the vocabulary); the cumulative- "
+     "coverage window runs over k rows only"),
+    ("multimodal_frames",
+     "ONE mapInPandas (variable-rows-out frame explode) directly "
+     "over the media scan — no extra exchange before or after the "
+     "Python stage"),
+    ("grep_index_reuse",
+     "both needles read the STORED trigram index (no Generate node "
+     "anywhere — the corpus explode happened once at index-build "
+     "time); candidate intersection per needle, verify scan touches "
+     "candidates only"),
 ]
 
 INTERESTING = re.compile(
     r"PushedFilters|ReadSchema|BroadcastHashJoin|SortMergeJoin|"
     r"BroadcastNestedLoopJoin|HashAggregate|SortAggregate|partial|"
     r"Exchange|WholeStageCodegen|Window|Generate|PhotonAgg|"
-    r"MapInPandas|ArrowEval|LocalTableScan"
+    r"MapInPandas|ArrowEval|LocalTableScan|TakeOrderedAndProject"
 )
 
 
