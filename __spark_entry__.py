@@ -1070,6 +1070,32 @@ def q_hll_distinct(spark, sf):
     return est.crossJoin(true)
 
 
+def q_bloom_membership(spark, sf):
+    """Bloom-filter membership (operators/sketch.py): build an
+    m-bit-bounded filter over the base shard's text fingerprints
+    (doc_id % 3 == 0, the dedup_incremental split), probe every other
+    document — the at-scale "seen before?" pre-filter an incremental
+    ingest runs BEFORE any expensive dedup join.  exact_dup rides
+    along to demonstrate the no-false-negative guarantee and make the
+    (deterministic, md5-lane-derived) false positives visible."""
+    import mtail_spark.operators.sketch as SK
+
+    docs = _t(spark, sf, "documents")
+    fp = F.md5(F.substring(F.col("text"), 1, 40)).alias("key")
+    base = docs.filter(F.col("doc_id") % 3 == 0).select(fp)
+    probe = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", fp)
+    flags = SK.bloom_probe(SK.bloom_build(base, "key"), probe, "key")
+    exact = base.distinct().withColumn("exact_dup", F.lit(True))
+    return (
+        flags.join(F.broadcast(exact), "key", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce(F.col("exact_dup"), F.lit(False)).alias("exact_dup"),
+        )
+    )
+
+
 def q_rate_anomalies(spark, sf):
     """Tumbling-window rate anomaly detection (operators/
     timeseries.py): hourly event counts per type, z-score against the
@@ -1219,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- tier 0: new this round ------------------------------------------
         "grep_index_reuse": q_grep_index_reuse,
+        "bloom_membership": q_bloom_membership,
         # -- tier 1: no driver CORRECTNESS row as of round 6 ---------------
         "training_data_pipeline": q_training_data_pipeline,
         "curation_pipeline": q_curation_pipeline,
@@ -1841,6 +1868,38 @@ def _sql_substring_search(needle: str = GREP_NEEDLE, n: int = 3) -> str:
                CAST(strpos(d.text, '{needle}') AS BIGINT) AS first_pos
         FROM cand JOIN documents d USING (doc_id)
         WHERE len(regexp_extract_all(d.text, '{pat}')) > 0
+    """
+
+
+def _sql_bloom_membership(m: int = 4096, k: int = 3) -> str:
+    """DuckDB mirror of q_bloom_membership: same md5-lane bit
+    positions, same set-bit distinct, same all-k-present probe."""
+
+    def pos(i: int, key: str) -> str:
+        lane = _sql_md5_long(f"concat('bloom{i}-', {key})")
+        return f"({lane} % {m})"
+
+    blits = ", ".join(pos(i, "key") for i in range(k))
+    return f"""
+        WITH base AS (
+          SELECT md5(substr(text, 1, 40)) AS key
+          FROM documents WHERE doc_id % 3 = 0
+        ), bits AS (
+          SELECT DISTINCT unnest([{blits}]) AS bit FROM base
+        ), probe AS (
+          SELECT doc_id, md5(substr(text, 1, 40)) AS key
+          FROM documents WHERE doc_id % 3 <> 0
+        ), ppos AS (
+          SELECT doc_id, key, unnest([{blits}]) AS bit FROM probe
+        ), hits AS (
+          SELECT p.doc_id, p.key, count(b.bit) AS nb
+          FROM ppos p LEFT JOIN bits b USING (bit)
+          GROUP BY 1, 2
+        )
+        SELECT h.doc_id,
+               nb = {k} AS bloom_hit,
+               (h.key IN (SELECT key FROM base)) AS exact_dup
+        FROM hits h
     """
 
 
@@ -2534,6 +2593,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search": _sql_hybrid_search(),
         "substring_search": _sql_substring_search(),
         "grep_index_reuse": _sql_grep_index_reuse(),
+        "bloom_membership": _sql_bloom_membership(),
         "vocab_head": """
             WITH tok AS (
               SELECT unnest(regexp_split_to_array(trim(lower(text)),

@@ -207,3 +207,66 @@ def cms_token_counts(
     return cms_estimate(
         cms_build(toks, "term", depth, width), terms, depth, width
     )
+
+
+BLOOM_BITS = 4096
+BLOOM_K = 3
+
+
+def _bit_col(col, i: int, m: int):
+    """Lane-i Bloom bit of a string column: md5 of a lane-salted key,
+    first 15 hex chars as a 60-bit int, mod m (all JVM codegen — the
+    same portable construction as the count-min buckets)."""
+    h = F.md5(F.concat(F.lit(f"bloom{i}-"), col))
+    return (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % m
+    )
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str = "key",
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Bloom filter as a set-bit table: one row per SET position,
+    at most m rows no matter how many keys go in (distinct is the
+    bitwise-OR merge, associative with map-side combine).  At 100 TB
+    the m-bounded table packs into a long[m/64] broadcast bitmap and
+    the probe below becomes a map-side array lookup; the DataFrame
+    form keeps the build/merge/probe algebra visible and oracle-
+    checkable.  False positives are a deterministic function of the
+    md5 lanes — the oracle reproduces every one.
+
+    explode_outer on purpose (repo-wide convention, see cms_build):
+    codegen Generate would re-evaluate the k-digest array once per
+    OUTPUT row."""
+    bits = F.array(*[_bit_col(F.col(key_col), i, m) for i in range(k)])
+    return (
+        keys.select(F.explode_outer(bits).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bits_table: DataFrame,
+    probes: DataFrame,
+    key_col: str = "key",
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Membership probe: a key is a MAYBE-member iff all k of its bit
+    positions are set (no false negatives; false positives at the
+    standard (1-e^(-kn/m))^k rate).  The set-bit table broadcasts
+    (<= m rows by construction); the probe side is scanned once and
+    never shuffled on a skewable key — the group-back is on the
+    probe's own columns, k-bounded per key."""
+    out_cols = probes.columns
+    pos = F.array(*[_bit_col(F.col(key_col), i, m) for i in range(k)])
+    exploded = probes.select(*out_cols, F.explode_outer(pos).alias("bit"))
+    marked = bits_table.withColumn("_set", F.lit(1))
+    return (
+        exploded.join(F.broadcast(marked), "bit", "left")
+        .groupBy(*out_cols)
+        .agg((F.count(F.col("_set")) == F.lit(k)).alias("bloom_hit"))
+    )

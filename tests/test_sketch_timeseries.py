@@ -167,3 +167,44 @@ def test_rate_anomalies_zero_variance_never_flags(spark):
     # even for the 80 spike (documented conservative choice)
     assert all(r.z_micro is None for r in rows)
     assert all(not r.is_anomaly for r in rows)
+
+
+def test_bloom_no_false_negatives_and_bounded_bits(spark):
+    import mtail_spark.operators.sketch as SK
+
+    keys = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(200)], ["key"]
+    )
+    bits = SK.bloom_build(keys, "key", m=1024, k=3)
+    n_bits = bits.count()
+    assert n_bits <= 1024  # state bounded by m, not cardinality
+    # every inserted key MUST probe positive (no false negatives)
+    flags = SK.bloom_probe(bits, keys, "key", m=1024, k=3).collect()
+    assert len(flags) == 200 and all(r.bloom_hit for r in flags)
+    # a disjoint probe set is mostly negative (m is sized so the FP
+    # rate is a few percent; assert well under half positive)
+    others = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(200)], ["key"]
+    )
+    fps = sum(
+        r.bloom_hit
+        for r in SK.bloom_probe(bits, others, "key", m=1024, k=3).collect()
+    )
+    assert fps < 100
+
+
+def test_bloom_build_merge_is_distinct_union(spark):
+    import mtail_spark.operators.sketch as SK
+
+    a = spark.createDataFrame([("x",), ("y",)], ["key"])
+    b = spark.createDataFrame([("y",), ("z",)], ["key"])
+    both = spark.createDataFrame([("x",), ("y",), ("z",)], ["key"])
+    merged = sorted(
+        r.bit
+        for r in SK.bloom_build(a, "key")
+        .unionByName(SK.bloom_build(b, "key"))
+        .distinct()
+        .collect()
+    )
+    direct = sorted(r.bit for r in SK.bloom_build(both, "key").collect())
+    assert merged == direct  # OR-merge == build-on-union
