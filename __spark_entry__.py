@@ -619,6 +619,16 @@ def q_text_lm_xent(spark, sf):
     return TX.lm_xent(docs, "doc_id", "text")
 
 
+def q_perplexity_buckets(spark, sf):
+    """CCNet head/middle/tail perplexity buckets + bucket-balanced
+    resample (operators/textstats.perplexity_buckets): per-language
+    terciles of the corpus-trained bigram-LM score as exact order
+    statistics, then the salted-md5 ppm keep filter at per-bucket
+    rates (head 100% / middle 50% / tail 10%)."""
+    docs = _t(spark, sf, "documents")
+    return TX.perplexity_buckets(docs)
+
+
 def q_span_dedup(spark, sf):
     """Exact-substring duplication stats (Lee et al. 2022,
     ExactSubstr): positional 8-token spans hashed and counted
@@ -1246,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 0: new this round ------------------------------------------
         "grep_index_reuse": q_grep_index_reuse,
         "bloom_membership": q_bloom_membership,
+        "perplexity_buckets": q_perplexity_buckets,
         # -- tier 1: no driver CORRECTNESS row as of round 6 ---------------
         "training_data_pipeline": q_training_data_pipeline,
         "curation_pipeline": q_curation_pipeline,
@@ -1868,6 +1879,73 @@ def _sql_substring_search(needle: str = GREP_NEEDLE, n: int = 3) -> str:
                CAST(strpos(d.text, '{needle}') AS BIGINT) AS first_pos
         FROM cand JOIN documents d USING (doc_id)
         WHERE len(regexp_extract_all(d.text, '{pat}')) > 0
+    """
+
+
+# Shared CTE body for the corpus-trained bigram-LM score (text_lm_xent
+# and perplexity_buckets both consume `agg`: doc_id, n_bigrams, xent).
+_SQL_XENT_CTES = """base AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+              FROM documents
+            ), ex AS (
+              SELECT doc_id, unnest(bgs) AS bg FROM (
+                SELECT doc_id,
+                       [w[i] || ' ' || w[i+1]
+                        for i in generate_series(1, len(w) - 1)] AS bgs
+                FROM base
+              )
+            ), bgc AS (
+              SELECT bg, count(*) AS c_bg FROM ex GROUP BY bg
+            ), ugc AS (
+              SELECT w1, count(*) AS c_w
+              FROM (SELECT unnest(w) AS w1 FROM base) GROUP BY w1
+            ), terms AS (
+              SELECT e.doc_id,
+                     CAST(round((ln(u.c_w) - ln(b.c_bg)) * 1000000, 0)
+                          AS BIGINT) AS nll
+              FROM ex e
+              JOIN bgc b USING (bg)
+              JOIN ugc u ON split_part(e.bg, ' ', 1) = u.w1
+            ), agg AS (
+              SELECT doc_id, count(*) AS n_bigrams, sum(nll) AS xent
+              FROM terms GROUP BY doc_id
+            )"""
+
+
+def _sql_perplexity_buckets() -> str:
+    """DuckDB mirror of q_perplexity_buckets: shared xent CTEs, then
+    per-language type-1 tercile thresholds and the ppm keep filter."""
+    keep = _sql_bucket("'ccnet'", "doc_id")
+    return f"""
+        WITH {_SQL_XENT_CTES}, x AS (
+          SELECT d.doc_id, d.lang,
+                 CAST(CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+                           THEN a.xent // a.n_bigrams
+                           ELSE 0 END AS BIGINT) AS v
+          FROM documents d LEFT JOIN agg a USING (doc_id)
+        ), r AS (
+          SELECT doc_id, lang, v,
+                 row_number() OVER
+                   (PARTITION BY lang ORDER BY v, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM x
+        ), t AS (
+          SELECT doc_id, lang, v,
+                 max(CASE WHEN rn = (n + 2) // 3 THEN v END)
+                   OVER (PARTITION BY lang) AS t1,
+                 max(CASE WHEN rn = (2 * n + 2) // 3 THEN v END)
+                   OVER (PARTITION BY lang) AS t2
+          FROM r
+        )
+        SELECT doc_id, lang, v AS xent_avg_micronats,
+               CASE WHEN v <= t1 THEN 'head'
+                    WHEN v <= t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               ({keep}) < CASE WHEN v <= t1 THEN 1000000
+                               WHEN v <= t2 THEN 500000
+                               ELSE 100000 END AS kept
+        FROM t
     """
 
 
@@ -2594,6 +2672,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_search": _sql_substring_search(),
         "grep_index_reuse": _sql_grep_index_reuse(),
         "bloom_membership": _sql_bloom_membership(),
+        "perplexity_buckets": _sql_perplexity_buckets(),
         "vocab_head": """
             WITH tok AS (
               SELECT unnest(regexp_split_to_array(trim(lower(text)),
@@ -2801,34 +2880,8 @@ FROM lab
             FROM s
         """
         ),
-        "text_lm_xent": """
-            WITH base AS (
-              SELECT doc_id,
-                     regexp_split_to_array(trim(lower(text)), '\\s+') AS w
-              FROM documents
-            ), ex AS (
-              SELECT doc_id, unnest(bgs) AS bg FROM (
-                SELECT doc_id,
-                       [w[i] || ' ' || w[i+1]
-                        for i in generate_series(1, len(w) - 1)] AS bgs
-                FROM base
-              )
-            ), bgc AS (
-              SELECT bg, count(*) AS c_bg FROM ex GROUP BY bg
-            ), ugc AS (
-              SELECT w1, count(*) AS c_w
-              FROM (SELECT unnest(w) AS w1 FROM base) GROUP BY w1
-            ), terms AS (
-              SELECT e.doc_id,
-                     CAST(round((ln(u.c_w) - ln(b.c_bg)) * 1000000, 0)
-                          AS BIGINT) AS nll
-              FROM ex e
-              JOIN bgc b USING (bg)
-              JOIN ugc u ON split_part(e.bg, ' ', 1) = u.w1
-            ), agg AS (
-              SELECT doc_id, count(*) AS n_bigrams, sum(nll) AS xent
-              FROM terms GROUP BY doc_id
-            )
+        "text_lm_xent": f"""
+            WITH {_SQL_XENT_CTES}
             SELECT d.doc_id,
                    CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                    CAST(COALESCE(a.xent, 0) AS BIGINT) AS xent_micronats,

@@ -216,3 +216,91 @@ def lm_xent(
             .alias("xent_avg_micronats"),
         )
     )
+
+
+PPL_RATES_PPM = {"head": 1_000_000, "middle": 500_000, "tail": 100_000}
+
+
+def perplexity_buckets(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    rates_ppm: dict | None = None,
+    salt: str = "ccnet",
+):
+    """CCNet-style perplexity bucketing + bucket-balanced resampling
+    (Wenzek et al. 2019 §4.3): score every document with the
+    corpus-trained bigram-LM cross entropy (lm_xent above), split
+    each LANGUAGE into head/middle/tail terciles by per-bigram score
+    (lower = more fluent), then keep documents at per-bucket rates —
+    the standard "keep the head, thin the tail" curation move.
+
+    Terciles are exact type-1 order statistics (value at rank
+    ceil(n/3) / ceil(2n/3) within the language, rank ordered by
+    (score, id) for full determinism) — the same ln-free-boundary
+    integer index arithmetic as curation.order_stat_quantiles, so
+    the oracle agrees bit-for-bit.  Sampling is the engine's salted
+    md5 ppm filter: membership is a pure function of (id, salt,
+    bucket rate), reproducible anywhere.
+
+    Returns (id_col, lang, xent_avg_micronats, bucket, kept) for
+    every document.
+
+    At 100 TB: scoring is the lm_xent shape (two count aggs + n-gram
+    joins); the tercile pass is ONE exchange on the language key
+    shared by the rank window, the count window, and both threshold
+    windows; the keep decision is a pure map-side expression.  CCNet
+    buckets per language, so groups are language-sized — for one
+    giant language substitute sketched quantile thresholds (this is
+    the exact-answer reference, same caveat as
+    order_stat_quantiles)."""
+    from pyspark.sql import Window
+
+    rates = dict(PPL_RATES_PPM if rates_ppm is None else rates_ppm)
+    x = lm_xent(docs, id_col, text_col).select(
+        id_col, "xent_avg_micronats"
+    )
+    base = docs.select(id_col, lang_col).join(x, id_col)
+    byl = Window.partitionBy(lang_col)
+    w = byl.orderBy(
+        F.col("xent_avg_micronats").asc(), F.col(id_col).asc()
+    )
+    v = F.col("xent_avg_micronats")
+    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(byl)
+    )
+    t1 = F.max(
+        F.when(F.col("rn") == F.expr("(n + 2) DIV 3"), v)
+    ).over(byl)
+    t2 = F.max(
+        F.when(F.col("rn") == F.expr("(2 * n + 2) DIV 3"), v)
+    ).over(byl)
+    bucket = (
+        F.when(v <= F.col("_t1"), F.lit("head"))
+        .when(v <= F.col("_t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    from mtail_spark.operators.sampling import sample_bucket
+
+    rate = (
+        F.when(F.col("bucket") == "head", F.lit(rates["head"]))
+        .when(F.col("bucket") == "middle", F.lit(rates["middle"]))
+        .otherwise(F.lit(rates["tail"]))
+    )
+    return (
+        ranked.withColumn("_t1", t1)
+        .withColumn("_t2", t2)
+        .withColumn("bucket", bucket)
+        .withColumn(
+            "kept",
+            sample_bucket(F.col(id_col), salt) < rate,
+        )
+        .select(
+            id_col,
+            F.col(lang_col).alias("lang"),
+            "xent_avg_micronats",
+            "bucket",
+            "kept",
+        )
+    )

@@ -23,6 +23,7 @@ MUST_BE_IN_WINDOW = {
     # new round 7
     "grep_index_reuse",
     "bloom_membership",
+    "perplexity_buckets",
     # no driver row as of CORRECTNESS_r06.json
     "training_data_pipeline",
     "curation_pipeline",

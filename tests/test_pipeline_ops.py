@@ -199,3 +199,41 @@ def test_duplicate_spans_hand_computed(spark):
     assert rows[3]["dup_permille"] == 1000
     assert (rows[4]["n_spans"], rows[4]["dup_permille"]) == (0, 0)
     assert rows[1]["dup_permille"] == 333
+
+
+def test_perplexity_buckets_terciles_and_rates(spark):
+    # 9 docs in one language with strictly increasing xent (unique
+    # word pairs score higher than the repeated common pair)
+    rows = [(i, "en", ("common pair " * (10 - i)) + f"rare{i} tok{i}")
+            for i in range(1, 10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = {r.doc_id: r for r in TX.perplexity_buckets(docs).collect()}
+    assert len(out) == 9
+    buckets = [out[i].bucket for i in sorted(out)]
+    # terciles of 9 = 3/3/3, ordered by score which rises with doc_id
+    assert buckets.count("head") == 3
+    assert buckets.count("middle") == 3
+    assert buckets.count("tail") == 3
+    # score is monotone in doc_id here, so bucket order is clean
+    assert buckets == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    # head rate is 100%: every head doc is kept
+    assert all(out[i].kept for i in sorted(out)[:3])
+
+
+def test_perplexity_buckets_language_isolation(spark):
+    # thresholds are PER LANGUAGE: one language's outliers must not
+    # shift another's buckets
+    # distinct scores within each language (ties share a bucket by
+    # design, so each doc needs its own xent value)
+    en = [(i, "en", ("common pair " * (5 - i)) + f"rare{i} tok{i}")
+          for i in range(1, 4)]
+    de = [(10 + i, "de", ("der hund " * (5 - i)) + f"wort{i} nr{i}")
+          for i in range(1, 4)]
+    docs = spark.createDataFrame(en + de, ["doc_id", "lang", "text"])
+    out = TX.perplexity_buckets(docs).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r.bucket)
+    # each 3-doc language fills its own head/middle/tail
+    for lang, bs in by_lang.items():
+        assert sorted(bs) == ["head", "middle", "tail"], (lang, bs)
