@@ -619,6 +619,37 @@ def q_text_lm_xent(spark, sf):
     return TX.lm_xent(docs, "doc_id", "text")
 
 
+def q_dedup_exact_stream(spark, sf):
+    """The SAME exact-dedup as dedup_exact, executed through
+    Structured Streaming: the documents table replays as a file
+    stream, the (hash -> count, min_id) aggregation accumulates in
+    the state store across micro-batches, and the final table is
+    filtered to the duplicate groups.  Checked against the identical
+    DuckDB oracle — stream must equal batch exactly (the same parity
+    claim as session_window_stream).
+
+    State is one row per DISTINCT fingerprint — for an unbounded
+    production stream, bound it by pre-filtering probes through a
+    Bloom filter of the historical corpus (bloom_membership) or by
+    TTL-ing fingerprints with del-after semantics
+    (streaming/pipeline.py); the finite-replay COMPLETE mode here is
+    what the oracle can check."""
+    from mtail_spark.streaming.windows import (
+        run_replay_to_table,
+        stream_table,
+    )
+
+    docs = stream_table(spark, f"{sf}/documents.parquet")
+    agg = docs.groupBy(
+        F.md5(F.substring(F.col("text"), 1, 40)).alias("text_md5")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min("doc_id").cast("long").alias("keep_id"),
+    )
+    tbl = run_replay_to_table(agg, "dedup_exact_stream")
+    return tbl.filter(F.col("n_copies") > 1)
+
+
 def q_perplexity_buckets(spark, sf):
     """CCNet head/middle/tail perplexity buckets + bucket-balanced
     resample (operators/textstats.perplexity_buckets): per-language
@@ -1257,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_index_reuse": q_grep_index_reuse,
         "bloom_membership": q_bloom_membership,
         "perplexity_buckets": q_perplexity_buckets,
+        "dedup_exact_stream": q_dedup_exact_stream,
         # -- tier 1: no driver CORRECTNESS row as of round 6 ---------------
         "training_data_pipeline": q_training_data_pipeline,
         "curation_pipeline": q_curation_pipeline,
@@ -2375,6 +2407,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "dedup_exact": """
+            SELECT md5(substr(text, 1, 40)) AS text_md5,
+                   count(*) AS n_copies,
+                   CAST(min(doc_id) AS BIGINT) AS keep_id
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        # the streaming dual is checked against the SAME batch oracle:
+        # stream == batch is the claim
+        "dedup_exact_stream": """
             SELECT md5(substr(text, 1, 40)) AS text_md5,
                    count(*) AS n_copies,
                    CAST(min(doc_id) AS BIGINT) AS keep_id

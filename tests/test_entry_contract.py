@@ -24,6 +24,7 @@ MUST_BE_IN_WINDOW = {
     "grep_index_reuse",
     "bloom_membership",
     "perplexity_buckets",
+    "dedup_exact_stream",
     # no driver row as of CORRECTNESS_r06.json
     "training_data_pipeline",
     "curation_pipeline",
