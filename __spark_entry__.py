@@ -539,6 +539,20 @@ def q_sim_ivf_fixed(spark, sf):
     )
 
 
+def q_sim_topk_pq(spark, sf):
+    """Product-quantization ANN with asymmetric distance computation
+    (similarity.knn_pq): corpus encoded once to 8 codes/vector, each
+    query broadcasts its distance table, the scan is 8 table lookups
+    per row over the codes — raw corpus vectors untouched at query
+    time.  Fixed md5-derived codebooks make the whole pipeline
+    hash-matchable in DuckDB (same determinism recipe as
+    sim_ivf_fixed)."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return S.knn_pq(corpus, queries, k=3, dim=EMB_DIM)
+
+
 # ---------------------------------------------------------- text analysis
 
 
@@ -1289,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "perplexity_buckets": q_perplexity_buckets,
         "dedup_exact_stream": q_dedup_exact_stream,
+        "sim_topk_pq": q_sim_topk_pq,
         # -- tier 1: no driver CORRECTNESS row as of round 6 ---------------
         "training_data_pipeline": q_training_data_pipeline,
         "curation_pipeline": q_curation_pipeline,
@@ -1621,6 +1636,63 @@ def _sql_ivf_fixed() -> str:
                    ORDER BY {_sql_cosine('p.embedding', 'c.embedding')} DESC,
                             c.corpus_id ASC) rk
           FROM probes p JOIN ca c ON p.list_id = c.list_id
+        ) WHERE rk <= 3
+    """
+
+
+def _sql_pq() -> str:
+    """DuckDB mirror of knn_pq: same md5-derived codebook literals,
+    per-subspace first-occurrence argmin encode, per-query flat
+    m-major distance table, ADC as a left-fold over subspaces —
+    every double bit-identical to the Spark plan (the sequential-dim
+    accumulation of similarity._sqdist_matrix is the literal sums'
+    left-to-right order)."""
+    m_sub, ksub = S.PQ_M, S.PQ_KSUB
+    dsub = EMB_DIM // m_sub
+    books = S.make_pq_codebooks(m_sub, ksub, EMB_DIM)
+
+    def sqd_sub(m: int, cen: list) -> str:
+        # embedding[i] list indexing (DuckDB element_at is map-only);
+        # _dlit string-casts the literal — a bare decimal literal
+        # binds as DECIMAL, whose arithmetic is off-by-a-ULP vs the
+        # double math Spark does; same left-fold term order as
+        # similarity._sqdist_matrix
+        terms = []
+        for d, v in enumerate(cen):
+            i = m * dsub + d + 1
+            x = f"(CAST(embedding[{i}] AS DOUBLE) - {S._dlit(v)})"
+            terms.append(f"({x} * {x})")
+        return "(" + " + ".join(terms) + ")"
+
+    def code(m: int) -> str:
+        dl = "[" + ", ".join(sqd_sub(m, c) for c in books[m]) + "]"
+        return (
+            f"(SELECT list_position(dl, list_min(dl)) - 1"
+            f" FROM (SELECT {dl} AS dl))"
+        )
+
+    codes = "[" + ", ".join(code(m) for m in range(m_sub)) + "]"
+    dtable = "[" + ", ".join(
+        sqd_sub(m, c) for m in range(m_sub) for c in books[m]
+    ) + "]"
+    adc = (
+        f"list_reduce(list_prepend(0.0, "
+        f"[q.dtable[m * {ksub} + c.codes[m + 1] + 1] "
+        f"for m in generate_series(0, {m_sub - 1})]), (x, y) -> x + y)"
+    )
+    return f"""
+        WITH cb AS (
+          SELECT vec_id AS corpus_id, {codes} AS codes
+          FROM embeddings WHERE vec_id >= 5
+        ), qd AS (
+          SELECT vec_id AS query_id, {dtable} AS dtable
+          FROM embeddings WHERE vec_id < 5
+        )
+        SELECT query_id, corpus_id, adc_dist, rk AS rank FROM (
+          SELECT q.query_id, c.corpus_id, {adc} AS adc_dist,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {adc} ASC, c.corpus_id ASC) rk
+          FROM qd q CROSS JOIN cb c
         ) WHERE rk <= 3
     """
 
@@ -2713,6 +2785,7 @@ def oracle_sql() -> dict[str, str]:
         "grep_index_reuse": _sql_grep_index_reuse(),
         "bloom_membership": _sql_bloom_membership(),
         "perplexity_buckets": _sql_perplexity_buckets(),
+        "sim_topk_pq": _sql_pq(),
         "vocab_head": """
             WITH tok AS (
               SELECT unnest(regexp_split_to_array(trim(lower(text)),

@@ -25,6 +25,7 @@ MUST_BE_IN_WINDOW = {
     "bloom_membership",
     "perplexity_buckets",
     "dedup_exact_stream",
+    "sim_topk_pq",
     # no driver row as of CORRECTNESS_r06.json
     "training_data_pipeline",
     "curation_pipeline",

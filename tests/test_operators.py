@@ -187,3 +187,55 @@ def test_knn_gemm_matches_bruteforce(spark):
         for r in S.knn_gemm(c, q, k=4, dim=8).collect()
     }
     assert bf == gm
+
+
+def test_knn_pq_compresses_and_ranks(spark):
+    import random
+
+    rnd = random.Random(11)
+    dim = 16
+    # two tight clusters far apart: PQ must rank same-cluster vectors
+    # above cross-cluster ones even through 4 subspace codes
+    def vec(center):
+        return [center + rnd.uniform(-0.05, 0.05) for _ in range(dim)]
+
+    rows = [(i, vec(0.8)) for i in range(10)] + [
+        (100 + i, vec(-0.8)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id").isin(0, 100))
+    corpus = df.filter(~F.col("vec_id").isin(0, 100))
+    out = S.knn_pq(corpus, queries, k=5, m_sub=4, ksub=8, dim=dim).collect()
+    assert len(out) == 10  # 2 queries x k
+    for r in out:
+        same_cluster = (r.query_id < 50) == (r.corpus_id < 50)
+        assert same_cluster, (r.query_id, r.corpus_id, r.adc_dist)
+    # ranks are 1..k per query, distances nondecreasing in rank
+    for qid in (0, 100):
+        rs = sorted(
+            (r for r in out if r.query_id == qid), key=lambda r: r.rank
+        )
+        assert [r.rank for r in rs] == [1, 2, 3, 4, 5]
+        ds = [r.adc_dist for r in rs]
+        assert ds == sorted(ds)
+
+
+def test_pq_codes_bounded_and_deterministic(spark):
+    rows = [(i, [float((i * 7 + j) % 5) / 5 for j in range(16)])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = S.make_pq_codebooks(4, 8, 16)
+    codes = (
+        df.select(
+            "vec_id",
+            S.pq_encode_udf(books)(
+                S.as_double(F.col("embedding"))
+            ).alias("codes"),
+        )
+        .collect()
+    )
+    for r in codes:
+        assert len(r.codes) == 4
+        assert all(0 <= c < 8 for c in r.codes)
+    # codebooks are pure md5 literals: a second build is identical
+    assert books == S.make_pq_codebooks(4, 8, 16)
