@@ -553,6 +553,17 @@ def q_sim_topk_pq(spark, sf):
     return S.knn_pq(corpus, queries, k=3, dim=EMB_DIM)
 
 
+def q_sim_pq_rerank(spark, sf):
+    """Two-stage ANN (similarity.knn_pq_rerank): PQ ADC shortlist
+    over the compact codes, exact-cosine rerank of only the
+    shortlisted pairs — the standard production retrieval shape
+    (winnow on codes, spend float math on candidates)."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return S.knn_pq_rerank(corpus, queries, k=3, shortlist=10, dim=EMB_DIM)
+
+
 # ---------------------------------------------------------- text analysis
 
 
@@ -631,6 +642,16 @@ def q_text_lm_xent(spark, sf):
     terms make the per-doc sum order-independent and hash-stable."""
     docs = _t(spark, sf, "documents")
     return TX.lm_xent(docs, "doc_id", "text")
+
+
+def q_quality_classifier(spark, sf):
+    """Classifier-based quality filtering (textstats.
+    linear_quality_score): fasttext-shaped linear scorer over hashed
+    bigram features — per-feature weight is a pure hash expression
+    (stand-in for trained parameters), per-doc score one map-side-
+    combined integer aggregation, keep-decision a scan-side filter."""
+    docs = _t(spark, sf, "documents")
+    return TX.linear_quality_score(docs)
 
 
 def q_dedup_exact_stream(spark, sf):
@@ -1304,6 +1325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "dedup_exact_stream": q_dedup_exact_stream,
         "sim_topk_pq": q_sim_topk_pq,
+        "sim_pq_rerank": q_sim_pq_rerank,
+        "quality_classifier": q_quality_classifier,
         # -- tier 1: no driver CORRECTNESS row as of round 6 ---------------
         "training_data_pipeline": q_training_data_pipeline,
         "curation_pipeline": q_curation_pipeline,
@@ -1640,11 +1663,11 @@ def _sql_ivf_fixed() -> str:
     """
 
 
-def _sql_pq() -> str:
-    """DuckDB mirror of knn_pq: same md5-derived codebook literals,
-    per-subspace first-occurrence argmin encode, per-query flat
-    m-major distance table, ADC as a left-fold over subspaces —
-    every double bit-identical to the Spark plan (the sequential-dim
+def _sql_pq_parts() -> tuple[str, str]:
+    """Shared CTE head + ADC expression for the PQ oracles
+    (_sql_pq and _sql_pq_rerank): corpus codes (cb), query distance
+    tables (qd), and the subspace-ordered ADC left-fold — every
+    double bit-identical to the Spark plan (the sequential-dim
     accumulation of similarity._sqdist_matrix is the literal sums'
     left-to-right order)."""
     m_sub, ksub = S.PQ_M, S.PQ_KSUB
@@ -1680,20 +1703,54 @@ def _sql_pq() -> str:
         f"[q.dtable[m * {ksub} + c.codes[m + 1] + 1] "
         f"for m in generate_series(0, {m_sub - 1})]), (x, y) -> x + y)"
     )
-    return f"""
-        WITH cb AS (
+    head = f"""cb AS (
           SELECT vec_id AS corpus_id, {codes} AS codes
           FROM embeddings WHERE vec_id >= 5
         ), qd AS (
           SELECT vec_id AS query_id, {dtable} AS dtable
           FROM embeddings WHERE vec_id < 5
-        )
+        )"""
+    return head, adc
+
+
+def _sql_pq() -> str:
+    """DuckDB mirror of knn_pq (see _sql_pq_parts)."""
+    head, adc = _sql_pq_parts()
+    return f"""
+        WITH {head}
         SELECT query_id, corpus_id, adc_dist, rk AS rank FROM (
           SELECT q.query_id, c.corpus_id, {adc} AS adc_dist,
                  row_number() OVER (PARTITION BY q.query_id
                    ORDER BY {adc} ASC, c.corpus_id ASC) rk
           FROM qd q CROSS JOIN cb c
         ) WHERE rk <= 3
+    """
+
+
+def _sql_pq_rerank(k: int = 3, shortlist: int = 10) -> str:
+    """DuckDB mirror of knn_pq_rerank: the PQ ADC shortlist feeds an
+    exact-cosine rerank over only the shortlisted pairs (the shared
+    left-fold cosine kernel), so the checked floats are the rerank's
+    cos_sim values."""
+    head, adc = _sql_pq_parts()
+    cos = _sql_cosine("qe.embedding", "ce.embedding")
+    return f"""
+        WITH {head}, sl AS (
+          SELECT query_id, corpus_id FROM (
+            SELECT q.query_id, c.corpus_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY {adc} ASC, c.corpus_id ASC) rk
+            FROM qd q CROSS JOIN cb c
+          ) WHERE rk <= {shortlist}
+        )
+        SELECT query_id, corpus_id, cos_sim, rk AS rank FROM (
+          SELECT s.query_id, s.corpus_id, {cos} AS cos_sim,
+                 row_number() OVER (PARTITION BY s.query_id
+                   ORDER BY {cos} DESC, s.corpus_id ASC) rk
+          FROM sl s
+          JOIN embeddings ce ON ce.vec_id = s.corpus_id
+          JOIN embeddings qe ON qe.vec_id = s.query_id
+        ) WHERE rk <= {k}
     """
 
 
@@ -2050,6 +2107,35 @@ def _sql_perplexity_buckets() -> str:
                                WHEN v <= t2 THEN 500000
                                ELSE 100000 END AS kept
         FROM t
+    """
+
+
+def _sql_quality_classifier() -> str:
+    """DuckDB mirror of textstats.linear_quality_score: same bigram
+    construction as the xent CTEs, same md5-derived integer weights."""
+    w = _sql_md5_long("concat('qcw-', bg)")
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+          FROM documents
+        ), ex AS (
+          SELECT doc_id, unnest(bgs) AS bg FROM (
+            SELECT doc_id,
+                   [w[i] || ' ' || w[i+1]
+                    for i in generate_series(1, len(w) - 1)] AS bgs
+            FROM base
+          )
+        ), agg AS (
+          SELECT doc_id, count(*) AS n_feats,
+                 sum(({w} % 1001) - 500) AS score
+          FROM ex GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_feats, 0) AS BIGINT) AS n_feats,
+               CAST(COALESCE(a.score, 0) AS BIGINT) AS score,
+               COALESCE(a.score, 0) >= 0 AS keep
+        FROM documents d LEFT JOIN agg a USING (doc_id)
     """
 
 
@@ -2786,6 +2872,8 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership": _sql_bloom_membership(),
         "perplexity_buckets": _sql_perplexity_buckets(),
         "sim_topk_pq": _sql_pq(),
+        "quality_classifier": _sql_quality_classifier(),
+        "sim_pq_rerank": _sql_pq_rerank(),
         "vocab_head": """
             WITH tok AS (
               SELECT unnest(regexp_split_to_array(trim(lower(text)),

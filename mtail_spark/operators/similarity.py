@@ -892,3 +892,55 @@ def knn_pq(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "adc_dist", "rank")
     )
+
+
+def knn_pq_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    shortlist: int = 10,
+    m_sub: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+) -> DataFrame:
+    """The production two-stage ANN: PQ ADC over the compact codes
+    shortlists `shortlist` candidates per query, then ONLY those
+    pairs are re-scored with exact cosine over the raw vectors — the
+    memory-bound code scan does the winnowing, the float vectors are
+    fetched for shortlist*n_queries rows total.  Same output schema
+    as the other knn_* operators (query_id, corpus_id, cos_sim,
+    rank).
+
+    At 100 TB the candidate fetch is a broadcast-semi-join into the
+    vector table (shortlist-sized build side), never a second corpus
+    scan shape: the plan below shows the corpus joined against the
+    BROADCAST candidate list."""
+    cand = knn_pq(
+        corpus, queries, id_col, vec_col, shortlist, m_sub, ksub, dim
+    ).select("query_id", "corpus_id")
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        as_double(F.col(vec_col)).alias("cvec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qvec"),
+    )
+    fetched = c.join(F.broadcast(cand), "corpus_id").join(
+        F.broadcast(q), "query_id"
+    )
+    scored = fetched.select(
+        "query_id",
+        "corpus_id",
+        cosine_fold_udf()(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cos_sim", "rank")
+    )

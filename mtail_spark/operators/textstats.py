@@ -304,3 +304,49 @@ def perplexity_buckets(
             "kept",
         )
     )
+
+
+def linear_quality_score(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "qcw",
+):
+    """Fixed-weight linear classifier over hashed bigram features —
+    the fasttext-style quality-filter shape (the GPT-3/LLaMA-class
+    pipelines gate documents on exactly this: hash n-gram features,
+    sum per-feature weights, threshold).  The weights here are
+    md5-derived integer stand-ins for trained parameters (no model
+    file ships in this environment); the PLAN is the production one:
+    per-feature weight lookup is a pure hash expression (a trained
+    model would swap in a broadcast weight-table join, feature-count-
+    sized), the per-document sum is one map-side-combined aggregation,
+    and the decision is a scan-side filter when used as a gate.
+
+    Integer weights in [-500, 500] make the score an exact BIGINT —
+    order-independent and hash-matchable.  Returns
+    (id_col, n_feats, score, keep) for every document (empty docs
+    score 0)."""
+    t = F.lower(F.col(text_col))
+    # explode_outer: repo-wide convention for computed arrays
+    ex = docs.select(
+        F.col(id_col).alias("did"),
+        F.explode_outer(word_ngrams(t, 2)).alias("bg"),
+    ).filter(F.col("bg").isNotNull())
+    w = (
+        md5_long(F.concat(F.lit(f"{salt}-"), F.col("bg"))) % 1001
+        - 500
+    ).cast("long")
+    agg = ex.select("did", w.alias("w")).groupBy("did").agg(
+        F.count(F.lit(1)).alias("n_feats"), F.sum("w").alias("score")
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(agg, F.col(id_col) == F.col("did"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+            (F.coalesce("score", F.lit(0)) >= 0).alias("keep"),
+        )
+    )

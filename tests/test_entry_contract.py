@@ -26,6 +26,8 @@ MUST_BE_IN_WINDOW = {
     "perplexity_buckets",
     "dedup_exact_stream",
     "sim_topk_pq",
+    "sim_pq_rerank",
+    "quality_classifier",
     # no driver row as of CORRECTNESS_r06.json
     "training_data_pipeline",
     "curation_pipeline",

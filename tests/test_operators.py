@@ -239,3 +239,29 @@ def test_pq_codes_bounded_and_deterministic(spark):
         assert all(0 <= c < 8 for c in r.codes)
     # codebooks are pure md5 literals: a second build is identical
     assert books == S.make_pq_codebooks(4, 8, 16)
+
+
+def test_knn_pq_rerank_recovers_exact_top1(spark):
+    import random
+
+    rnd = random.Random(23)
+    dim = 16
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(dim)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") < 2)
+    corpus = df.filter(F.col("vec_id") >= 2)
+    exact = {
+        r.query_id: r.corpus_id
+        for r in S.knn_bruteforce(corpus, queries, k=1).collect()
+    }
+    # a generous shortlist makes the exact rerank recover the true
+    # top-1 even through the lossy 4x8 quantizer
+    two_stage = {
+        r.query_id: r.corpus_id
+        for r in S.knn_pq_rerank(
+            corpus, queries, k=1, shortlist=20, m_sub=4, ksub=8, dim=dim
+        ).collect()
+    }
+    assert two_stage == exact

@@ -113,6 +113,27 @@ SHOW = [
      "anywhere — the corpus explode happened once at index-build "
      "time); candidate intersection per needle, verify scan touches "
      "candidates only"),
+    ("bloom_membership",
+     "set-bit table aggregates distinct (bounded by m) then "
+     "broadcasts; the probe side explodes k positions and groups "
+     "back on its own key — no shuffle keyed on a skewable column"),
+    ("perplexity_buckets",
+     "xent scoring is the lm_xent shape; the tercile pass shares "
+     "ONE exchange on the language key across the rank/count/"
+     "threshold windows; the keep filter is a map-side expression"),
+    ("sim_topk_pq",
+     "corpus encodes via ONE Arrow stage to codes; query dtables "
+     "broadcast; ADC is a JVM fold over table lookups; "
+     "WindowGroupLimit keeps per-query top-k map-side — zero "
+     "corpus-sized exchanges, raw vectors never read at query time"),
+    ("sim_pq_rerank",
+     "the exact-rerank fetch joins the corpus against the BROADCAST "
+     "shortlist (shortlist-sized build side) — the float vectors are "
+     "read for candidates only, never a second corpus-wide pass"),
+    ("quality_classifier",
+     "per-feature weight is a pure hash expression; ONE map-side-"
+     "combined aggregation per document — no weight-table join at "
+     "all in the hash-weight form"),
 ]
 
 INTERESTING = re.compile(
