@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "sim_topk_bruteforce",
     "sim_topk_gemm",
+    "sim_topk_pq",
     "text_token_counts",
 ]
 
