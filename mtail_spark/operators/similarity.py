@@ -944,3 +944,59 @@ def knn_pq_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cos_sim", "rank")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the k NEAREST corpus vectors with a DIFFERENT label — the
+    highest-similarity wrong-class examples, which is exactly what a
+    contrastive/triplet objective wants in its negative slots
+    (easy negatives are uninformative; same-label neighbors are
+    positives, excluded by the filter).
+
+    Returns (query_id, query_label, corpus_id, neg_label, cos_sim,
+    rank).  The label-mismatch predicate is applied BEFORE the top-k
+    window, so rank counts negatives only.
+
+    Plan: broadcast(queries) x corpus with the filter fused into the
+    join stage, per-query top-k via WindowGroupLimit.  At 100 TB the
+    winnow belongs on the compact path first — run knn_pq for a
+    label-blind shortlist sized k + expected-positive-count, then
+    filter and exact-rerank (the sim_pq_rerank composition); this
+    exact form is the oracle-checkable reference."""
+    kern = cosine_fold_udf()
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(label_col).cast("long").alias("neg_label"),
+        as_double(F.col(vec_col)).alias("cvec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).cast("long").alias("query_label"),
+        as_double(F.col(vec_col)).alias("qvec"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neg_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "corpus_id",
+            "neg_label",
+            kern(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

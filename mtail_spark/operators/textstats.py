@@ -350,3 +350,50 @@ def linear_quality_score(
             (F.coalesce("score", F.lit(0)) >= 0).alias("keep"),
         )
     )
+
+
+def bpe_merge_pairs(
+    docs,
+    k: int = 20,
+    text_col: str = "text",
+):
+    """The first step of BPE tokenizer training (Sennrich et al.
+    2016): corpus-wide counts of adjacent symbol pairs, here at the
+    character level over whitespace words — the statistic that picks
+    each merge.  Returns the top-k (pair, n_occurrences, rank), ties
+    broken by ascending pair so the ranking is fully deterministic.
+
+    Shape: ONE pass builds the word-frequency table (the standard BPE
+    trick — pair counts are word-pattern counts times word frequency,
+    so the explode runs over DISTINCT words, vocabulary-sized, not
+    corpus-sized); pair counts aggregate with map-side combine; the
+    global top-k is TakeOrderedAndProject (per-partition heaps).  An
+    actual BPE trainer iterates: apply the winning merge to the
+    vocabulary table and recount — each iteration is this same
+    vocabulary-sized job, never a corpus rescan."""
+    # all char bigrams WITH multiplicity: zero-width lookahead keeps
+    # overlapping pairs; no array_distinct (BPE counts occurrences)
+    pairs = F.regexp_extract_all(
+        F.col("word"), F.lit(r"(?s)(?=(..))"), 1
+    )
+    vocab = (
+        docs.select(
+            F.explode_outer(words(F.lower(F.col(text_col)))).alias("word")
+        )
+        .filter(F.col("word").isNotNull() & (F.col("word") != ""))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    counts = (
+        vocab.select("wc", F.explode_outer(pairs).alias("pair"))
+        .filter(F.col("pair").isNotNull())
+        .groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("n_occurrences"))
+    )
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("pair").asc()
+    ).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

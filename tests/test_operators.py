@@ -265,3 +265,27 @@ def test_knn_pq_rerank_recovers_exact_top1(spark):
         ).collect()
     }
     assert two_stage == exact
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    rows = [
+        # label 0 cluster near +1, label 1 cluster near -1, and one
+        # label-1 vector sitting INSIDE the label-0 cluster (the hard
+        # negative a contrastive objective wants surfaced)
+        (0, [1.0, 0.0], 0),
+        (2, [0.99, 0.01], 0),
+        (3, [0.98, 0.02], 0),
+        (4, [0.97, 0.05], 1),   # hard negative for query 0
+        (5, [-1.0, 0.0], 1),
+        (6, [-0.99, 0.01], 1),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    queries = df.filter(F.col("vec_id") == 0)
+    corpus = df.filter(F.col("vec_id") > 0)
+    out = sorted(
+        S.hard_negatives(corpus, queries, k=2).collect(),
+        key=lambda r: r.rank,
+    )
+    assert all(r.neg_label != r.query_label for r in out)
+    # the in-cluster wrong-label vector must rank first
+    assert out[0].corpus_id == 4 and out[0].rank == 1

@@ -237,3 +237,23 @@ def test_perplexity_buckets_language_isolation(spark):
     # each 3-doc language fills its own head/middle/tail
     for lang, bs in by_lang.items():
         assert sorted(bs) == ["head", "middle", "tail"], (lang, bs)
+
+
+def test_bpe_merge_pairs_hand_counted(spark):
+    docs = spark.createDataFrame(
+        [(1, "aab aab"), (2, "aab ab")], ["doc_id", "text"]
+    )
+    out = {r.pair: (r.n_occurrences, r.rank)
+           for r in TX.bpe_merge_pairs(docs, k=10).collect()}
+    # vocab: aab x3, ab x1. pairs per word: aab -> aa, ab; ab -> ab
+    # counts: aa = 3, ab = 3 + 1 = 4
+    assert out == {"ab": (4, 1), "aa": (3, 2)}
+
+
+def test_bpe_merge_pairs_counts_multiplicity(spark):
+    # overlapping pairs in one word count every occurrence ("aaa" has
+    # TWO "aa" pairs) — array_distinct would undercount
+    docs = spark.createDataFrame([(1, "aaa")], ["doc_id", "text"])
+    out = {r.pair: r.n_occurrences
+           for r in TX.bpe_merge_pairs(docs, k=5).collect()}
+    assert out == {"aa": 2}

@@ -134,6 +134,13 @@ SHOW = [
      "per-feature weight is a pure hash expression; ONE map-side-"
      "combined aggregation per document — no weight-table join at "
      "all in the hash-weight form"),
+    ("hard_negatives",
+     "label-mismatch filter fused into the broadcast join stage, "
+     "BEFORE the per-query top-k window"),
+    ("bpe_merge_pairs",
+     "pair explode runs over the DISTINCT-word frequency table "
+     "(vocabulary-sized), map-side-combined counts, global top-k "
+     "via TakeOrderedAndProject"),
 ]
 
 INTERESTING = re.compile(
