@@ -564,6 +564,40 @@ def q_sim_pq_rerank(spark, sf):
     return S.knn_pq_rerank(corpus, queries, k=3, shortlist=10, dim=EMB_DIM)
 
 
+def q_hist_quantiles(spark, sf):
+    """Bounded-state quantiles (curation.hist_quantiles): fixed-width
+    integer bins + cumulative counts — the sketched scale path that
+    order_stat_quantiles (length_quantiles) documents for one giant
+    group; error bounded by the bin width, state by value-range/width."""
+    import mtail_spark.operators.curation as CU
+
+    docs = _t(spark, sf, "documents")
+    return CU.hist_quantiles(docs, "n_chars", "lang", bin_width=64)
+
+
+def q_json_props_agg(spark, sf):
+    """Semi-structured extraction: parse the events.props JSON column
+    with a declared schema (from_json stays inside Catalyst — no
+    Python), bucket the extracted field, aggregate per (event_type,
+    bucket).  The standard telemetry-payload query shape; the JSON
+    parse is a map-side projection, so the only exchange is the
+    count aggregation."""
+    ev = _t(spark, sf, "events")
+    k = F.from_json(F.col("props"), "k INT").getField("k").cast("long")
+    return (
+        ev.select(F.col("event_type"), k.alias("k"))
+        .select(
+            "event_type", F.expr("k DIV 10").cast("long").alias("k_decile"),
+            "k",
+        )
+        .groupBy("event_type", "k_decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )
+
+
 def q_hard_negatives(spark, sf):
     """Hard-negative mining for contrastive training
     (similarity.hard_negatives): per query, the k nearest corpus
@@ -1408,6 +1442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # earn their driver greens)
         "hard_negatives": q_hard_negatives,
         "bpe_merge_pairs": q_bpe_merge_pairs,
+        "hist_quantiles": q_hist_quantiles,
+        "json_props_agg": q_json_props_agg,
         # -- tier 4: multi-round-stable rows (>=2 green driver rows) --------
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_topk_orders": q_window_topk_orders,
@@ -2135,6 +2171,45 @@ def _sql_perplexity_buckets() -> str:
                                ELSE 100000 END AS kept
         FROM t
     """
+
+
+def _sql_hist_quantiles(bin_width: int = 64) -> str:
+    """DuckDB mirror of curation.hist_quantiles: fixed-width bins,
+    cumulative counts, first bin reaching the type-1 rank."""
+
+    def at(num: int, den: int, alias: str) -> str:
+        return (
+            f"CAST(min(CASE WHEN cum >= (n * {num} + {den - 1}) "
+            f"// {den} THEN b * {bin_width} END) AS BIGINT) AS {alias}"
+        )
+
+    return f"""
+        WITH bins AS (
+          SELECT lang, CAST(n_chars AS BIGINT) // {bin_width} AS b,
+                 count(*) AS c
+          FROM documents GROUP BY 1, 2
+        ), s AS (
+          SELECT lang, b, c,
+                 sum(c) OVER (PARTITION BY lang ORDER BY b) AS cum,
+                 sum(c) OVER (PARTITION BY lang) AS n
+          FROM bins
+        )
+        SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+               {at(1, 2, 'p50_lo')},
+               {at(9, 10, 'p90_lo')},
+               {at(99, 100, 'p99_lo')}
+        FROM s GROUP BY lang
+    """
+
+
+_SQL_JSON_PROPS_AGG = """
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decile,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
+    FROM events GROUP BY 1, 2
+"""
 
 
 def _sql_hard_negatives(k: int = 3) -> str:
@@ -2955,6 +3030,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_pq_rerank": _sql_pq_rerank(),
         "hard_negatives": _sql_hard_negatives(),
         "bpe_merge_pairs": _sql_bpe_merge_pairs(),
+        "hist_quantiles": _sql_hist_quantiles(),
+        "json_props_agg": _SQL_JSON_PROPS_AGG,
         "vocab_head": """
             WITH tok AS (
               SELECT unnest(regexp_split_to_array(trim(lower(text)),

@@ -319,3 +319,50 @@ def mixture_sample(
         .filter(sample_bucket(F.col(key_col), salt) < F.col("rate_ppm"))
         .drop("total_toks")
     )
+
+
+def hist_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    bin_width: int = 64,
+) -> DataFrame:
+    """BOUNDED-STATE quantiles: the sketched counterpart of
+    order_stat_quantiles for groups too large to sort.  Values bucket
+    into fixed-width integer bins; the quantile estimate is the LOWER
+    BOUND of the first bin whose cumulative count reaches the type-1
+    rank ceil(p*n) — error bounded by bin_width, state bounded by
+    value-range / bin_width regardless of group size.
+
+    Everything is integer index arithmetic (the same ceil(p*n)
+    ranks as the exact operator), so any engine agrees bit-for-bit.
+
+    Shape: ONE exchange on the group key carrying BIN rows (never
+    raw values); the cumulative window, the group total, and the
+    final aggregate all share it.  At 100 TB this is the quantile
+    plan for a single giant group — the exact operator stays the
+    per-source calibration reference."""
+    b = F.expr(f"CAST({value_col} AS BIGINT) DIV {bin_width}")
+    bins = (
+        df.select(F.col(group_col), b.alias("b"))
+        .groupBy(group_col, "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    byg = Window.partitionBy(group_col)
+    cum = (
+        bins.withColumn("cum", F.sum("c").over(byg.orderBy("b")))
+        .withColumn("n", F.sum("c").over(byg))
+    )
+
+    def at(num: int, den: int):
+        idx = F.expr(f"(n * {num} + {den - 1}) DIV {den}")
+        return F.min(
+            F.when(F.col("cum") >= idx, F.col("b") * bin_width)
+        ).cast("long")
+
+    return cum.groupBy(group_col).agg(
+        F.max("n").cast("long").alias("n_docs"),
+        at(1, 2).alias("p50_lo"),
+        at(9, 10).alias("p90_lo"),
+        at(99, 100).alias("p99_lo"),
+    )

@@ -136,3 +136,39 @@ def test_cluster_profile_partitions_corpus(spark):
     }
     for r in prof:
         assert mins[r.cluster] == r.min_member
+
+
+def test_hist_quantiles_brackets_exact(spark):
+    import mtail_spark.operators.curation as CU
+
+    rows = [(i, "g", i) for i in range(1, 101)]  # values 1..100
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"])
+    out = CU.hist_quantiles(df, "n_chars", "lang", bin_width=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_docs == 100
+    # exact type-1 quantiles are 50 / 90 / 99; the bin LOWER bound
+    # must bracket them from below within one bin width
+    exact = CU.order_stat_quantiles(df, "n_chars", "lang").collect()[0]
+    for est, true in ((r.p50_lo, exact.p50), (r.p90_lo, exact.p90),
+                      (r.p99_lo, exact.p99)):
+        assert est <= true < est + 10, (est, true)
+
+
+def test_hist_quantiles_state_is_bin_bounded(spark):
+    import mtail_spark.operators.curation as CU
+
+    # a million-row group with values in [0, 640) produces <= 10 bins
+    df = (
+        spark.range(100000)
+        .selectExpr("id AS doc_id", "'g' AS lang",
+                    "CAST(id % 640 AS BIGINT) AS n_chars")
+    )
+    b = (
+        df.selectExpr("CAST(n_chars AS BIGINT) DIV 64 AS b")
+        .distinct()
+        .count()
+    )
+    assert b == 10
+    out = CU.hist_quantiles(df, "n_chars", "lang", bin_width=64).collect()
+    assert out[0].n_docs == 100000

@@ -141,6 +141,13 @@ SHOW = [
      "pair explode runs over the DISTINCT-word frequency table "
      "(vocabulary-sized), map-side-combined counts, global top-k "
      "via TakeOrderedAndProject"),
+    ("hist_quantiles",
+     "ONE exchange on the group key carrying BIN rows (never raw "
+     "values); cumulative window, group total and final aggregate "
+     "share it"),
+    ("json_props_agg",
+     "from_json is a map-side Catalyst projection (no Python "
+     "anywhere); the only exchange is the partial-count merge"),
 ]
 
 INTERESTING = re.compile(
