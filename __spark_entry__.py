@@ -379,6 +379,35 @@ def q_tumbling_window_counts(spark, sf):
     )
 
 
+def q_tumbling_window_stream(spark, sf):
+    """Streaming dual of tumbling_window_counts: the same 1-hour
+    event-time windows accumulated in the Structured Streaming state
+    store over a file replay, checked against the SAME batch oracle —
+    the fourth stream ≡ batch pair (sessions, rate anomalies, exact
+    dedup, tumbling counts)."""
+    from mtail_spark.streaming.windows import (
+        run_replay_to_table,
+        stream_table,
+    )
+
+    ev = stream_table(spark, f"{sf}/events.parquet")
+    ts = F.col("ts").cast("timestamp")
+    agg = (
+        ev.groupBy(F.window(ts, "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("value"))).cast("long").alias("sum_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_cents",
+        )
+    )
+    return run_replay_to_table(agg, "tumbling_window_stream")
+
+
 def q_set_ops_users(spark, sf):
     """Set difference: purchasers who never hit an error."""
     ev = _t(spark, sf, "events")
@@ -1444,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_pairs": q_bpe_merge_pairs,
         "hist_quantiles": q_hist_quantiles,
         "json_props_agg": q_json_props_agg,
+        "tumbling_window_stream": q_tumbling_window_stream,
         # -- tier 4: multi-round-stable rows (>=2 green driver rows) --------
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_topk_orders": q_window_topk_orders,
@@ -2703,6 +2733,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "session_window_native": _ORACLE_SESSION_WINDOW,
         "tumbling_window_counts": f"""
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n,
+                   CAST(sum({cents.format(x='value')}) AS BIGINT) AS sum_cents
+            FROM events GROUP BY 1, 2
+        """,
+        # streaming dual checked against the SAME batch oracle
+        "tumbling_window_stream": f"""
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n,
                    CAST(sum({cents.format(x='value')}) AS BIGINT) AS sum_cents
