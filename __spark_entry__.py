@@ -1293,12 +1293,20 @@ def q_grep_index_reuse(spark, sf):
     exactly once at build time, and each query-side plan is a scan of
     the index table + broadcast gram lookup + candidate-only verify.
     Output = union of both greps tagged by needle."""
+    import hashlib
+    import os
     import tempfile
 
     import mtail_spark.operators.search as SR
 
     docs = _t(spark, sf, "documents")
-    path = tempfile.mkdtemp(prefix="trigram_idx_") + "/index.parquet"
+    # deterministic per-(user, sf) path: repeated runs overwrite one
+    # directory instead of leaking a fresh mkdtemp each call
+    tag = hashlib.md5(sf.encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"trigram_idx_{os.getuid()}_{tag}",
+        "index.parquet",
+    )
     SR.build_trigram_index(docs).write.mode("overwrite").parquet(path)
     idx = spark.read.parquet(path)
     outs = [

@@ -208,3 +208,22 @@ def test_bloom_build_merge_is_distinct_union(spark):
     )
     direct = sorted(r.bit for r in SK.bloom_build(both, "key").collect())
     assert merged == direct  # OR-merge == build-on-union
+
+
+def test_bloom_no_false_negatives_property(spark):
+    """Hypothesis-style property (deterministic seeds): for random key
+    sets and filter sizings, every inserted key probes positive."""
+    import random
+
+    import mtail_spark.operators.sketch as SK
+
+    rnd = random.Random(77)
+    for m, k in [(256, 2), (512, 3), (2048, 5)]:
+        keys = list(
+            {f"k{rnd.randrange(10**9)}" for _ in range(rnd.randrange(5, 60))}
+        )
+        df = spark.createDataFrame([(x,) for x in keys], ["key"])
+        bits = SK.bloom_build(df, "key", m=m, k=k)
+        flags = SK.bloom_probe(bits, df, "key", m=m, k=k).collect()
+        assert len(flags) == len(keys)
+        assert all(r.bloom_hit for r in flags), (m, k)
