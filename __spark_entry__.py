@@ -940,6 +940,51 @@ def q_curation_pipeline(spark, sf):
     )
 
 
+def q_curation_pipeline_v2(spark, sf):
+    """Incremental-ingest curation composing the round-7 operators in
+    ONE plan: classifier gate (linear_quality_score) -> Bloom
+    pre-filter + exact verify against the already-ingested base shard
+    (the bloom_membership two-stage) -> CCNet perplexity bucketing
+    with bucket-balanced resampling over the survivors (LM trained on
+    the survivors themselves) -> per-(lang, bucket) token stats.
+    Every stage has its own hash-checked oracle; this checks the
+    COMPOSITION, like training_data_pipeline does for the round-5
+    stages."""
+    import mtail_spark.operators.sketch as SK
+
+    docs = _t(spark, sf, "documents")
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    gate = TX.linear_quality_score(new).filter(F.col("keep")).select(
+        "doc_id"
+    )
+    gated = new.join(gate, "doc_id")
+    fp = F.md5(F.substring(F.col("text"), 1, 40)).alias("key")
+    base = docs.filter(F.col("doc_id") % 3 == 0).select(fp)
+    flags = SK.bloom_probe(
+        SK.bloom_build(base, "key"), gated.select("doc_id", fp), "key"
+    )
+    # two-stage: bloom shortlists, the exact key join verifies (the
+    # deterministic false positive survives)
+    dups = (
+        flags.filter(F.col("bloom_hit"))
+        .join(F.broadcast(base.distinct()), "key", "semi")
+        .select("doc_id")
+    )
+    survivors = gated.join(dups, "doc_id", "left_anti")
+    pb = TX.perplexity_buckets(survivors)
+    resampled = pb.filter(F.col("kept")).select("doc_id", "bucket")
+    return (
+        survivors.join(resampled, "doc_id")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(TX.token_count_ws(F.col("text")))
+            .cast("long")
+            .alias("sum_tokens"),
+        )
+    )
+
+
 def q_multimodal_meta(spark, sf):
     """Binary-column plumbing: synthesized media payloads with typed
     metadata; aggregates only touch metadata columns."""
@@ -1482,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles": q_hist_quantiles,
         "json_props_agg": q_json_props_agg,
         "tumbling_window_stream": q_tumbling_window_stream,
+        "curation_pipeline_v2": q_curation_pipeline_v2,
         # -- tier 4: multi-round-stable rows (>=2 green driver rows) --------
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_topk_orders": q_window_topk_orders,
@@ -2302,6 +2348,97 @@ def _sql_bpe_merge_pairs(k: int = 20) -> str:
     """
 
 
+def _sql_curation_pipeline_v2(m: int = 4096, k: int = 3) -> str:
+    """DuckDB mirror of q_curation_pipeline_v2: classifier gate,
+    bloom-shortlist + exact-verify dedup vs the base shard, CCNet
+    buckets trained on the survivors, per-(lang, bucket) stats —
+    each fragment identical to its standalone oracle."""
+    w = _sql_md5_long("concat('qcw-', bg)")
+
+    def pos(i: int, key: str) -> str:
+        lane = _sql_md5_long(f"concat('bloom{i}-', {key})")
+        return f"({lane} % {m})"
+
+    blits = ", ".join(pos(i, "key") for i in range(k))
+    keep = _sql_bucket("'ccnet'", "doc_id")
+    xent = _SQL_XENT_CTES.replace("FROM documents", "FROM survivors")
+    return f"""
+        WITH newdocs AS (
+          SELECT * FROM documents WHERE doc_id % 3 <> 0
+        ), cbase AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+          FROM newdocs
+        ), cex AS (
+          SELECT doc_id, unnest(bgs) AS bg FROM (
+            SELECT doc_id,
+                   [w[i] || ' ' || w[i+1]
+                    for i in generate_series(1, len(w) - 1)] AS bgs
+            FROM cbase
+          )
+        ), cagg AS (
+          SELECT doc_id, sum(({w} % 1001) - 500) AS score
+          FROM cex GROUP BY doc_id
+        ), gated AS (
+          SELECT d.* FROM newdocs d
+          LEFT JOIN cagg USING (doc_id)
+          WHERE COALESCE(cagg.score, 0) >= 0
+        ), basek AS (
+          SELECT md5(substr(text, 1, 40)) AS key
+          FROM documents WHERE doc_id % 3 = 0
+        ), bits AS (
+          SELECT DISTINCT unnest([{blits}]) AS bit FROM basek
+        ), gk AS (
+          SELECT doc_id, md5(substr(text, 1, 40)) AS key FROM gated
+        ), gpos AS (
+          SELECT doc_id, key, unnest([{blits}]) AS bit FROM gk
+        ), bh AS (
+          SELECT p.doc_id, p.key, count(b.bit) = {k} AS hit
+          FROM gpos p LEFT JOIN bits b USING (bit)
+          GROUP BY 1, 2
+        ), dups AS (
+          SELECT doc_id FROM bh
+          WHERE hit AND key IN (SELECT key FROM basek)
+        ), survivors AS (
+          SELECT * FROM gated
+          WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+        ), {xent}, x AS (
+          SELECT s.doc_id, s.lang,
+                 CAST(CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+                           THEN a.xent // a.n_bigrams
+                           ELSE 0 END AS BIGINT) AS v
+          FROM survivors s LEFT JOIN agg a USING (doc_id)
+        ), r AS (
+          SELECT doc_id, lang, v,
+                 row_number() OVER
+                   (PARTITION BY lang ORDER BY v, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM x
+        ), t AS (
+          SELECT doc_id, lang, v,
+                 max(CASE WHEN rn = (n + 2) // 3 THEN v END)
+                   OVER (PARTITION BY lang) AS t1,
+                 max(CASE WHEN rn = (2 * n + 2) // 3 THEN v END)
+                   OVER (PARTITION BY lang) AS t2
+          FROM r
+        ), res AS (
+          SELECT doc_id,
+                 CASE WHEN v <= t1 THEN 'head'
+                      WHEN v <= t2 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM t
+          WHERE ({keep}) < CASE WHEN v <= t1 THEN 1000000
+                                WHEN v <= t2 THEN 500000
+                                ELSE 100000 END
+        )
+        SELECT s.lang, res.bucket, count(*) AS n_docs,
+               CAST(sum(len(regexp_split_to_array(trim(s.text), '\\s+')))
+                    AS BIGINT) AS sum_tokens
+        FROM res JOIN survivors s USING (doc_id)
+        GROUP BY 1, 2
+    """
+
+
 def _sql_quality_classifier() -> str:
     """DuckDB mirror of textstats.linear_quality_score: same bigram
     construction as the xent CTEs, same md5-derived integer weights."""
@@ -3077,6 +3214,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merge_pairs": _sql_bpe_merge_pairs(),
         "hist_quantiles": _sql_hist_quantiles(),
         "json_props_agg": _SQL_JSON_PROPS_AGG,
+        "curation_pipeline_v2": _sql_curation_pipeline_v2(),
         "vocab_head": """
             WITH tok AS (
               SELECT unnest(regexp_split_to_array(trim(lower(text)),
