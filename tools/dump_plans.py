@@ -148,6 +148,11 @@ SHOW = [
     ("json_props_agg",
      "from_json is a map-side Catalyst projection (no Python "
      "anywhere); the only exchange is the partial-count merge"),
+    ("curation_pipeline_v2",
+     "composed incremental ingest: classifier gate and bloom verify "
+     "are broadcast joins against bounded relations; the tercile "
+     "pass exchanges on lang; the final aggregate is the only other "
+     "exchange — nothing corpus x corpus anywhere"),
 ]
 
 INTERESTING = re.compile(
