@@ -2393,7 +2393,7 @@ def _sql_curation_pipeline_v2(m: int = 4096, k: int = 3) -> str:
         ), gpos AS (
           SELECT doc_id, key, unnest([{blits}]) AS bit FROM gk
         ), bh AS (
-          SELECT p.doc_id, p.key, count(b.bit) = {k} AS hit
+          SELECT p.doc_id, p.key, count(b.bit) = count(*) AS hit
           FROM gpos p LEFT JOIN bits b USING (bit)
           GROUP BY 1, 2
         ), dups AS (
@@ -2489,12 +2489,13 @@ def _sql_bloom_membership(m: int = 4096, k: int = 3) -> str:
         ), ppos AS (
           SELECT doc_id, key, unnest([{blits}]) AS bit FROM probe
         ), hits AS (
-          SELECT p.doc_id, p.key, count(b.bit) AS nb
+          SELECT p.doc_id, p.key,
+                 count(b.bit) AS nb, count(*) AS total
           FROM ppos p LEFT JOIN bits b USING (bit)
           GROUP BY 1, 2
         )
         SELECT h.doc_id,
-               nb = {k} AS bloom_hit,
+               nb = total AS bloom_hit,
                (h.key IN (SELECT key FROM base)) AS exact_dup
         FROM hits h
     """

@@ -265,8 +265,13 @@ def bloom_probe(
     pos = F.array(*[_bit_col(F.col(key_col), i, m) for i in range(k)])
     exploded = probes.select(*out_cols, F.explode_outer(pos).alias("bit"))
     marked = bits_table.withColumn("_set", F.lit(1))
+    # matched == total (not == k): robust when a probe key appears in
+    # duplicate rows — the group then holds a multiple of k positions
+    # and a fixed `== k` would flag true members as misses
     return (
         exploded.join(F.broadcast(marked), "bit", "left")
         .groupBy(*out_cols)
-        .agg((F.count(F.col("_set")) == F.lit(k)).alias("bloom_hit"))
+        .agg(
+            (F.count(F.col("_set")) == F.count(F.lit(1))).alias("bloom_hit")
+        )
     )

@@ -227,3 +227,17 @@ def test_bloom_no_false_negatives_property(spark):
         flags = SK.bloom_probe(bits, df, "key", m=m, k=k).collect()
         assert len(flags) == len(keys)
         assert all(r.bloom_hit for r in flags), (m, k)
+
+
+def test_bloom_probe_tolerates_duplicate_probe_rows(spark):
+    import mtail_spark.operators.sketch as SK
+
+    keys = spark.createDataFrame([("a",), ("b",)], ["key"])
+    bits = SK.bloom_build(keys, "key", m=256, k=3)
+    # the same (id, key) row twice: a true member must still hit
+    probes = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "zz")], ["doc_id", "key"]
+    )
+    out = {r.doc_id: r.bloom_hit
+           for r in SK.bloom_probe(bits, probes, "key", m=256, k=3).collect()}
+    assert out[1] is True
