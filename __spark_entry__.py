@@ -612,7 +612,9 @@ def q_json_props_agg(spark, sf):
     parse is a map-side projection, so the only exchange is the
     count aggregation."""
     ev = _t(spark, sf, "events")
-    k = F.from_json(F.col("props"), "k INT").getField("k").cast("long")
+    # BIGINT, matching the oracle's CAST(... AS BIGINT): a 32-bit 'k INT'
+    # schema would null-out values beyond 2^31-1 that the oracle keeps
+    k = F.from_json(F.col("props"), "k BIGINT").getField("k").cast("long")
     return (
         ev.select(F.col("event_type"), k.alias("k"))
         .select(
@@ -1345,11 +1347,14 @@ def q_grep_index_reuse(spark, sf):
     import mtail_spark.operators.search as SR
 
     docs = _t(spark, sf, "documents")
-    # deterministic per-(user, sf) path: repeated runs overwrite one
-    # directory instead of leaking a fresh mkdtemp each call
+    # deterministic per-(user, sf, PROCESS) path: repeated runs in one
+    # process overwrite a single directory (no mkdtemp leak), and the
+    # pid component keeps concurrent processes (parity gate + pytest)
+    # from racing overwrite-vs-lazy-scan on a shared path
     tag = hashlib.md5(sf.encode()).hexdigest()[:12]
     path = os.path.join(
-        tempfile.gettempdir(), f"trigram_idx_{os.getuid()}_{tag}",
+        tempfile.gettempdir(),
+        f"trigram_idx_{os.getuid()}_{tag}_{os.getpid()}",
         "index.parquet",
     )
     SR.build_trigram_index(docs).write.mode("overwrite").parquet(path)
@@ -1510,14 +1515,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtail_prog_histogram": q_mtail_prog_histogram,
         "mtail_prog_stateful": q_mtail_prog_stateful,
         "mtail_prog_txn": q_mtail_prog_txn,
-        # -- window filler: flagship composites / recently-perf-touched -----
+        # ---------------- position 50 boundary is ABOVE this line ----------
+        # (7 new + 23 unverified + 6 single-green + 14 mtail_* = exactly
+        # 50; tests/test_entry_contract.py pins the required contents)
+        # -- staged flagships: DISPLACED from the window this round (they
+        # have >= 2 green driver rows; they did NOT get a round-7 row) ------
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "sim_topk_gemm": q_sim_topk_gemm,
         "pack_sequences": q_pack_sequences,
         "decontamination": q_decontamination,
-        # ---------------- position 50 boundary is ABOVE this line ----------
         # -- staging: new queries that no longer fit the full window --------
         # (judge-verifiable via check_parity now; first in line to
         # rotate INTO the window next round when current tier-0/1 rows
@@ -2221,17 +2229,28 @@ _SQL_XENT_CTES = """base AS (
             )"""
 
 
-def _sql_perplexity_buckets() -> str:
-    """DuckDB mirror of q_perplexity_buckets: shared xent CTEs, then
-    per-language type-1 tercile thresholds and the ppm keep filter."""
-    keep = _sql_bucket("'ccnet'", "doc_id")
-    return f"""
-        WITH {_SQL_XENT_CTES}, x AS (
-          SELECT d.doc_id, d.lang,
+# Shared tercile fragments (perplexity_buckets + curation_pipeline_v2
+# must bucket identically — edit in ONE place):
+_SQL_PPL_BUCKET_CASE = (
+    "CASE WHEN v <= t1 THEN 'head' "
+    "WHEN v <= t2 THEN 'middle' ELSE 'tail' END"
+)
+_SQL_PPL_RATE_CASE = (
+    "CASE WHEN v <= t1 THEN 1000000 "
+    "WHEN v <= t2 THEN 500000 ELSE 100000 END"
+)
+
+
+def _sql_tercile_ctes(src: str) -> str:
+    """The x/r/t CTE chain of the CCNet bucketing oracle over source
+    relation `src` (doc_id, lang, + the xent `agg` CTE in scope):
+    per-language type-1 tercile thresholds."""
+    return f"""x AS (
+          SELECT s.doc_id, s.lang,
                  CAST(CASE WHEN COALESCE(a.n_bigrams, 0) > 0
                            THEN a.xent // a.n_bigrams
                            ELSE 0 END AS BIGINT) AS v
-          FROM documents d LEFT JOIN agg a USING (doc_id)
+          FROM {src} s LEFT JOIN agg a USING (doc_id)
         ), r AS (
           SELECT doc_id, lang, v,
                  row_number() OVER
@@ -2245,14 +2264,18 @@ def _sql_perplexity_buckets() -> str:
                  max(CASE WHEN rn = (2 * n + 2) // 3 THEN v END)
                    OVER (PARTITION BY lang) AS t2
           FROM r
-        )
+        )"""
+
+
+def _sql_perplexity_buckets() -> str:
+    """DuckDB mirror of q_perplexity_buckets: shared xent CTEs, then
+    per-language type-1 tercile thresholds and the ppm keep filter."""
+    keep = _sql_bucket("'ccnet'", "doc_id")
+    return f"""
+        WITH {_SQL_XENT_CTES}, {_sql_tercile_ctes('documents')}
         SELECT doc_id, lang, v AS xent_avg_micronats,
-               CASE WHEN v <= t1 THEN 'head'
-                    WHEN v <= t2 THEN 'middle'
-                    ELSE 'tail' END AS bucket,
-               ({keep}) < CASE WHEN v <= t1 THEN 1000000
-                               WHEN v <= t2 THEN 500000
-                               ELSE 100000 END AS kept
+               {_SQL_PPL_BUCKET_CASE} AS bucket,
+               ({keep}) < {_SQL_PPL_RATE_CASE} AS kept
         FROM t
     """
 
@@ -2269,7 +2292,13 @@ def _sql_hist_quantiles(bin_width: int = 64) -> str:
 
     return f"""
         WITH bins AS (
-          SELECT lang, CAST(n_chars AS BIGINT) // {bin_width} AS b,
+          -- floor-aligned bins (pmod-adjusted; DuckDB // truncates),
+          -- matching the Spark operator for any value sign
+          SELECT lang,
+                 (CAST(n_chars AS BIGINT)
+                    - ((CAST(n_chars AS BIGINT) % {bin_width}
+                        + {bin_width}) % {bin_width}))
+                   // {bin_width} AS b,
                  count(*) AS c
           FROM documents GROUP BY 1, 2
         ), s AS (
@@ -2402,34 +2431,10 @@ def _sql_curation_pipeline_v2(m: int = 4096, k: int = 3) -> str:
         ), survivors AS (
           SELECT * FROM gated
           WHERE doc_id NOT IN (SELECT doc_id FROM dups)
-        ), {xent}, x AS (
-          SELECT s.doc_id, s.lang,
-                 CAST(CASE WHEN COALESCE(a.n_bigrams, 0) > 0
-                           THEN a.xent // a.n_bigrams
-                           ELSE 0 END AS BIGINT) AS v
-          FROM survivors s LEFT JOIN agg a USING (doc_id)
-        ), r AS (
-          SELECT doc_id, lang, v,
-                 row_number() OVER
-                   (PARTITION BY lang ORDER BY v, doc_id) AS rn,
-                 count(*) OVER (PARTITION BY lang) AS n
-          FROM x
-        ), t AS (
-          SELECT doc_id, lang, v,
-                 max(CASE WHEN rn = (n + 2) // 3 THEN v END)
-                   OVER (PARTITION BY lang) AS t1,
-                 max(CASE WHEN rn = (2 * n + 2) // 3 THEN v END)
-                   OVER (PARTITION BY lang) AS t2
-          FROM r
-        ), res AS (
-          SELECT doc_id,
-                 CASE WHEN v <= t1 THEN 'head'
-                      WHEN v <= t2 THEN 'middle'
-                      ELSE 'tail' END AS bucket
+        ), {xent}, {_sql_tercile_ctes('survivors')}, res AS (
+          SELECT doc_id, {_SQL_PPL_BUCKET_CASE} AS bucket
           FROM t
-          WHERE ({keep}) < CASE WHEN v <= t1 THEN 1000000
-                                WHEN v <= t2 THEN 500000
-                                ELSE 100000 END
+          WHERE ({keep}) < {_SQL_PPL_RATE_CASE}
         )
         SELECT s.lang, res.bucket, count(*) AS n_docs,
                CAST(sum(len(regexp_split_to_array(trim(s.text), '\\s+')))

@@ -342,7 +342,16 @@ def hist_quantiles(
     final aggregate all share it.  At 100 TB this is the quantile
     plan for a single giant group — the exact operator stays the
     per-source calibration reference."""
-    b = F.expr(f"CAST({value_col} AS BIGINT) DIV {bin_width}")
+    # FLOOR division via pmod (bare DIV truncates toward zero): for a
+    # negative value, truncation would put -1 in bin 0 and report a
+    # "lower bound" of 0 > -1 — the bracket guarantee below requires
+    # b*bin_width <= v for every member (same fix class as
+    # timeseries.window_counts)
+    b = F.expr(
+        f"(CAST({value_col} AS BIGINT)"
+        f" - pmod(CAST({value_col} AS BIGINT), {bin_width}))"
+        f" DIV {bin_width}"
+    )
     bins = (
         df.select(F.col(group_col), b.alias("b"))
         .groupBy(group_col, "b")

@@ -775,6 +775,10 @@ def make_pq_codebooks(
     chain-unrollable recipe as knn_ivf.)"""
     import hashlib
 
+    # trailing dims would be SILENTLY dropped from every distance
+    # otherwise — wrong neighbors with no error (and the oracle would
+    # mirror the truncation, so parity could not catch it)
+    assert dim % m_sub == 0, f"dim {dim} not divisible by m_sub {m_sub}"
     dsub = dim // m_sub
     books = []
     for m in range(m_sub):

@@ -172,3 +172,15 @@ def test_hist_quantiles_state_is_bin_bounded(spark):
     assert b == 10
     out = CU.hist_quantiles(df, "n_chars", "lang", bin_width=64).collect()
     assert out[0].n_docs == 100000
+
+
+def test_hist_quantiles_negative_values_floor_binned(spark):
+    import mtail_spark.operators.curation as CU
+
+    # all values -1: the bin lower bound must be <= -1 (floor
+    # division), not 0 (truncating DIV would report p50_lo = 0 > -1)
+    df = spark.createDataFrame(
+        [(i, "g", -1) for i in range(4)], ["doc_id", "lang", "n_chars"]
+    )
+    r = CU.hist_quantiles(df, "n_chars", "lang", bin_width=64).collect()[0]
+    assert r.p50_lo == -64 and r.p50_lo <= -1 < r.p50_lo + 64
