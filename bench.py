@@ -73,6 +73,10 @@ SF1_QUERIES = [
     "dedup_simhash",
     "sim_topk_gemm",
     "text_token_counts",
+    # round-7 additions (new keys extend the record; existing keys'
+    # cross-round min-basis series are unaffected)
+    "sim_topk_pq",
+    "quality_classifier",
 ]
 
 
