@@ -40,14 +40,17 @@ def norm_rows(cols, rows):
     return sorted(cols), sorted(out, key=repr)
 
 
-def main():
-    only = set(sys.argv[1:])
+def run(sf_dir: str = SF_DIR, only=None, spark=None, label: str = ""):
+    """Run the gate against `sf_dir`; returns (n_pass, n_fail, n_weak).
+    Reused by tools/fuzz_parity.py with generated table directories."""
+    only = set(only or ())
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-    spark = get_spark("parity-check", cpus=8)
+    if spark is None:
+        spark = get_spark("parity-check", cpus=8)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_weak = 0
@@ -55,15 +58,15 @@ def main():
         if only and name not in only:
             continue
         try:
-            df = fn(spark, SF_DIR)
+            df = fn(spark, sf_dir)
             scols = df.columns
             srows = [tuple(r) for r in df.collect()]
         except Exception as e:
-            print(f"FAIL {name}: spark error: {e}")
+            print(f"FAIL {label}{name}: spark error: {e}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"weak {name}: rows-only ({len(srows)} rows)")
+            print(f"weak {label}{name}: rows-only ({len(srows)} rows)")
             n_weak += 1
             continue
         try:
@@ -71,25 +74,30 @@ def main():
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
         except Exception as e:
-            print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0]}")
+            print(f"FAIL {label}{name}: duckdb error: {str(e).splitlines()[0]}")
             n_fail += 1
             continue
         sc, sr = norm_rows(scols, srows)
         dc, dr = norm_rows(dcols, drows)
         if sc != dc:
-            print(f"FAIL {name}: columns {sc} vs {dc}")
+            print(f"FAIL {label}{name}: columns {sc} vs {dc}")
             n_fail += 1
         elif len(sr) != len(dr):
-            print(f"FAIL {name}: rowcount {len(sr)} vs {len(dr)}")
+            print(f"FAIL {label}{name}: rowcount {len(sr)} vs {len(dr)}")
             n_fail += 1
         elif sr != dr:
             bad = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
-            print(f"FAIL {name}: values differ; first diffs: {bad}")
+            print(f"FAIL {label}{name}: values differ; first diffs: {bad}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(sr)} rows)")
+            print(f"PASS {label}{name} ({len(sr)} rows)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak")
+    return n_pass, n_fail, n_weak
+
+
+def main():
+    _, n_fail, _ = run(SF_DIR, only=sys.argv[1:])
     return 1 if n_fail else 0
 
 

@@ -1,0 +1,237 @@
+"""Fuzz the correctness gate: run EVERY queries()/oracle_sql() pair on
+RANDOM edge-case-loaded tables instead of the fixed sf0.01 snapshot.
+
+The driver's gate (and tools/check_parity.py) proves Spark ≡ DuckDB on
+one dataset; data-dependent divergences — truncating vs floor division
+on negative values, 32-bit overflow, empty-string tokenization, ties at
+quantile thresholds — can hide behind a benign snapshot (this round's
+ADVICE findings were exactly that class).  This tool generates seeded
+random tables that deliberately contain those hazards and re-runs the
+same compare:
+
+- documents: empty text, whitespace-only, 1-char, unicode words,
+  exact-duplicate groups, shared "merge batch"/"scan query" needles,
+  a language with a single document (tercile rank edge).
+- events: pre-1970 timestamps (floor-division hazard), zero/huge
+  values, props {"k": >2^31} (32-bit overflow hazard), duplicate
+  (user, ts) pairs.  `value` stays NONNEGATIVE: that is a documented
+  testdata invariant the mtail_prog_* oracles bake in (they mirror
+  the programs' `val=(\\d+)` captures by assuming every rendered
+  line matches — a negative value would be an engine-equivalent
+  no-match in Spark but a match in the simplified oracle).
+- embeddings: exact-duplicate vectors, near-duplicates, nonzero norms
+  (0/0 cosine is deliberately out of contract), EMB_DIM dims.
+- TPC-H tables: random but referentially-plausible keys, boundary
+  dates, zero quantities/prices.
+
+Usage: python tools/fuzz_parity.py [seed ...]   (default: seeds 1 2)
+Exit nonzero on any FAIL.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pandas as pd  # noqa: E402
+
+import check_parity  # noqa: E402
+from mtail_spark.session import get_spark  # noqa: E402
+
+EMB_DIM = 64
+
+WORDS = (
+    "spark merge batch window table scan query value key row fast slow "
+    "the a data column agg join sort group stream vector part line big "
+    "héllo wörld ñoño 北京 数据 x1 y2 z3"
+).split()
+
+LANGS = ["en", "de", "es", "fr", "zh"]
+SOURCES = ["web", "books", "code", "wiki"]
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def _text(rnd: random.Random) -> str:
+    n = rnd.randrange(0, 40)
+    return " ".join(rnd.choice(WORDS) for _ in range(n))
+
+
+def gen_tables(seed: int, outdir: str) -> None:
+    rnd = random.Random(seed)
+    os.makedirs(outdir, exist_ok=True)
+
+    # ---- documents: 150 rows with the documented hazards ----------------
+    texts = []
+    for i in range(150):
+        if i < 3:
+            t = ""                       # empty
+        elif i < 5:
+            t = "   "                    # whitespace-only
+        elif i < 8:
+            t = rnd.choice("abz")        # single char
+        elif i < 20:
+            t = "merge batch scan query " + _text(rnd)  # grep needles
+        else:
+            t = _text(rnd)
+        texts.append(t)
+    # exact-duplicate groups (dedup/bloom/keep-best paths)
+    for i in range(20, 45, 5):
+        texts[i + 1] = texts[i]
+        texts[i + 2] = texts[i]
+    langs = [LANGS[i % len(LANGS)] for i in range(149)] + ["xx"]  # n=1 lang
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(1, 151),
+            "text": texts,
+            "lang": langs,
+            "source": [rnd.choice(SOURCES) for _ in range(150)],
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    docs.to_parquet(f"{outdir}/documents.parquet", index=False)
+
+    # ---- events: 2000 rows incl. pre-1970 ts and >2^31 props.k ----------
+    base = pd.Timestamp("2024-01-01")
+    ts = []
+    for i in range(2000):
+        if i < 20:  # pre-1970 floor-division hazard
+            ts.append(pd.Timestamp("1969-12-31 12:00:00")
+                      + pd.Timedelta(minutes=rnd.randrange(0, 700)))
+        else:
+            ts.append(base + pd.Timedelta(seconds=rnd.randrange(0, 30 * 86400)))
+    ks = [rnd.randrange(0, 100) if i % 50 else 3_000_000_000 + i
+          for i in range(2000)]
+    events = pd.DataFrame(
+        {
+            "event_id": range(1, 2001),
+            "ts": ts,
+            "user_id": [rnd.randrange(1, 120) for _ in range(2000)],
+            "event_type": [rnd.choice(EVENT_TYPES) for _ in range(2000)],
+            "value": [
+                rnd.choice([0.0, 1e7, rnd.uniform(0, 500)])
+                for _ in range(2000)
+            ],
+            "props": [json.dumps({"k": k}) for k in ks],
+        }
+    )
+    events.to_parquet(f"{outdir}/events.parquet", index=False)
+
+    # ---- embeddings: 40 rows, dup + near-dup vectors, labels -------------
+    def vec():
+        return [rnd.uniform(-1, 1) or 0.5 for _ in range(EMB_DIM)]
+
+    vecs = [vec() for _ in range(40)]
+    vecs[7] = list(vecs[6])                       # exact dup
+    vecs[9] = [v + 0.001 for v in vecs[8]]        # near dup
+    emb = pd.DataFrame(
+        {
+            "vec_id": range(40),
+            "embedding": [[float(x) for x in v] for v in vecs],
+            "label": [rnd.randrange(0, 4) for _ in range(40)],
+        }
+    )
+    emb.to_parquet(f"{outdir}/embeddings.parquet", index=False)
+
+    # ---- TPC-H-ish tables -------------------------------------------------
+    pd.DataFrame(
+        {"r_regionkey": range(5),
+         "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]}
+    ).astype({"r_regionkey": "int32"}).to_parquet(
+        f"{outdir}/region.parquet", index=False)
+    pd.DataFrame(
+        {"n_nationkey": range(10),
+         "n_name": [f"NATION{i}" for i in range(10)],
+         "n_regionkey": [i % 5 for i in range(10)]}
+    ).astype({"n_nationkey": "int32", "n_regionkey": "int32"}).to_parquet(
+        f"{outdir}/nation.parquet", index=False)
+    ncust = 80
+    pd.DataFrame(
+        {"c_custkey": range(1, ncust + 1),
+         "c_name": [f"Customer#{i}" for i in range(1, ncust + 1)],
+         "c_nationkey": [rnd.randrange(0, 10) for _ in range(ncust)],
+         "c_acctbal": [round(rnd.uniform(-999, 9999), 2) for _ in range(ncust)],
+         "c_mktsegment": [rnd.choice(["BUILDING", "AUTOMOBILE", "MACHINERY"])
+                          for _ in range(ncust)]}
+    ).astype({"c_nationkey": "int32"}).to_parquet(
+        f"{outdir}/customer.parquet", index=False)
+    nsupp = 20
+    pd.DataFrame(
+        {"s_suppkey": range(1, nsupp + 1),
+         "s_name": [f"Supplier#{i}" for i in range(1, nsupp + 1)],
+         "s_nationkey": [rnd.randrange(0, 10) for _ in range(nsupp)],
+         "s_acctbal": [round(rnd.uniform(-999, 9999), 2) for _ in range(nsupp)]}
+    ).astype({"s_nationkey": "int32"}).to_parquet(
+        f"{outdir}/supplier.parquet", index=False)
+    npart = 50
+    pd.DataFrame(
+        {"p_partkey": range(1, npart + 1),
+         "p_name": [f"part {i}" for i in range(1, npart + 1)],
+         "p_brand": [f"Brand#{rnd.randrange(1, 6)}" for _ in range(npart)],
+         "p_type": [rnd.choice(["SMALL PLATED", "LARGE BRUSHED", "STANDARD"])
+                    for _ in range(npart)],
+         "p_size": [rnd.randrange(1, 50) for _ in range(npart)],
+         "p_retailprice": [round(rnd.uniform(900, 2000), 2)
+                           for _ in range(npart)]}
+    ).astype({"p_size": "int32"}).to_parquet(
+        f"{outdir}/part.parquet", index=False)
+    nord = 400
+    pd.DataFrame(
+        {"o_orderkey": range(1, nord + 1),
+         "o_custkey": [rnd.randrange(1, ncust + 1) for _ in range(nord)],
+         "o_orderstatus": [rnd.choice(["O", "F", "P"]) for _ in range(nord)],
+         "o_totalprice": [round(rnd.uniform(0, 300000), 2)
+                          for _ in range(nord)],
+         "o_orderdate": [base + pd.Timedelta(days=rnd.randrange(0, 365))
+                         for _ in range(nord)],
+         "o_orderpriority": [rnd.choice(["1-URGENT", "2-HIGH", "3-MEDIUM"])
+                             for _ in range(nord)]}
+    ).to_parquet(f"{outdir}/orders.parquet", index=False)
+    nli = 1500
+    pd.DataFrame(
+        {"l_orderkey": [rnd.randrange(1, nord + 1) for _ in range(nli)],
+         "l_partkey": [rnd.randrange(1, npart + 1) for _ in range(nli)],
+         "l_suppkey": [rnd.randrange(1, nsupp + 1) for _ in range(nli)],
+         "l_linenumber": [rnd.randrange(1, 8) for _ in range(nli)],
+         "l_quantity": [float(rnd.choice([0, 1, 25, 50]))
+                        for _ in range(nli)],
+         "l_extendedprice": [round(rnd.uniform(0, 90000), 2)
+                             for _ in range(nli)],
+         "l_discount": [round(rnd.choice([0.0, 0.05, 0.1]), 2)
+                        for _ in range(nli)],
+         "l_tax": [round(rnd.choice([0.0, 0.04, 0.08]), 2)
+                   for _ in range(nli)],
+         "l_returnflag": [rnd.choice(["A", "N", "R"]) for _ in range(nli)],
+         "l_linestatus": [rnd.choice(["O", "F"]) for _ in range(nli)],
+         "l_shipdate": [base + pd.Timedelta(days=rnd.randrange(0, 400))
+                        for _ in range(nli)]}
+    ).astype({"l_linenumber": "int32"}).to_parquet(
+        f"{outdir}/lineitem.parquet", index=False)
+
+
+def main() -> int:
+    seeds = [int(a) for a in sys.argv[1:]] or [1, 2]
+    spark = get_spark("fuzz-parity", cpus=8)
+    total_fail = 0
+    for seed in seeds:
+        outdir = os.path.join(
+            tempfile.gettempdir(), f"fuzz_sf_{os.getuid()}_{seed}"
+        )
+        shutil.rmtree(outdir, ignore_errors=True)
+        gen_tables(seed, outdir)
+        print(f"=== seed {seed} -> {outdir}")
+        _, n_fail, _ = check_parity.run(
+            outdir, spark=spark, label=f"s{seed}:"
+        )
+        total_fail += n_fail
+    return 1 if total_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
