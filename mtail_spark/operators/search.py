@@ -143,6 +143,11 @@ def substring_search(
     q = spark.createDataFrame([(g,) for g in qgrams], ["gram"])
     if index is None:
         index = build_trigram_index(corpus, id_col, text_col, n)
+    # literal IN-filter ahead of the join: semantically redundant with
+    # the broadcast join but it reaches the index SCAN — parquet
+    # row-group min/max pruning, and bucket pruning when the stored
+    # index is bucketed on gram (SelectedBucketsCount in the plan)
+    index = index.filter(F.col("gram").isin(qgrams))
     cand = (
         index.join(F.broadcast(q), "gram")
         .groupBy(id_col)

@@ -95,3 +95,37 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
     df.collect()
     plan = _executed(df)
     assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
+
+
+def test_bucketed_trigram_index_prunes_buckets(spark):
+    """The deployment shape search.build_trigram_index documents: the
+    index stored as a table bucketed on gram, so a grep's candidate
+    lookup scans only the buckets holding its query grams."""
+    import mtail_spark.operators.search as SR
+
+    name = "t_trigram_demo"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    corpus = spark.createDataFrame(
+        [(i, f"doc number {i} spark merge batch") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    (
+        SR.build_trigram_index(corpus)
+        .write.bucketBy(16, "gram").mode("overwrite")
+        .format("parquet").saveAsTable(name)
+    )
+    try:
+        out = SR.substring_search(
+            corpus, "merge batch", index=spark.table(name)
+        )
+        assert out.count() == 50
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the literal gram IN-filter reaches the bucketed scan: only
+        # the buckets containing query grams are read
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, plan
+        assert int(m.group(1)) < int(m.group(2))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
