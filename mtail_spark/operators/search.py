@@ -236,6 +236,7 @@ def search_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     k1: int = 2,
+    post: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents for a bag-of-terms query.
 
@@ -243,13 +244,21 @@ def search_topk(
                  idf(term) * sat(tf) / SCALE     (integer floor)
 
     The query-term list broadcasts (it is tiny by definition); the
-    postings build is the only corpus-sized work and in a real
-    deployment is a pre-built table this just reads.  N is a broadcast
+    postings build is the only corpus-sized work — pass a prebuilt
+    (term, doc, tf) table via `post=` (see postings(); bucketed on
+    term in deployment, the same shape test_scale_features proves for
+    the trigram index) and this just reads it.  N is a broadcast
     1-row subquery inside the same plan — no separate count action.
     Ties broken by ascending doc id, so top-k is fully
     deterministic."""
     spark = corpus.sparkSession
-    post = postings(corpus, id_col, text_col)
+    if post is None:
+        post = postings(corpus, id_col, text_col)
+    # literal IN-filter ahead of everything: it reaches the postings
+    # scan (row-group / bucket pruning on a stored index), and df(term)
+    # for the query terms is unchanged by dropping other terms' rows
+    qlits = sorted({t.lower() for t in query_terms})
+    post = post.filter(F.col("term").isin(qlits))
     dfreq = doc_freq(post, id_col)
     q = spark.createDataFrame(
         [(t.lower(),) for t in query_terms], ["term"]

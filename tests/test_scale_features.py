@@ -129,3 +129,39 @@ def test_bucketed_trigram_index_prunes_buckets(spark):
         assert int(m.group(1)) < int(m.group(2))
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_bucketed_postings_serve_keyword_search(spark):
+    """search_topk(post=stored) over a term-bucketed postings table:
+    prebuilt-index serving with bucket pruning, scores identical to
+    the inline build."""
+    import mtail_spark.operators.search as SR
+
+    name = "t_postings_demo"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    corpus = spark.createDataFrame(
+        [(1, "spark spark merge"), (2, "spark window"), (3, "the the")],
+        ["doc_id", "text"],
+    )
+    inline = sorted(
+        (r.doc_id, r.score)
+        for r in SR.search_topk(corpus, ["spark", "merge"], k=5).collect()
+    )
+    (
+        SR.postings(corpus)
+        .write.bucketBy(8, "term").mode("overwrite")
+        .format("parquet").saveAsTable(name)
+    )
+    try:
+        served = SR.search_topk(
+            corpus, ["spark", "merge"], k=5, post=spark.table(name)
+        )
+        assert sorted((r.doc_id, r.score) for r in served.collect()) \
+            == inline
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m and int(m.group(1)) < int(m.group(2)), plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
