@@ -942,6 +942,34 @@ def q_curation_pipeline(spark, sf):
     )
 
 
+def q_dedup_incremental_stream(spark, sf):
+    """Continuous-ingest delta dedup: the streaming form of
+    dedup_incremental (dedup.incremental_minhash_dups_stream) — the
+    new shard replays as a file stream, per-row HOF minhash
+    signatures, stream-static band join against the static base
+    index, stream-static verify join, append-mode replay.  Candidate
+    pairs that match in several bands dedupe on the replayed table
+    (candidate-sized).  Checked against the SAME oracle as the batch
+    operator — the fifth stream ≡ batch pair."""
+    from mtail_spark.streaming.windows import (
+        run_replay_append,
+        stream_table,
+    )
+
+    docs = _t(spark, sf, "documents")
+    base = docs.filter((F.col("doc_id") % 3) != 0)
+    new_stream = stream_table(spark, f"{sf}/documents.parquet").filter(
+        (F.col("doc_id") % 3) == 0
+    )
+    out = D.incremental_minhash_dups_stream(
+        new_stream, base, "doc_id", "text",
+        num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        shingle_k=MINHASH_K, threshold=MINHASH_THRESHOLD,
+    )
+    tbl = run_replay_append(out, "dedup_incremental_stream")
+    return tbl.dropDuplicates(["new_id", "base_id"])
+
+
 def q_curation_pipeline_v2(spark, sf):
     """Incremental-ingest curation composing the round-7 operators in
     ONE plan: classifier gate (linear_quality_score) -> Bloom
@@ -1536,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_agg": q_json_props_agg,
         "tumbling_window_stream": q_tumbling_window_stream,
         "curation_pipeline_v2": q_curation_pipeline_v2,
+        "dedup_incremental_stream": q_dedup_incremental_stream,
         # -- tier 4: multi-round-stable rows (>=2 green driver rows) --------
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_topk_orders": q_window_topk_orders,
@@ -3197,6 +3226,17 @@ def oracle_sql() -> dict[str, str]:
         # (same signature family), so the oracle filters the shared
         # CTE block to pairs straddling the shard boundary
         "dedup_incremental": (
+            "WITH " + _sql_minhash_cte_block("documents") + """
+            SELECT CASE WHEN id_a % 3 = 0 THEN id_a ELSE id_b END
+                     AS new_id,
+                   CASE WHEN id_a % 3 = 0 THEN id_b ELSE id_a END
+                     AS base_id,
+                   jaccard
+            FROM mh_pairs
+            WHERE (id_a % 3 = 0) <> (id_b % 3 = 0)
+        """),
+        # streaming dual checked against the SAME oracle: stream == batch
+        "dedup_incremental_stream": (
             "WITH " + _sql_minhash_cte_block("documents") + """
             SELECT CASE WHEN id_a % 3 = 0 THEN id_a ELSE id_b END
                      AS new_id,

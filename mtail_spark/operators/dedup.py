@@ -309,6 +309,111 @@ def incremental_minhash_dups(
     )
 
 
+def incremental_minhash_dups_stream(
+    new_stream: DataFrame,
+    base_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Continuous-ingest delta dedup: the STREAMING form of
+    incremental_minhash_dups — new documents arrive as a stream and
+    each micro-batch is deduped against the static base index with
+    stream-static joins only.
+
+    Two deliberate departures from the batch operator, both forced by
+    Structured Streaming's execution model and both value-preserving:
+
+    - Signatures are computed PER ROW with array HOFs
+      (array_min over transform) instead of explode + groupBy-min: a
+      streaming aggregation followed by a join is unsupported, and the
+      per-row form needs no state at all.  Same md5/h1+j*h2 arithmetic,
+      same longs, identical signatures (test-asserted).
+    - A pair matching in multiple bands is emitted once per matching
+      band; the candidate-pair dedup runs on the REPLAYED result table
+      (candidate-sized), not in-stream — callers do
+      `dropDuplicates(["new_id", "base_id"])` on the final table.
+
+    Shape at 100 TB: the base side is the precomputed bucketed
+    (band, bkey) table plus the base shingle relation; the stream
+    side is today's shard, map-side work only; every join is
+    stream-static (stateless), so the query runs in append mode with
+    no watermark requirements."""
+    assert num_hashes % bands == 0
+    spark = base_df.sparkSession
+    from mtail_spark.session import ensure_parallelism
+
+    # --- static base: identical construction to the batch operator ---
+    sh_base = ensure_parallelism(base_df, spark).select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), shingle_k).alias("shingles"),
+    )
+    bk_base = (
+        _minhash_signatures(sh_base, num_hashes)
+        .select(
+            "doc_id",
+            F.explode(_band_struct_array(num_hashes, bands)).alias("bb"),
+        )
+        .select("doc_id", "bb.band", "bb.bkey")
+    )
+
+    # --- stream side: stateless per-row signatures ---
+    sh_new = new_stream.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), shingle_k).alias("shingles"),
+    )
+    pairs = F.transform(
+        F.col("shingles"),
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h1"),
+            F.conv(F.substring(F.md5(s), 9, 8), 16, 10)
+            .cast("long")
+            .alias("h2"),
+        ),
+    )
+    # factory, NOT `lambda p, j=j`: PySpark inspects lambda arity and a
+    # two-parameter lambda becomes the (element, index) HOF form — the
+    # array index would silently shadow the hash index j
+    def _sig(j: int):
+        return F.array_min(
+            F.transform(F.col("_mh"), lambda p: p.h1 + F.lit(j) * p.h2)
+        ).alias(f"sig{j}")
+
+    sigged = sh_new.withColumn("_mh", pairs).select(
+        "doc_id",
+        "shingles",
+        *[_sig(j) for j in range(num_hashes)],
+    )
+    new_bands = sigged.select(
+        F.col("doc_id").alias("new_id"),
+        F.col("shingles").alias("sh_n"),
+        F.explode(_band_struct_array(num_hashes, bands)).alias("bb"),
+    ).select("new_id", "sh_n", "bb.band", "bb.bkey")
+    return (
+        new_bands.join(bk_base, ["band", "bkey"])
+        .select(
+            "new_id",
+            F.col("doc_id").alias("base_id"),
+            "sh_n",
+        )
+        .join(
+            sh_base.select(
+                F.col("doc_id").alias("base_id"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            "base_id",
+        )
+        .withColumn("jaccard", jaccard(F.col("sh_n"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "base_id", "jaccard")
+    )
+
+
 def simhash(col: Column, n_bits: int = 32) -> Column:
     """SimHash fingerprint over whitespace tokens (array-expression
     form; see simhash_table for the explode-based scale shape).

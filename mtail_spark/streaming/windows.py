@@ -109,6 +109,26 @@ def run_replay_to_table(stream_df: DataFrame, name: str) -> DataFrame:
     return stream_df.sparkSession.table(qname)
 
 
+def run_replay_append(stream_df: DataFrame, name: str) -> DataFrame:
+    """Append-mode counterpart of run_replay_to_table for STATELESS
+    streaming pipelines (map-side work + stream-static joins): every
+    emitted row lands in the memory sink once; the final table is the
+    concatenation of all micro-batch outputs.  The production form
+    writes to parquet/Kafka with the same semantics."""
+    import uuid
+
+    qname = f"{name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(qname)
+
+
 def session_windowed_agg(
     df: DataFrame,
     ts_col: str,

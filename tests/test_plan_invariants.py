@@ -33,6 +33,7 @@ STREAMING_REPLAY = {
     "rate_anomalies_stream",
     "dedup_exact_stream",
     "tumbling_window_stream",
+    "dedup_incremental_stream",
 }
 
 

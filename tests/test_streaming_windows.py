@@ -142,3 +142,42 @@ def test_parquet_replay_equals_batch(spark):
         map(tuple, entry.q_session_window_native(spark, sf).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_incremental_dedup_stream_equals_batch(spark, tmp_path):
+    """The streaming delta dedup must produce exactly the batch
+    operator's pairs (the per-row HOF signatures are bit-identical to
+    the explode+groupBy form, and the band/verify joins are the same
+    construction)."""
+    import mtail_spark.operators.dedup as D
+    from mtail_spark.streaming.windows import run_replay_append
+
+    rows = []
+    for i in range(30):
+        base_text = f"shared text block number {i % 7} with filler words"
+        rows.append((i, base_text if i % 4 else base_text + " extra"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    path = str(tmp_path / "docs.parquet")
+    df.write.parquet(path)
+
+    static = spark.read.parquet(path)
+    new_b = static.filter(F.col("doc_id") % 3 == 0)
+    base = static.filter(F.col("doc_id") % 3 != 0)
+    batch = {
+        (r.new_id, r.base_id, r.jaccard)
+        for r in D.incremental_minhash_dups(
+            new_b, base, "doc_id", "text"
+        ).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(path[:-1] + "[" + path[-1] + "]")
+        .filter(F.col("doc_id") % 3 == 0)
+    )
+    out = D.incremental_minhash_dups_stream(stream, base, "doc_id", "text")
+    tbl = run_replay_append(out, "incdedup_test").dropDuplicates(
+        ["new_id", "base_id"]
+    )
+    streamed = {(r.new_id, r.base_id, r.jaccard) for r in tbl.collect()}
+    assert streamed == batch and len(batch) > 0
