@@ -257,3 +257,39 @@ def test_bpe_merge_pairs_counts_multiplicity(spark):
     out = {r.pair: r.n_occurrences
            for r in TX.bpe_merge_pairs(docs, k=5).collect()}
     assert out == {"aa": 2}
+
+
+def test_linear_quality_score_hand_computed(spark):
+    import hashlib
+
+    def w(bg):
+        h = int(hashlib.md5(f"qcw-{bg}".encode()).hexdigest()[:15], 16)
+        return h % 1001 - 500
+
+    docs = spark.createDataFrame(
+        [(1, "Alpha beta gamma"), (2, "x"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in TX.linear_quality_score(docs).collect()}
+    # bigrams of doc 1 (lowercased): "alpha beta", "beta gamma"
+    exp = w("alpha beta") + w("beta gamma")
+    assert out[1].n_feats == 2 and out[1].score == exp
+    assert out[1].keep == (exp >= 0)
+    # <2 tokens and empty docs: zero features, score 0, kept
+    assert (out[2].n_feats, out[2].score, out[2].keep) == (0, 0, True)
+    assert (out[3].n_feats, out[3].score, out[3].keep) == (0, 0, True)
+
+
+def test_curation_pipeline_v2_stage_properties(spark):
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    out = E.q_curation_pipeline_v2(spark, sf).collect()
+    assert all(r.bucket in ("head", "middle", "tail") for r in out)
+    assert all(r.n_docs > 0 and r.sum_tokens >= 0 for r in out)
+    # survivors are a subset of the classifier-gated new shard: the
+    # pipeline's doc universe can never exceed it
+    docs = E._t(spark, sf, "documents")
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    gated = TX.linear_quality_score(new).filter(F.col("keep")).count()
+    assert sum(r.n_docs for r in out) <= gated
