@@ -2786,6 +2786,16 @@ _ORACLE_SESSION_WINDOW = """
 
 def oracle_sql() -> dict[str, str]:
     cents = "CAST(round({x} * 100) AS BIGINT)"
+    _sql_incremental = (
+        "WITH " + _sql_minhash_cte_block("documents") + """
+        SELECT CASE WHEN id_a % 3 = 0 THEN id_a ELSE id_b END
+                 AS new_id,
+               CASE WHEN id_a % 3 = 0 THEN id_b ELSE id_a END
+                 AS base_id,
+               jaccard
+        FROM mh_pairs
+        WHERE (id_a % 3 = 0) <> (id_b % 3 = 0)
+    """)
     k_expr = (
         "TRY_CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS BIGINT)"
     )
@@ -3224,28 +3234,11 @@ def oracle_sql() -> dict[str, str]:
         # the incremental operator's new x base band join finds
         # exactly the cross-set subset of the full self-join's pairs
         # (same signature family), so the oracle filters the shared
-        # CTE block to pairs straddling the shard boundary
-        "dedup_incremental": (
-            "WITH " + _sql_minhash_cte_block("documents") + """
-            SELECT CASE WHEN id_a % 3 = 0 THEN id_a ELSE id_b END
-                     AS new_id,
-                   CASE WHEN id_a % 3 = 0 THEN id_b ELSE id_a END
-                     AS base_id,
-                   jaccard
-            FROM mh_pairs
-            WHERE (id_a % 3 = 0) <> (id_b % 3 = 0)
-        """),
-        # streaming dual checked against the SAME oracle: stream == batch
-        "dedup_incremental_stream": (
-            "WITH " + _sql_minhash_cte_block("documents") + """
-            SELECT CASE WHEN id_a % 3 = 0 THEN id_a ELSE id_b END
-                     AS new_id,
-                   CASE WHEN id_a % 3 = 0 THEN id_b ELSE id_a END
-                     AS base_id,
-                   jaccard
-            FROM mh_pairs
-            WHERE (id_a % 3 = 0) <> (id_b % 3 = 0)
-        """),
+        # CTE block to pairs straddling the shard boundary; the
+        # streaming dual gets the IDENTICAL string (one definition —
+        # stream == batch is the claim, so the oracles cannot drift)
+        "dedup_incremental": _sql_incremental,
+        "dedup_incremental_stream": _sql_incremental,
         "cms_counts": _sql_cms_counts(),
         "hll_distinct": _sql_hll_distinct(),
         "hybrid_search": _sql_hybrid_search(),

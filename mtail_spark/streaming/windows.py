@@ -95,18 +95,7 @@ def run_replay_to_table(stream_df: DataFrame, name: str) -> DataFrame:
     parquet/Kafka — windowed_agg/session_windowed_agg support that via
     their `watermark` argument; state is then bounded by the watermark
     horizon, not stream length."""
-    import uuid
-
-    qname = f"{name}_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(qname)
+    return _run_replay(stream_df, name, "complete")
 
 
 def run_replay_append(stream_df: DataFrame, name: str) -> DataFrame:
@@ -115,13 +104,17 @@ def run_replay_append(stream_df: DataFrame, name: str) -> DataFrame:
     emitted row lands in the memory sink once; the final table is the
     concatenation of all micro-batch outputs.  The production form
     writes to parquet/Kafka with the same semantics."""
+    return _run_replay(stream_df, name, "append")
+
+
+def _run_replay(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
     import uuid
 
     qname = f"{name}_{uuid.uuid4().hex[:8]}"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(qname)
-        .outputMode("append")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -106,14 +106,25 @@ def gen_tables(seed: int, outdir: str) -> None:
                       + pd.Timedelta(minutes=rnd.randrange(0, 700)))
         else:
             ts.append(base + pd.Timedelta(seconds=rnd.randrange(0, 30 * 86400)))
+    # exact-duplicate (user_id, ts) and (event_type, ts) rows: every
+    # ordering tie-break (sessionize lag windows, LWW gauges, window
+    # ranks) must resolve on a deterministic secondary key in BOTH
+    # engines — chance collisions are ~0 at this scale, so force them
+    for i in range(30, 60, 2):
+        ts[i + 1] = ts[i]
+    users = [rnd.randrange(1, 120) for _ in range(2000)]
+    types = [rnd.choice(EVENT_TYPES) for _ in range(2000)]
+    for i in range(30, 60, 2):
+        users[i + 1] = users[i]
+        types[i + 1] = types[i]
     ks = [rnd.randrange(0, 100) if i % 50 else 3_000_000_000 + i
           for i in range(2000)]
     events = pd.DataFrame(
         {
             "event_id": range(1, 2001),
             "ts": ts,
-            "user_id": [rnd.randrange(1, 120) for _ in range(2000)],
-            "event_type": [rnd.choice(EVENT_TYPES) for _ in range(2000)],
+            "user_id": users,
+            "event_type": types,
             "value": [
                 rnd.choice([0.0, 1e7, rnd.uniform(0, 500)])
                 for _ in range(2000)
