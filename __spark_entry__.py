@@ -853,6 +853,25 @@ def q_dataset_split(spark, sf):
     ).select("doc_id", "lang", "split")
 
 
+def q_dataset_split_grouped(spark, sf):
+    """Leakage-safe GROUP-holdout split: the assignment hashes the
+    GROUP key (source), not the row id, so near-duplicate documents
+    within a source can never straddle the train/val boundary — the
+    standard guard against eval contamination through intra-group
+    duplication (the per-row split stays `dataset_split`).  Same
+    contiguous-bucket machinery (sampling.split_assign), just keyed
+    on the group column; membership is still a pure function, stable
+    under corpus growth."""
+    import mtail_spark.operators.sampling as SP
+
+    docs = _t(spark, sf, "documents")
+    return SP.split_assign(
+        docs, "source",
+        splits=[("train", 0.8), ("val", 0.2)],
+        salt="gsplit",
+    ).select("doc_id", "source", "split")
+
+
 def q_decontamination(spark, sf):
     """Benchmark decontamination (operators/decontam.py): flag corpus
     documents sharing 8-word n-grams with a (small, broadcast)
@@ -1565,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window_stream": q_tumbling_window_stream,
         "curation_pipeline_v2": q_curation_pipeline_v2,
         "dedup_incremental_stream": q_dedup_incremental_stream,
+        "dataset_split_grouped": q_dataset_split_grouped,
         # -- tier 4: multi-round-stable rows (>=2 green driver rows) --------
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_topk_orders": q_window_topk_orders,
@@ -2982,6 +3002,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (
               SELECT doc_id, lang,
                      ({_sql_bucket("'split'", "doc_id")}) AS b
+              FROM documents
+            )
+        """,
+        "dataset_split_grouped": f"""
+            SELECT doc_id, source,
+                   CASE WHEN b < 800000 THEN 'train'
+                        ELSE 'val' END AS split
+            FROM (
+              SELECT doc_id, source,
+                     ({_sql_bucket("'gsplit'", "source")}) AS b
               FROM documents
             )
         """,

@@ -120,3 +120,21 @@ def test_dsir_logweights_hand_computed(spark):
     assert out[3]["logw_micronats"] == term(0, 1) + term(0, 1)
     assert out[1]["logw_micronats"] > out[3]["logw_micronats"]
     assert (out[4]["n_feats"], out[4]["logw_micronats"]) == (0, 0)
+
+
+def test_group_holdout_split_never_straddles(spark):
+    """Every row of a group lands in the SAME split (the leakage
+    guard), and both splits are populated across enough groups."""
+    import mtail_spark.operators.sampling as SP
+
+    rows = [(i, f"src{i % 23}") for i in range(230)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = SP.split_assign(
+        df, "source", splits=[("train", 0.8), ("val", 0.2)], salt="gsplit"
+    ).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.source, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_group.values())
+    seen = {next(iter(s)) for s in by_group.values()}
+    assert seen == {"train", "val"}
