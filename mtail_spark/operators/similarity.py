@@ -233,7 +233,15 @@ def knn_gemm(
             for j in range(len(qids)):
                 col = sims[:, j]
                 if nb > kk:
-                    idx = np.argpartition(-col, kk - 1)[:kk]
+                    # keep the ENTIRE boundary tie group, not an
+                    # arbitrary argpartition pick among equal values:
+                    # two exactly-tied rows straddling the local-k
+                    # cutoff would otherwise drop the lower id here,
+                    # and the global id-ascending tie-break can't
+                    # recover a row the kernel never emitted
+                    part = np.argpartition(-col, kk - 1)
+                    kth = col[part[kk - 1]]
+                    idx = np.nonzero(col >= kth)[0]
                 else:
                     idx = np.arange(nb)
                 order = np.lexsort((ids[idx], -col[idx]))

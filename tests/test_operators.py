@@ -289,3 +289,24 @@ def test_hard_negatives_excludes_same_label(spark):
     assert all(r.neg_label != r.query_label for r in out)
     # the in-cluster wrong-label vector must rank first
     assert out[0].corpus_id == 4 and out[0].rank == 1
+
+
+def test_knn_gemm_boundary_tie_keeps_lowest_id(spark):
+    """Exact-duplicate vectors tied AT the local-top-k cutoff must
+    resolve to the LOWEST corpus id (found by fuzz_parity seed 5:
+    argpartition picked arbitrarily among equal values before the
+    id tie-break ran, silently dropping the lower id)."""
+    dim = 8
+    q = [(100, [1.0] * dim)]
+    # ids 1..5 all EXACTLY tied (same vector); k=2 cuts inside the tie
+    corpus = [(i, [0.5] * dim) for i in range(1, 6)]
+    df = spark.createDataFrame(q + corpus, ["vec_id", "embedding"])
+    out = sorted(
+        S.knn_gemm(
+            df.filter(F.col("vec_id") < 100),
+            df.filter(F.col("vec_id") == 100),
+            k=2, dim=dim,
+        ).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [(r.corpus_id, r.rank) for r in out] == [(1, 1), (2, 2)]
