@@ -309,9 +309,11 @@ def q_sessionize_events(spark, sf):
 def q_session_window_native(spark, sf):
     """Spark's native session_window operator (streaming-compatible
     gap-merge sessions) in batch mode: a new session starts when the
-    gap since the previous event is >= 30 minutes; session end =
-    last event + gap.  The oracle rebuilds the same sessions with
-    lag + running-sum session ids."""
+    gap since the previous event EXCEEDS 30 minutes (an event exactly
+    at the boundary merges — touching session ranges merge in Spark's
+    native operator, unlike the lag-based sessionize_events family's
+    >= convention); session end = last event + gap.  The oracle
+    rebuilds the same sessions with lag + running-sum session ids."""
     ev = _t(spark, sf, "events")
     ts = F.col("ts").cast("timestamp")
     return (
@@ -2776,6 +2778,13 @@ def _sql_multimodal_features() -> str:
 # Shared by session_window_native (batch) and session_window_stream
 # (streaming replay): lag + running-sum session reconstruction; cents
 # via round(value*100), matching the Spark side bit-for-bit.
+# STRICT > at the gap boundary: Spark's native session_window MERGES
+# an event arriving exactly `gap` after the previous one (touching
+# session ranges merge), so a new session starts only when the gap is
+# exceeded.  (The lag-based sessionize_events family deliberately
+# keeps its documented >= convention — both its engines agree; found
+# by fuzz_parity seed 8, which generated an exact-1800s gap the fixed
+# testdata never contains.)
 _ORACLE_SESSION_WINDOW = """
     WITH e AS (
       SELECT user_id, ts, event_id,
@@ -2785,7 +2794,7 @@ _ORACLE_SESSION_WINDOW = """
                   IS NULL
                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER
                     (PARTITION BY user_id ORDER BY ts, event_id)
-                  >= 1800000000
+                  > 1800000000
              THEN 1 ELSE 0 END AS new_s
       FROM events
     ), s AS (

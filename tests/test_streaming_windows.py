@@ -181,3 +181,26 @@ def test_incremental_dedup_stream_equals_batch(spark, tmp_path):
     )
     streamed = {(r.new_id, r.base_id, r.jaccard) for r in tbl.collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_session_window_exact_gap_boundary_merges(spark):
+    """Spark's native session_window MERGES an event arriving exactly
+    `gap` after the previous one (touching ranges merge) — pinned
+    because the oracle must use a strict > for new sessions (found by
+    fuzz_parity seed 8; the lag-based sessionize family deliberately
+    keeps >= and its own oracle)."""
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:30:00"),   # exactly 30 min later -> merges
+        (1, "2024-01-01 11:00:01"),   # 30 min + 1 s -> new session
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts_str"]).select(
+        "user_id", F.col("ts_str").cast("timestamp").alias("ts")
+    )
+    out = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("w.start")
+        .collect()
+    )
+    assert [r.n for r in out] == [2, 1]
