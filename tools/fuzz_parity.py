@@ -112,11 +112,23 @@ def gen_tables(seed: int, outdir: str) -> None:
     # engines — chance collisions are ~0 at this scale, so force them
     for i in range(30, 60, 2):
         ts[i + 1] = ts[i]
+    # exact-GAP pairs (next event precisely 1800 s after the previous
+    # for the same user) and exact on-the-hour events: gap-merge and
+    # tumbling-window boundary semantics must agree engine-to-engine.
+    # Seed 8 hit the session boundary by chance and exposed a real
+    # >=-vs-> divergence; plant it deterministically ever after.
+    for i in range(60, 80, 2):
+        ts[i + 1] = ts[i] + pd.Timedelta(seconds=1800)
+    for i in range(80, 90):
+        ts[i] = ts[i].floor("h")
     users = [rnd.randrange(1, 120) for _ in range(2000)]
     types = [rnd.choice(EVENT_TYPES) for _ in range(2000)]
     for i in range(30, 60, 2):
         users[i + 1] = users[i]
         types[i + 1] = types[i]
+    # exact-gap pairs must share the session key to exercise gap-merge
+    for i in range(60, 80, 2):
+        users[i + 1] = users[i]
     ks = [rnd.randrange(0, 100) if i % 50 else 3_000_000_000 + i
           for i in range(2000)]
     events = pd.DataFrame(
