@@ -453,6 +453,17 @@ def q_dedup_simhash(spark, sf):
     return D.simhash_table(docs, "doc_id", "text", SIMHASH_BITS)
 
 
+def q_dedup_simhash_pairs(spark, sf):
+    """SimHash near-dup PAIRS via the pigeonhole block join
+    (dedup.simhash_pairs): candidates from an exact block-key
+    self-join — the simhash analog of the MinHash band join — with
+    one-popcount verification; never an all-pairs scan."""
+    docs = _t(spark, sf, "documents")
+    return D.simhash_pairs(
+        docs, "doc_id", "text", SIMHASH_BITS, n_blocks=4, max_hamming=3
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf):
     docs = _t(spark, sf, "documents")
     return D.ngram_jaccard_pairs(
@@ -1587,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline_v2": q_curation_pipeline_v2,
         "dedup_incremental_stream": q_dedup_incremental_stream,
         "dataset_split_grouped": q_dataset_split_grouped,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         # -- tier 4: multi-round-stable rows (>=2 green driver rows) --------
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_topk_orders": q_window_topk_orders,
@@ -1798,6 +1810,36 @@ WITH tok AS (
 )
 SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM h
 """
+
+
+def _sql_simhash_pairs(
+    n_bits: int = SIMHASH_BITS, n_blocks: int = 4, max_hamming: int = 3
+) -> str:
+    """DuckDB mirror of dedup.simhash_pairs: same fingerprints
+    (shared _sql_simhash), same block keys (nonneg shifts as integer
+    div/mod), same popcount verification."""
+    bb = n_bits // n_blocks
+    return f"""
+        WITH fp AS ({_sql_simhash()}),
+        t AS (
+          SELECT doc_id, simhash, b.blk,
+                 (simhash // (CAST(1 AS BIGINT) << (b.blk * {bb})))
+                   % (CAST(1 AS BIGINT) << {bb}) AS bkey
+          FROM fp, (SELECT unnest(generate_series(0, {n_blocks - 1}))
+                    AS blk) b
+        ), cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.simhash AS sha, b.simhash AS shb
+          FROM t a JOIN t b
+            ON a.blk = b.blk AND a.bkey = b.bkey
+               AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sha, shb)) <= {max_hamming}
+    """
 
 
 def _sql_dot(a: str, b: str, dim: int = EMB_DIM) -> str:
@@ -3353,6 +3395,7 @@ FROM lab
             WHERE {_sql_cosine('a.embedding', 'c.embedding')} >= 0.3
         """,
         "dedup_simhash": _sql_simhash(),
+        "dedup_simhash_pairs": _sql_simhash_pairs(),
         "dedup_ngram_jaccard": f"""
             WITH g AS (
               SELECT doc_id, lang,

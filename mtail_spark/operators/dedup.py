@@ -482,6 +482,75 @@ def hamming_distance64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int = 32,
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS via the pigeonhole block join
+    (Manku et al. 2007): with n_blocks > max_hamming, any pair within
+    `max_hamming` bits must agree EXACTLY on at least one fingerprint
+    block, so candidates come from an equality self-join on
+    (block index, block value) — never an all-pairs scan — and only
+    candidates pay the popcount verification.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b and
+    hamming <= max_hamming.
+
+    At 100 TB this is the simhash analog of the MinHash band join:
+    the block relation is n_blocks rows per document of
+    (blk, bkey, id, fingerprint), the join key is uniform (hash
+    bits), and the verify step is one integer instruction per
+    candidate."""
+    assert n_blocks > max_hamming, "pigeonhole needs n_blocks > max_hamming"
+    block_bits = n_bits // n_blocks
+    fp = simhash_table(df, id_col, text_col, n_bits)
+    mask = (1 << block_bits) - 1
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.shiftright(F.col("simhash"), b * block_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("bkey"),
+            )
+            for b in range(n_blocks)
+        ]
+    )
+    t = fp.select(
+        F.col(id_col).alias("doc_id"),
+        "simhash",
+        F.explode(blocks).alias("bb"),
+    ).select("doc_id", "simhash", "bb.blk", "bb.bkey")
+    a, b = t.alias("a"), t.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            hamming_distance64(F.col("sh_a"), F.col("sh_b")).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

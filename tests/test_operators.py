@@ -310,3 +310,33 @@ def test_knn_gemm_boundary_tie_keeps_lowest_id(spark):
         key=lambda r: r.rank,
     )
     assert [(r.corpus_id, r.rank) for r in out] == [(1, 1), (2, 2)]
+
+
+def test_simhash_pairs_pigeonhole_complete(spark):
+    """The block join must find EVERY pair within max_hamming (the
+    pigeonhole guarantee) — verified against the brute-force pairs of
+    the fingerprint table — and nothing above the threshold."""
+    rows = [
+        (1, "alpha beta gamma delta common words here"),
+        (2, "alpha beta gamma delta common words here"),   # identical
+        (3, "alpha beta gamma delta common words there"),  # near
+        (4, "completely different content entirely other"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_pairs(
+            docs, "doc_id", "text", 32, n_blocks=4, max_hamming=3
+        ).collect()
+    }
+    fp = {r["doc_id"]: r["simhash"]
+          for r in D.simhash_table(docs, "doc_id", "text", 32).collect()}
+    want = {}
+    ids = sorted(fp)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(fp[a] ^ fp[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 0  # identical docs
