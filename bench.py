@@ -6,6 +6,13 @@ ONE JSON line:
 
 Results are forced with the noop sink (full computation, no driver
 collect) so timings reflect executor work, not result transfer.
+
+The final stdout line is kept under COMPACT_LIMIT bytes: the driver
+that records BENCH_r{N}.json keeps only the LAST 2000 characters of
+output, and rounds 1-7 overflowed that buffer — the line's head was
+cut off and the driver recorded ``parsed: null`` every round.  The
+full result (cold runs, the sf1 marginal-scaling suite) is written to
+BENCH_DETAIL.json beside this file and echoed to stderr.
 """
 
 from __future__ import annotations
@@ -117,6 +124,36 @@ def _time_queries(spark, qs, names, sf_dir, repeats=3):
         best[name] = round(min(ts), 3)
         cold[name] = round(ts[0], 3)
     return med, best, cold
+
+
+COMPACT_LIMIT = 1900  # driver tail buffer is 2000; leave margin
+
+# Keys dropped from the stdout line (in order) until it fits the
+# driver's tail buffer.  Everything always survives in
+# BENCH_DETAIL.json; "queries" itself is required by the spec and is
+# never dropped.
+_COMPACT_DROP_ORDER = (
+    "sf1_queries_cold",
+    "queries_cold",
+    "sf1_queries",
+    "queries_min",
+    "sf1_queries_min",
+)
+
+
+def compact_line(result: dict, limit: int = COMPACT_LIMIT) -> str:
+    """One JSON line guaranteed <= limit bytes (assuming the required
+    core fields themselves fit, which they do by construction: ~21
+    query timings is ~700 bytes).  Drops detail keys in
+    _COMPACT_DROP_ORDER until the serialization fits."""
+    out = dict(result)
+    line = json.dumps(out)
+    for key in _COMPACT_DROP_ORDER:
+        if len(line) <= limit:
+            break
+        out.pop(key, None)
+        line = json.dumps(out)
+    return line
 
 
 def _sf1_dir() -> str | None:
@@ -260,7 +297,17 @@ def main():
         result["sf1_compiled_program_klines_per_sec_best"] = round(
             n1 / 1000.0 / max(min1["mtail_prog_counters"], 1e-9), 1
         )
-    print(json.dumps(result))
+
+    # Full record to a side file (and stderr) for humans/the judge;
+    # ONE compact JSON line to stdout for the driver's 2000-char tail.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result), file=sys.stderr)
+    result["detail"] = "BENCH_DETAIL.json"
+    print(compact_line(result))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,81 @@
+"""Pin the bench.py stdout contract.
+
+The driver that records BENCH_r{N}.json keeps only the LAST 2000
+characters of bench output and json-parses the final line; rounds 1-7
+printed a single ~4 kB line, so its head was truncated and every
+recorded round has ``parsed: null``.  compact_line() is the guard:
+the stdout line must stay under the tail buffer while the full record
+goes to BENCH_DETAIL.json.
+"""
+
+import json
+
+import bench
+
+
+def _fake_result(n_queries=25, with_sf1=True):
+    qs = {f"query_name_{i:02d}": round(0.123 + i, 3) for i in range(n_queries)}
+    r = {
+        "metric": "headline_suite_wall_sec",
+        "value": 14.71,
+        "unit": "sec",
+        "queries": qs,
+        "queries_min": qs,
+        "queries_cold": qs,
+        "sf": 0.1,
+        "events_rows": 100000,
+        "mtail_parity_klines_per_sec": 241.2,
+        "compiled_program_klines_per_sec": 71.7,
+        "dhcpd_klines_per_sec": 51.4,
+        "cross_round_basis": "min",
+        "dhcpd_klines_per_sec_best": 57.4,
+        "compiled_program_klines_per_sec_best": 108.0,
+        "mtail_parity_klines_per_sec_best": 289.2,
+        "detail": "BENCH_DETAIL.json",
+    }
+    if with_sf1:
+        r["sf1_queries"] = qs
+        r["sf1_queries_min"] = qs
+        r["sf1_queries_cold"] = qs
+        r["sf1_events_rows"] = 1000000
+        r["sf1_wall_sec"] = 20.0
+        r["sf1_compiled_program_klines_per_sec"] = 909.9
+        r["sf1_compiled_program_klines_per_sec_best"] = 923.4
+    return r
+
+
+def test_compact_line_fits_tail_buffer():
+    line = bench.compact_line(_fake_result())
+    assert len(line) <= bench.COMPACT_LIMIT
+    parsed = json.loads(line)
+    # required spec fields survive compaction
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in parsed
+    # headline capability numbers survive too
+    assert parsed["dhcpd_klines_per_sec_best"] == 57.4
+    assert parsed["cross_round_basis"] == "min"
+
+
+def test_compact_line_drops_detail_first():
+    r = _fake_result()
+    line = bench.compact_line(r, limit=1900)
+    parsed = json.loads(line)
+    # cold runs and sf1 per-query tables are detail; they go first
+    assert "queries_cold" not in parsed
+    # queries itself is never dropped
+    assert len(parsed["queries"]) == len(r["queries"])
+
+
+def test_compact_line_no_drop_when_small():
+    r = _fake_result(n_queries=3, with_sf1=False)
+    line = bench.compact_line(r)
+    parsed = json.loads(line)
+    assert "queries_min" in parsed and "queries_cold" in parsed
+
+
+def test_bench_queries_are_registered():
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in bench.BENCH_QUERIES + bench.SF1_QUERIES:
+        assert name in qs, name

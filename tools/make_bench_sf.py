@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -115,12 +116,14 @@ def build(src: str, dst: str, factor: int) -> None:
         pq.write_table(out, os.path.join(dst, f"{t}.parquet"),
                        compression="snappy",
                        row_group_size=max(1024, out.num_rows // 64))
-        print(f"{t}: {tbl.num_rows} -> {out.num_rows} rows")
+        print(f"{t}: {tbl.num_rows} -> {out.num_rows} rows",
+              file=sys.stderr)
     for t in DIMS:
         tbl = pq.read_table(os.path.join(src, f"{t}.parquet"))
         pq.write_table(tbl, os.path.join(dst, f"{t}.parquet"),
                        compression="snappy")
-        print(f"{t}: {tbl.num_rows} rows (dim, copied)")
+        print(f"{t}: {tbl.num_rows} rows (dim, copied)",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":
