@@ -1391,6 +1391,10 @@ def q_substring_search(spark, sf):
 
 GREP_NEEDLE_2 = "scan query"
 
+# temp index dirs this process created and will rm at exit (one
+# atexit registration per path)
+_TRIGRAM_TMP_DIRS: set = set()
+
 
 def q_grep_index_reuse(spark, sf):
     """One trigram index, TWO greps: build_trigram_index is written
@@ -1400,8 +1404,10 @@ def q_grep_index_reuse(spark, sf):
     exactly once at build time, and each query-side plan is a scan of
     the index table + broadcast gram lookup + candidate-only verify.
     Output = union of both greps tagged by needle."""
+    import atexit
     import hashlib
     import os
+    import shutil
     import tempfile
 
     import mtail_spark.operators.search as SR
@@ -1410,13 +1416,18 @@ def q_grep_index_reuse(spark, sf):
     # deterministic per-(user, sf, PROCESS) path: repeated runs in one
     # process overwrite a single directory (no mkdtemp leak), and the
     # pid component keeps concurrent processes (parity gate + pytest)
-    # from racing overwrite-vs-lazy-scan on a shared path
+    # from racing overwrite-vs-lazy-scan on a shared path.  The
+    # process that created the directory removes it at exit (ADVICE
+    # r7: the pid path otherwise leaks one parquet dir per run).
     tag = hashlib.md5(sf.encode()).hexdigest()[:12]
-    path = os.path.join(
+    base = os.path.join(
         tempfile.gettempdir(),
         f"trigram_idx_{os.getuid()}_{tag}_{os.getpid()}",
-        "index.parquet",
     )
+    path = os.path.join(base, "index.parquet")
+    if base not in _TRIGRAM_TMP_DIRS:
+        _TRIGRAM_TMP_DIRS.add(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
     SR.build_trigram_index(docs).write.mode("overwrite").parquet(path)
     idx = spark.read.parquet(path)
     outs = [
@@ -2409,12 +2420,21 @@ def _sql_hist_quantiles(bin_width: int = 64) -> str:
 
 
 _SQL_JSON_PROPS_AGG = """
+    -- json_valid guard mirrors Spark's from_json(permissive): a
+    -- malformed props row becomes NULL k on BOTH engines instead of
+    -- raising in DuckDB only (ADVICE r7)
+    WITH kx AS (
+      SELECT event_type,
+             CASE WHEN json_valid(props)
+                  THEN CAST(json_extract(props, '$.k') AS BIGINT)
+             END AS k
+      FROM events
+    )
     SELECT event_type,
-           CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decile,
+           k // 10 AS k_decile,
            count(*) AS n_events,
-           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
-                AS BIGINT) AS sum_k
-    FROM events GROUP BY 1, 2
+           CAST(sum(k) AS BIGINT) AS sum_k
+    FROM kx GROUP BY 1, 2
 """
 
 

@@ -136,7 +136,14 @@ def substring_search(
     len(needle)-gram-sized and broadcast, the candidate intersection
     is one count-filter aggregation, and the full-text verification
     scan touches candidates only — the corpus is never regex-scanned.
-    With index=None it builds inline from the same scan."""
+    With index=None it builds inline from the same scan.
+
+    SNAPSHOT CONTRACT (ADVICE r7): a prebuilt `index=` must come from
+    the SAME corpus snapshot as `corpus` — candidates are intersected
+    against the index but VERIFIED against `corpus`, so a stale index
+    drops documents added since the build (missed hits) and ghosts
+    deleted ones into the verify join (harmless but wasted work).
+    Rebuild or incrementally append the index with the corpus."""
     assert len(needle) >= n
     qgrams = sorted({needle[i:i + n] for i in range(len(needle) - n + 1)})
     spark = corpus.sparkSession
@@ -237,6 +244,7 @@ def search_topk(
     text_col: str = "text",
     k1: int = 2,
     post: DataFrame | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Top-k documents for a bag-of-terms query.
 
@@ -247,13 +255,25 @@ def search_topk(
     postings build is the only corpus-sized work — pass a prebuilt
     (term, doc, tf) table via `post=` (see postings(); bucketed on
     term in deployment, the same shape test_scale_features proves for
-    the trigram index) and this just reads it.  N is a broadcast
-    1-row subquery inside the same plan — no separate count action.
-    Ties broken by ascending doc id, so top-k is fully
-    deterministic."""
+    the trigram index) and this just reads it.
+
+    SNAPSHOT CONTRACT (ADVICE r7): a prebuilt `post=` table must come
+    from the SAME corpus snapshot as `corpus` — idf uses the corpus
+    document count, so a stale index silently skews scores.  A
+    deployment stores n_docs next to the index and passes it via
+    `n_docs=` so the pair travels together; with n_docs=None the
+    count comes from `corpus` as a broadcast 1-row subquery inside
+    the same plan — no separate count action.  Ties broken by
+    ascending doc id, so top-k is fully deterministic."""
     spark = corpus.sparkSession
     if post is None:
         post = postings(corpus, id_col, text_col)
+    ndocs_rel = (
+        spark.range(1).select(F.lit(int(n_docs)).cast("long")
+                              .alias("_n_docs"))
+        if n_docs is not None
+        else _n_docs_rel(corpus)
+    )
     # literal IN-filter ahead of everything: it reaches the postings
     # scan (row-group / bucket pruning on a stored index), and df(term)
     # for the query terms is unchanged by dropping other terms' rows
@@ -266,7 +286,7 @@ def search_topk(
     hits = (
         post.join(F.broadcast(q), "term")
         .join(F.broadcast(dfreq.join(F.broadcast(q), "term")), "term")
-        .crossJoin(F.broadcast(_n_docs_rel(corpus)))
+        .crossJoin(F.broadcast(ndocs_rel))
         .withColumn(
             "contrib",
             F.floor(

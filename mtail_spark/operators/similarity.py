@@ -984,24 +984,28 @@ def hard_negatives(
     filter and exact-rerank (the sim_pq_rerank composition); this
     exact form is the oracle-checkable reference."""
     kern = cosine_fold_udf()
+    # the mismatch FILTER compares RAW label values (like the oracle's
+    # `q.label <> c.label`); only the OUTPUT columns cast to long.  A
+    # cast-then-compare would silently exclude labels that don't cast
+    # (cast yields NULL, NULL != x is NULL) where the oracle keeps them.
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
-        F.col(label_col).cast("long").alias("neg_label"),
+        F.col(label_col).alias("_neg_label_raw"),
         as_double(F.col(vec_col)).alias("cvec"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(label_col).cast("long").alias("query_label"),
+        F.col(label_col).alias("_query_label_raw"),
         as_double(F.col(vec_col)).alias("qvec"),
     )
     scored = (
         c.join(F.broadcast(q))
-        .filter(F.col("neg_label") != F.col("query_label"))
+        .filter(F.col("_neg_label_raw") != F.col("_query_label_raw"))
         .select(
             "query_id",
-            "query_label",
+            F.col("_query_label_raw").cast("long").alias("query_label"),
             "corpus_id",
-            "neg_label",
+            F.col("_neg_label_raw").cast("long").alias("neg_label"),
             kern(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
         )
     )
