@@ -1503,6 +1503,134 @@ def q_rate_anomalies_stream(spark, sf):
     return TS.trailing_z(tbl, trail=24, min_windows=3)
 
 
+# ------------------------------------------------- round-8 analytics family
+
+FUNNEL_STAGES = ["signup", "view", "purchase"]
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_asof_join_last_touch(spark, sf):
+    """As-of join (timeseries.asof_join): every purchase event gets
+    the most recent prior click by the same user — last-touch
+    attribution.  Spark lacks ASOF JOIN; the operator expresses the
+    sort-merge-as-of as union + running last_value over ONE key
+    shuffle (see the operator docstring).  Equal timestamps count as
+    prior; duplicate build timestamps break ties on the larger
+    event_id — deterministic in both engines."""
+    import mtail_spark.operators.timeseries as TS
+
+    ev = _t(spark, sf, "events")
+    return TS.asof_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+
+
+def q_funnel_conversion(spark, sf):
+    """Ordered funnel (analytics.funnel): signup -> view -> purchase,
+    stage i counted from each user's first stage-(i-1) time.  Exact
+    user counts + integer-permille conversion."""
+    import mtail_spark.operators.analytics as AN
+
+    return AN.funnel(_t(spark, sf, "events"), FUNNEL_STAGES)
+
+
+def q_retention_cohorts(spark, sf):
+    """Retention triangle (analytics.retention_cohorts): users bucket
+    into day cohorts by first activity; each (cohort_day, offset_days)
+    cell counts cohort users active that day.  Per-user state collapses
+    to one row before anything groups on the cohort dimension."""
+    import mtail_spark.operators.analytics as AN
+
+    return AN.retention_cohorts(_t(spark, sf, "events"))
+
+
+def q_rollup_report(spark, sf):
+    """Subtotal report (analytics.rollup_report): GROUP BY
+    ROLLUP(event_type, day-of-week) — cells, per-type subtotals, and
+    grand total in one Expand+aggregate pass; lvl disambiguates
+    subtotal rows.  Exact counts + integer cents."""
+    import mtail_spark.operators.analytics as AN
+
+    return AN.rollup_report(_t(spark, sf, "events"))
+
+
+def q_pivot_wide(spark, sf):
+    """Long-to-wide pivot (analytics.pivot_wide): one row per user,
+    one count column per declared event type (explicit value list —
+    stable schema, no distinct-values pre-job)."""
+    import mtail_spark.operators.analytics as AN
+
+    return AN.pivot_wide(_t(spark, sf, "events"), PIVOT_TYPES)
+
+
+def q_skew_salted_agg(spark, sf):
+    """Two-phase salted aggregation (analytics.salted_agg): the
+    hot-key fan-out shape (salt -> partial -> merge), oracle-checked
+    against the direct GROUP BY it must equal."""
+    import mtail_spark.operators.analytics as AN
+
+    return AN.salted_agg(_t(spark, sf, "events"), shards=16)
+
+
+def q_sliding_window_stats(spark, sf):
+    """Trailing-5-rows moving statistics per user
+    (timeseries.sliding_stats): integer-cent frame sums (exact under
+    any accumulation order), count and max, ties resolved by
+    event_id.  One shuffle, one sort, one Window node."""
+    import mtail_spark.operators.timeseries as TS
+
+    return TS.sliding_stats(_t(spark, sf, "events"), trail_rows=5)
+
+
+def q_band_join_counts(spark, sf):
+    """Time-band co-occurrence (timeseries.band_join_counts): per
+    event, neighbors from other users within +-120 s.  Bucketed
+    equi-join on radius-sized time cells — the range join that does
+    NOT become a cartesian product at scale."""
+    import mtail_spark.operators.timeseries as TS
+
+    return TS.band_join_counts(_t(spark, sf, "events"), radius_s=120)
+
+
+def q_tpch_q3_shipping(spark, sf):
+    """TPC-H Q3 (shipping priority): BUILDING-segment orders placed
+    before the cutoff with lineitems shipped after it; top 10 by
+    revenue.  customer is a broadcast dim (the fact side never
+    shuffles for it); orders x lineitem shuffles once on orderkey;
+    the top-10 is TakeOrderedAndProject (per-partition heaps).
+    Revenue in integer cents, full deterministic tie-break."""
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    cust = _t(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust),
+                orders.o_custkey == cust.c_custkey,
+            ).select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            )
+            .cast("long")
+            .alias("revenue_cents")
+        )
+        .orderBy(
+            F.col("revenue_cents").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -1532,7 +1660,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window contents.
     """
     return {
-        # -- tier 0: new this round ------------------------------------------
+        # -- tier 0: new round 8 ---------------------------------------------
+        "asof_join_last_touch": q_asof_join_last_touch,
+        "funnel_conversion": q_funnel_conversion,
+        "retention_cohorts": q_retention_cohorts,
+        "rollup_report": q_rollup_report,
+        "pivot_wide": q_pivot_wide,
+        "skew_salted_agg": q_skew_salted_agg,
+        "sliding_window_stats": q_sliding_window_stats,
+        "band_join_counts": q_band_join_counts,
+        "tpch_q3_shipping": q_tpch_q3_shipping,
+        # -- tier 1: NO driver row yet (staged past the window in r7) -------
+        "hard_negatives": q_hard_negatives,
+        "bpe_merge_pairs": q_bpe_merge_pairs,
+        "hist_quantiles": q_hist_quantiles,
+        "json_props_agg": q_json_props_agg,
+        "tumbling_window_stream": q_tumbling_window_stream,
+        "curation_pipeline_v2": q_curation_pipeline_v2,
+        "dedup_incremental_stream": q_dedup_incremental_stream,
+        "dataset_split_grouped": q_dataset_split_grouped,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        # -- tier 2: flagships displaced in r7 (last green row is r6) -------
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_topk_gemm": q_sim_topk_gemm,
+        "pack_sequences": q_pack_sequences,
+        "decontamination": q_decontamination,
+        # -- tier 2b: stalest multi-green rows (last green row is r6) -------
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "window_topk_orders": q_window_topk_orders,
+        "sessionize_events": q_sessionize_events,
+        "session_window_native": q_session_window_native,
+        "tumbling_window_counts": q_tumbling_window_counts,
+        "set_ops_users": q_set_ops_users,
+        "distinct_users_by_type": q_distinct_users_by_type,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_groups_cc": q_dedup_groups_cc,
+        "dedup_embedding": q_dedup_embedding,
+        "embedding_nn": q_embedding_nn,
+        # -- tier 3: mtail_* reference-parity core (always in-window) -------
+        "mtail_linecount": q_mtail_linecount,
+        "mtail_counter_by": q_mtail_counter_by,
+        "mtail_bytes_sum": q_mtail_bytes_sum,
+        "mtail_gauge_lww": q_mtail_gauge_lww,
+        "mtail_histogram": q_mtail_histogram,
+        "mtail_strptime_hour": q_mtail_strptime_hour,
+        "mtail_getfilename": q_mtail_getfilename,
+        "mtail_prog_counters": q_mtail_prog_counters,
+        "mtail_prog_dhcpd": q_mtail_prog_dhcpd,
+        "mtail_prog_dhcpd_core": q_mtail_prog_dhcpd_core,
+        "mtail_prog_gauge": q_mtail_prog_gauge,
+        "mtail_prog_histogram": q_mtail_prog_histogram,
+        "mtail_prog_stateful": q_mtail_prog_stateful,
+        "mtail_prog_txn": q_mtail_prog_txn,
+        # ---------------- position 50 boundary is ABOVE this line ----------
+        # (9 new + 9 never-verified + 6 flagships + 12 stale-r6 + 14
+        # mtail_* = exactly 50; tests/test_entry_contract.py pins the
+        # required contents)
+        # -- tier 4a: r6-green rows next in line to rotate back in ----------
+        "sim_topk_bruteforce": q_sim_topk_bruteforce,
+        "sim_lsh_bucketed": q_sim_lsh_bucketed,
+        "sim_ivf": q_sim_ivf,
+        "sim_ivf_fixed": q_sim_ivf_fixed,
+        "text_token_counts": q_text_token_counts,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "text_pii": q_text_pii,
+        "sample_documents": q_sample_documents,
+        "dataset_split": q_dataset_split,
+        # -- tier 4b: freshly proven in CORRECTNESS_r07 (green this round) --
         "grep_index_reuse": q_grep_index_reuse,
         "bloom_membership": q_bloom_membership,
         "perplexity_buckets": q_perplexity_buckets,
@@ -1540,7 +1740,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_pq": q_sim_topk_pq,
         "sim_pq_rerank": q_sim_pq_rerank,
         "quality_classifier": q_quality_classifier,
-        # -- tier 1: no driver CORRECTNESS row as of round 6 ---------------
         "training_data_pipeline": q_training_data_pipeline,
         "curation_pipeline": q_curation_pipeline,
         "multimodal_meta": q_multimodal_meta,
@@ -1564,77 +1763,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "substring_search": q_substring_search,
         "vocab_head": q_vocab_head,
-        # -- tier 2: exactly one green driver row (round 6) -----------------
         "semantic_dedup": q_semantic_dedup,
         "text_lm_xent": q_text_lm_xent,
         "dsir_weights": q_dsir_weights,
         "span_dedup": q_span_dedup,
         "sample_stratified": q_sample_stratified,
         "session_window_stream": q_session_window_stream,
-        # -- tier 3: mtail_* reference-parity core (always in-window) -------
-        "mtail_linecount": q_mtail_linecount,
-        "mtail_counter_by": q_mtail_counter_by,
-        "mtail_bytes_sum": q_mtail_bytes_sum,
-        "mtail_gauge_lww": q_mtail_gauge_lww,
-        "mtail_histogram": q_mtail_histogram,
-        "mtail_strptime_hour": q_mtail_strptime_hour,
-        "mtail_getfilename": q_mtail_getfilename,
-        "mtail_prog_counters": q_mtail_prog_counters,
-        "mtail_prog_dhcpd": q_mtail_prog_dhcpd,
-        "mtail_prog_dhcpd_core": q_mtail_prog_dhcpd_core,
-        "mtail_prog_gauge": q_mtail_prog_gauge,
-        "mtail_prog_histogram": q_mtail_prog_histogram,
-        "mtail_prog_stateful": q_mtail_prog_stateful,
-        "mtail_prog_txn": q_mtail_prog_txn,
-        # ---------------- position 50 boundary is ABOVE this line ----------
-        # (7 new + 23 unverified + 6 single-green + 14 mtail_* = exactly
-        # 50; tests/test_entry_contract.py pins the required contents)
-        # -- staged flagships: DISPLACED from the window this round (they
-        # have >= 2 green driver rows; they did NOT get a round-7 row) ------
-        "tpch_pricing_summary": q_tpch_pricing_summary,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "sim_topk_gemm": q_sim_topk_gemm,
-        "pack_sequences": q_pack_sequences,
-        "decontamination": q_decontamination,
-        # -- staging: new queries that no longer fit the full window --------
-        # (judge-verifiable via check_parity now; first in line to
-        # rotate INTO the window next round when current tier-0/1 rows
-        # earn their driver greens)
-        "hard_negatives": q_hard_negatives,
-        "bpe_merge_pairs": q_bpe_merge_pairs,
-        "hist_quantiles": q_hist_quantiles,
-        "json_props_agg": q_json_props_agg,
-        "tumbling_window_stream": q_tumbling_window_stream,
-        "curation_pipeline_v2": q_curation_pipeline_v2,
-        "dedup_incremental_stream": q_dedup_incremental_stream,
-        "dataset_split_grouped": q_dataset_split_grouped,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        # -- tier 4: multi-round-stable rows (>=2 green driver rows) --------
-        "join_revenue_by_nation": q_join_revenue_by_nation,
-        "window_topk_orders": q_window_topk_orders,
-        "sessionize_events": q_sessionize_events,
-        "session_window_native": q_session_window_native,
-        "tumbling_window_counts": q_tumbling_window_counts,
-        "set_ops_users": q_set_ops_users,
-        "distinct_users_by_type": q_distinct_users_by_type,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_groups_cc": q_dedup_groups_cc,
-        "dedup_embedding": q_dedup_embedding,
-        "embedding_nn": q_embedding_nn,
-        "sim_topk_bruteforce": q_sim_topk_bruteforce,
-        "sim_lsh_bucketed": q_sim_lsh_bucketed,
-        "sim_ivf": q_sim_ivf,
-        "sim_ivf_fixed": q_sim_ivf_fixed,
-        "text_token_counts": q_text_token_counts,
-        "text_quality": q_text_quality,
-        "text_lang_id": q_text_lang_id,
-        "text_fingerprint": q_text_fingerprint,
-        "text_repetition": q_text_repetition,
-        "text_pii": q_text_pii,
-        "sample_documents": q_sample_documents,
-        "dataset_split": q_dataset_split,
     }
 
 
@@ -2875,6 +3009,158 @@ _ORACLE_SESSION_WINDOW = """
 """
 
 
+# ------------------------------------------- round-8 analytics oracles
+
+_SQL_ASOF_LAST_TOUCH = """
+    -- sort-merge as-of via LATERAL top-1: latest click with ts <= the
+    -- purchase ts per user; ties on equal build ts resolve to the
+    -- larger event_id (same tie-break as the Spark running-window)
+    WITH p AS (
+      SELECT event_id, user_id, ts, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'purchase'
+    ), b AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events
+      WHERE event_type = 'click'
+    )
+    SELECT p.event_id AS probe_id, p.user_id AS key, p.ts,
+           m.b_id, m.b_value,
+           CAST(p.us - m.b_us AS BIGINT) AS lag_us
+    FROM p LEFT JOIN LATERAL (
+      SELECT b.event_id AS b_id, b.value AS b_value, b.us AS b_us
+      FROM b WHERE b.user_id = p.user_id AND b.us <= p.us
+      ORDER BY b.us DESC, b.event_id DESC LIMIT 1
+    ) m ON TRUE
+"""
+
+_SQL_FUNNEL = f"""
+    WITH u0 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ), u1 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN u0 ON e.user_id = u0.user_id AND e.ts >= u0.t
+      WHERE e.event_type = 'view' GROUP BY 1
+    ), u2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN u1 ON e.user_id = u1.user_id AND e.ts >= u1.t
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    ), c AS (
+      SELECT 0 AS stage_idx, 'signup' AS stage,
+             (SELECT count(*) FROM u0) AS n_users
+      UNION ALL SELECT 1, 'view', (SELECT count(*) FROM u1)
+      UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM u2)
+    )
+    SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+           CAST(n_users AS BIGINT) AS n_users,
+           CASE WHEN (SELECT count(*) FROM u0) > 0
+                THEN CAST(n_users * 1000 // (SELECT count(*) FROM u0)
+                          AS BIGINT)
+           END AS conv_permille
+    FROM c
+"""
+
+_SQL_RETENTION = """
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY 1
+    ), a AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT cohort_day,
+           CAST(datediff('day', cohort_day, day) AS BIGINT)
+             AS offset_days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+"""
+
+_SQL_ROLLUP_REPORT = """
+    -- date_part('dow') is 0=Sunday..6=Saturday, matching the Spark
+    -- side's dayofweek()-1
+    SELECT event_type, CAST(dow AS BIGINT) AS dow,
+           CAST(grouping(event_type) * 2 + grouping(dow) AS BIGINT)
+             AS lvl,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM (SELECT event_type, date_part('dow', ts) AS dow, value
+          FROM events)
+    GROUP BY ROLLUP(event_type, dow)
+"""
+
+_SQL_PIVOT_WIDE = """
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+             AS n_click,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+             AS n_error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+             AS n_purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+             AS n_signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+             AS n_view
+    FROM events GROUP BY 1
+"""
+
+_SQL_SALTED_AGG = """
+    -- the salted two-phase plan must EQUAL the direct group-by; the
+    -- shard census mirrors pmod(event_id, 16) sign-safely
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(count(DISTINCT ((event_id % 16) + 16) % 16) AS BIGINT)
+             AS n_shards_seen
+    FROM events GROUP BY 1
+"""
+
+_SQL_SLIDING_STATS = """
+    WITH c AS (
+      SELECT event_id, user_id AS key, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id, key, ts,
+           CAST(sum(cents) OVER w AS BIGINT) AS trail_sum_cents,
+           CAST(count(*) OVER w AS BIGINT) AS trail_n,
+           CAST(max(cents) OVER w AS BIGINT) AS trail_max_cents
+    FROM c
+    WINDOW w AS (PARTITION BY key ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+_SQL_BAND_JOIN = """
+    -- reference inequality self-join (IEJoin in DuckDB); the Spark
+    -- operator gets the same answer from the bucketed equi-join
+    WITH b AS (
+      SELECT event_id, user_id AS key, epoch_us(ts) AS us FROM events
+    )
+    SELECT a.event_id, a.key,
+           CAST(count(n.event_id) AS BIGINT) AS n_neighbors
+    FROM b a LEFT JOIN b n
+      ON n.key <> a.key
+     AND n.us BETWEEN a.us - 120000000 AND a.us + 120000000
+    GROUP BY 1, 2
+"""
+
+_SQL_TPCH_Q3 = """
+    SELECT l_orderkey, o_orderdate,
+           CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                               * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2
+    ORDER BY revenue_cents DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     cents = "CAST(round({x} * 100) AS BIGINT)"
     _sql_incremental = (
@@ -2920,6 +3206,16 @@ def oracle_sql() -> dict[str, str]:
     quality = _sql_quality()
 
     return {
+        # -- round-8 analytics family --------------------------------------
+        "asof_join_last_touch": _SQL_ASOF_LAST_TOUCH,
+        "funnel_conversion": _SQL_FUNNEL,
+        "retention_cohorts": _SQL_RETENTION,
+        "rollup_report": _SQL_ROLLUP_REPORT,
+        "pivot_wide": _SQL_PIVOT_WIDE,
+        "skew_salted_agg": _SQL_SALTED_AGG,
+        "sliding_window_stats": _SQL_SLIDING_STATS,
+        "band_join_counts": _SQL_BAND_JOIN,
+        "tpch_q3_shipping": _SQL_TPCH_Q3,
         "mtail_linecount": (
             "SELECT 'lines_total' AS name, count(*) AS value_i FROM events"
         ),

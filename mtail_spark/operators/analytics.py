@@ -1,0 +1,226 @@
+"""Product/behavioral analytics over event streams: funnels, retention
+cohorts, rollup reports, wide pivots, and skew-aware two-phase
+aggregation.
+
+These are the OLAP report shapes a monitoring/analytics deployment
+runs downstream of metric extraction (the mtail-compiler family
+covers the extraction side; google/mtail itself exports to systems
+that run exactly these queries — see README parity notes).
+
+Determinism policy (matches the repo convention): every checked value
+is an exact integer (counts, integer cents via round(x*100), permille
+ratios via integer floor division), dates are calendar DATEs, and
+every ordering that feeds a window or top-k has a full deterministic
+tie-break.  No transcendental functions anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cents(col):
+    return F.round(col * 100).cast("long")
+
+
+def funnel(
+    events: DataFrame,
+    stages: list,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion: stage i counts users whose FIRST
+    qualifying stage-i event is at-or-after their first qualifying
+    stage-(i-1) event (the classic product funnel, >= so same-timestamp
+    progressions count).
+
+    Output: (stage_idx, stage, n_users, conv_permille) — one row per
+    stage, conv_permille = floor(1000 * n_i / n_0), NULL when the
+    funnel head is empty (no division by zero in either engine).
+
+    Scale shape: stage i is one aggregation of the stage-i event
+    subset (filter pushed to the scan) shuffled on user, joined to the
+    (already user-keyed) stage-(i-1) frame — every shuffle carries
+    per-user 1-row frames or a single stage's events, never the full
+    log.  The final output is stages-sized.  Skewed users don't hurt:
+    the per-user state is one min timestamp.
+    """
+    assert len(stages) >= 2
+    u_prev = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t"))
+    )
+    counts = [u_prev.agg(F.count(F.lit(1)).cast("long").alias("n"))]
+    for s in stages[1:]:
+        stage_ev = events.filter(F.col(type_col) == s).select(
+            user_col, F.col(ts_col).alias("_ts")
+        )
+        u_prev = (
+            stage_ev.join(u_prev, user_col)
+            .filter(F.col("_ts") >= F.col("t"))
+            .groupBy(user_col)
+            .agg(F.min("_ts").alias("t"))
+        )
+        counts.append(u_prev.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    head = counts[0].select(F.col("n").alias("n0"))
+    rows = None
+    for i, (cnt, s) in enumerate(zip(counts, stages)):
+        r = cnt.select(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(s).alias("stage"),
+            F.col("n").alias("n_users"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.crossJoin(F.broadcast(head)).select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.when(
+            F.col("n0") > 0,
+            F.expr("n_users * 1000 DIV n0").cast("long"),
+        ).alias("conv_permille"),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-granularity retention triangle: cohort = each user's first
+    active calendar day; one output row per (cohort_day, offset_days)
+    with the number of cohort users active that day.
+
+    Scale shape: the first-day frame is one user-keyed aggregation;
+    activity is a distinct over (user, day) — both map-side-combine
+    friendly; their join is user-keyed (the SAME partitioning, so AQE
+    reuses the exchange); the final rollup is cohort-sized (days x
+    offsets), tiny.  This is the shape that survives 100 TB: nothing
+    ever groups on the (huge) user dimension without first collapsing
+    to per-user 1-row state.
+    """
+    d = F.to_date(F.col(ts_col))
+    first = events.groupBy(user_col).agg(F.min(d).alias("cohort_day"))
+    active = events.select(F.col(user_col), d.alias("day")).distinct()
+    return (
+        active.join(first, user_col)
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("offset_days"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+def rollup_report(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hierarchical subtotal report: GROUP BY ROLLUP(event_type,
+    day-of-week) — per-(type, dow) cells, per-type subtotals, and a
+    grand total in ONE pass (Catalyst expands the rollup into a single
+    Expand + aggregation; no per-level rescan).
+
+    dow is 0=Sunday..6=Saturday (dayofweek()-1, matching DuckDB's
+    date_part('dow')).  lvl = grouping(type)*2 + grouping(dow)
+    disambiguates subtotal rows from genuine NULL group values.
+    Values: exact counts + integer cents.
+    """
+    dow = (F.dayofweek(F.col(ts_col)) - 1).cast("long")
+    return (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            dow.alias("dow"),
+            F.col(value_col).alias("value"),
+        )
+        .rollup("event_type", "dow")
+        .agg(
+            (F.grouping("event_type") * 2 + F.grouping("dow"))
+            .cast("long")
+            .alias("lvl"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(_cents(F.col("value"))).cast("long").alias("sum_cents"),
+        )
+        .select("event_type", "dow", "lvl", "n_events", "sum_cents")
+    )
+
+
+def pivot_wide(
+    events: DataFrame,
+    pivot_values: list,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Long-to-wide: one row per user, one count column per event
+    type — the feature-vector/report shape.  The pivot value list is
+    EXPLICIT: Spark then skips the extra distinct-values job and the
+    output schema is stable regardless of which types a data slice
+    happens to contain (absent combinations are 0, not a missing
+    column).  One user-keyed aggregation; Catalyst compiles the pivot
+    into a single aggregation with one conditional-count state per
+    declared value, so this never shuffles more than (users x 1 row).
+    """
+    wide = (
+        events.groupBy(user_col)
+        .pivot(type_col, pivot_values)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        F.col(user_col),
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0))
+            .cast("long")
+            .alias(f"n_{v}")
+            for v in pivot_values
+        ],
+    )
+
+
+def salted_agg(
+    events: DataFrame,
+    shards: int = 16,
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Two-phase (salted) aggregation: rows first aggregate under
+    (key, salt) with salt = pmod(row id, shards), then the per-shard
+    partials merge under the bare key.  Semantically identical to a
+    direct groupBy — the oracle IS the direct GROUP BY.
+
+    Why it exists: for algebraic aggregates (sum/count) map-side
+    combine already defuses key skew, but for HOLISTIC or
+    high-cardinality-state aggregates (exact distinct sets, large
+    collect-style states, UDAF sketches) a single reducer per hot key
+    is the 100 TB bottleneck — the salt fans one hot key's state
+    across `shards` reducers and the second phase merges `shards`
+    partials per key (bounded).  This operator is the oracle-checked
+    reference of that shape on mergeable aggregates, so the plan
+    (two exchanges, Expand-free) can be asserted and reused where the
+    state is NOT algebraic.  Salt from the row id, not rand(): the
+    result must be deterministic.
+    """
+    partial = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            F.pmod(F.col(id_col), F.lit(shards)).alias("_salt"),
+            F.col(value_col).alias("value"),
+        )
+        .groupBy("event_type", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(_cents(F.col("value"))).alias("pc"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").cast("long").alias("n_events"),
+        F.sum("pc").cast("long").alias("sum_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_shards_seen"),
+    )

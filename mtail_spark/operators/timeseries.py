@@ -130,3 +130,184 @@ def trailing_z(
             z_micro.isNotNull() & (F.abs(z_micro) >= z_thresh_micro)
         ).alias("is_anomaly"),
     )
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    probe_id: str = "event_id",
+    build_id: str = "event_id",
+    build_value: str = "value",
+) -> DataFrame:
+    """As-of join (last-touch attribution): each probe row gets the
+    most recent build row with build.ts <= probe.ts for the same key;
+    probes with no prior build row keep NULLs (left semantics).
+    Equal-timestamp build rows count as "prior" (<=); among duplicate
+    (key, ts) build rows the one with the LARGEST build id wins — a
+    fully deterministic tie-break both engines reproduce.
+
+    Spark has no native ASOF JOIN; the classic sort-merge-as-of is
+    expressed as a UNION + running LAST_VALUE: tag both inputs, union
+    them, and carry the last non-null build payload forward over a
+    (key)-partitioned, (ts, side, id)-ordered running window.  That is
+    ONE shuffle on the key and ONE sort — exactly what a dedicated
+    as-of implementation would do, and Catalyst keeps the whole thing
+    in two stages.  Build rows order BEFORE probe rows at equal ts, so
+    <= semantics fall out of the sort order.  At 100 TB: partition by
+    key; a pathologically hot key is range-split by time and the
+    window seeded per split (the standard fix for any running-window
+    op — same note as sessionize).
+
+    Returns (probe_id, key, ts, b_id, b_value, lag_us) with lag_us =
+    exact integer microseconds since the matched build row.
+    """
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    p = probe.select(
+        F.col(probe_id).alias("p_id"),
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        us(ts_col).alias("us"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("ord_id"),
+        F.lit(None)
+        .cast("struct<b_us:bigint,b_id:bigint,b_value:double>")
+        .alias("_b"),
+    )
+    b = build.select(
+        F.lit(None).cast("long").alias("p_id"),
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        us(ts_col).alias("us"),
+        F.lit(0).alias("side"),
+        F.col(build_id).cast("long").alias("ord_id"),
+        F.struct(
+            us(ts_col).alias("b_us"),
+            F.col(build_id).cast("long").alias("b_id"),
+            F.col(build_value).cast("double").alias("b_value"),
+        ).alias("_b"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("us", "side", "ord_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = (
+        p.unionByName(b)
+        .withColumn("_last", F.last("_b", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+    )
+    return joined.select(
+        F.col("p_id").alias("probe_id"),
+        F.col("key"),
+        F.col("ts"),
+        F.col("_last.b_id").alias("b_id"),
+        F.col("_last.b_value").alias("b_value"),
+        (F.col("us") - F.col("_last.b_us")).cast("long").alias("lag_us"),
+    )
+
+
+def sliding_stats(
+    events: DataFrame,
+    trail_rows: int = 5,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key trailing-N-rows moving statistics: for every event, the
+    sum/count/max over the last `trail_rows` events (inclusive) of the
+    same key in (ts, id) order — the smoothing pass behind rate
+    displays and rolling health scores.
+
+    Values are integer cents, so the frame sum is exact in both
+    engines regardless of accumulation order (the reason this is NOT
+    a float mean: a ROWS frame sum of doubles is order-sensitive).
+    One shuffle on the key, one sort, one Window node computing all
+    three frames; per-row state is the `trail_rows`-bounded frame.
+    Ordering ties on identical (key, ts) resolve by the row id.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(-(trail_rows - 1), 0)
+    )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return events.select(
+        F.col(id_col).alias("event_id"),
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.sum(cents).over(w).cast("long").alias("trail_sum_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trail_n"),
+        F.max(cents).over(w).cast("long").alias("trail_max_cents"),
+    )
+
+
+def band_join_counts(
+    events: DataFrame,
+    radius_s: int = 120,
+    id_col: str = "event_id",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-band co-occurrence: for every event, how many events from
+    OTHER keys happened within +-radius_s seconds (inclusive) — the
+    correlation primitive behind "what else fired when this alerted".
+
+    A naive formulation is an inequality self-join — a cartesian
+    product at any scale.  The Spark-first shape BUCKETS time into
+    radius-sized cells: an event in bucket b can only have neighbors
+    in {b-1, b, b+1}, so the probe side explodes into its three
+    candidate buckets (3x one side, map-side) and the join becomes an
+    EQUI-join on the bucket — shuffle keyed by time cell, each cell
+    rate-bounded (events/radius), never all-pairs.  The exact |dt| <=
+    radius filter runs inside the joined cell.  Probes with zero
+    neighbors survive via a final left join to the input (count 0).
+    All arithmetic is exact integer microseconds.
+    """
+    r_us = radius_s * US
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.select(
+        F.col(id_col).alias("event_id"),
+        F.col(key_col).alias("key"),
+        us.alias("us"),
+    )
+    # floor-aligned bucket (pmod: sign-safe for pre-1970 timestamps)
+    bkt = F.expr(f"CAST((us - pmod(us, {r_us})) DIV {r_us} AS BIGINT)")
+    build = base.select(
+        F.col("event_id").alias("b_eid"),
+        F.col("key").alias("b_key"),
+        F.col("us").alias("b_us"),
+        bkt.alias("bucket"),
+    )
+    probe = base.withColumn("bucket0", bkt).select(
+        "event_id",
+        "key",
+        "us",
+        F.explode(
+            F.array(
+                F.col("bucket0") - 1, F.col("bucket0"), F.col("bucket0") + 1
+            )
+        ).alias("bucket"),
+    )
+    hits = (
+        probe.join(build, "bucket")
+        .filter(
+            (F.col("b_key") != F.col("key"))
+            & (F.abs(F.col("b_us") - F.col("us")) <= F.lit(r_us))
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_neighbors"))
+    )
+    return (
+        base.select("event_id", "key")
+        .join(hits, "event_id", "left")
+        .select(
+            "event_id",
+            "key",
+            F.coalesce(F.col("n_neighbors"), F.lit(0))
+            .cast("long")
+            .alias("n_neighbors"),
+        )
+    )

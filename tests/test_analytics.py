@@ -1,0 +1,230 @@
+"""Hand-computed unit tests for the round-8 analytics/timeseries
+operators (asof join, funnel, retention, rollup, pivot, salted agg,
+sliding stats, band join)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+import mtail_spark.operators.analytics as AN
+import mtail_spark.operators.timeseries as TS
+
+
+def _ev(spark, rows):
+    """rows: (event_id, user_id, ts_str, event_type, value)"""
+    return spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts_s", "event_type", "value"]
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
+def test_asof_join_hand_case(spark):
+    ev = _ev(
+        spark,
+        [
+            (100, 1, "2024-01-01 00:00:10", "click", 1.0),
+            (101, 1, "2024-01-01 00:00:20", "click", 2.0),
+            (102, 1, "2024-01-01 00:00:20", "click", 3.0),  # dup ts, bigger id
+            (200, 1, "2024-01-01 00:00:05", "purchase", 9.0),
+            (201, 1, "2024-01-01 00:00:20", "purchase", 9.0),
+            (202, 1, "2024-01-01 00:00:25", "purchase", 9.0),
+            (300, 2, "2024-01-01 00:00:30", "purchase", 9.0),  # no clicks
+        ],
+    )
+    out = {
+        r.probe_id: (r.b_id, r.b_value, r.lag_us)
+        for r in TS.asof_join(
+            ev.filter(F.col("event_type") == "purchase"),
+            ev.filter(F.col("event_type") == "click"),
+        ).collect()
+    }
+    assert out[200] == (None, None, None)  # purchase before any click
+    # equal-ts click counts (<=); among the two ts=20 clicks the larger
+    # event_id (102) wins
+    assert out[201] == (102, 3.0, 0)
+    assert out[202] == (102, 3.0, 5_000_000)
+    assert out[300] == (None, None, None)  # other user's clicks invisible
+
+
+def test_funnel_hand_case(spark):
+    ev = _ev(
+        spark,
+        [
+            # u1: full ordered funnel
+            (1, 1, "2024-01-01 00:00:01", "signup", 0.0),
+            (2, 1, "2024-01-01 00:00:02", "view", 0.0),
+            (3, 1, "2024-01-01 00:00:03", "purchase", 0.0),
+            # u2: view BEFORE signup -> stops at stage 0
+            (4, 2, "2024-01-01 00:00:04", "view", 0.0),
+            (5, 2, "2024-01-01 00:00:05", "signup", 0.0),
+            # u3: never signed up -> not even stage 0
+            (6, 3, "2024-01-01 00:00:06", "view", 0.0),
+        ],
+    )
+    rows = {
+        r.stage: (r.n_users, r.conv_permille)
+        for r in AN.funnel(ev, ["signup", "view", "purchase"]).collect()
+    }
+    assert rows["signup"] == (2, 1000)
+    assert rows["view"] == (1, 500)
+    assert rows["purchase"] == (1, 500)
+
+
+def test_funnel_empty_head_no_division_error(spark):
+    ev = _ev(spark, [(1, 1, "2024-01-01 00:00:01", "view", 0.0)])
+    rows = {r.stage: r for r in AN.funnel(ev, ["signup", "view"]).collect()}
+    assert rows["signup"].n_users == 0
+    assert rows["signup"].conv_permille is None  # NULL, not a crash
+
+
+def test_retention_hand_case(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 1, "2024-01-01 10:00:00", "view", 0.0),
+            (2, 1, "2024-01-03 09:00:00", "view", 0.0),
+            (3, 1, "2024-01-03 23:00:00", "click", 0.0),  # same day, once
+            (4, 2, "2024-01-03 00:00:00", "view", 0.0),
+        ],
+    )
+    out = {
+        (r.cohort_day.isoformat(), r.offset_days): r.n_users
+        for r in AN.retention_cohorts(ev).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-03", 0): 1,
+    }
+
+
+def test_rollup_levels_consistent(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 1, "2024-01-01 00:00:01", "view", 1.0),   # Monday
+            (2, 1, "2024-01-02 00:00:02", "view", 2.0),   # Tuesday
+            (3, 2, "2024-01-01 00:00:03", "click", 4.0),  # Monday
+        ],
+    )
+    rows = AN.rollup_report(ev).collect()
+    by_lvl = {}
+    for r in rows:
+        by_lvl.setdefault(r.lvl, []).append(r)
+    # grand total: lvl 3, everything NULL, all rows
+    (gt,) = by_lvl[3]
+    assert (gt.event_type, gt.dow, gt.n_events, gt.sum_cents) == (
+        None, None, 3, 700,
+    )
+    # per-type subtotals: lvl 1
+    sub = {r.event_type: (r.n_events, r.sum_cents) for r in by_lvl[1]}
+    assert sub == {"view": (2, 300), "click": (1, 400)}
+    # cells: lvl 0, dow 1=Monday (2024-01-01 was a Monday)
+    cells = {(r.event_type, r.dow): r.n_events for r in by_lvl[0]}
+    assert cells == {("view", 1): 1, ("view", 2): 1, ("click", 1): 1}
+
+
+def test_pivot_wide_zero_fill(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 1, "2024-01-01 00:00:01", "view", 0.0),
+            (2, 1, "2024-01-01 00:00:02", "view", 0.0),
+            (3, 2, "2024-01-01 00:00:03", "click", 0.0),
+        ],
+    )
+    out = {
+        r.user_id: (r.n_view, r.n_click, r.n_purchase)
+        for r in AN.pivot_wide(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert out == {1: (2, 0, 0), 2: (0, 1, 0)}
+
+
+def test_salted_agg_equals_direct_groupby(spark):
+    ev = _ev(
+        spark,
+        [(i, i % 7, "2024-01-01 00:00:01", "view" if i % 3 else "click",
+          float(i) + 0.25) for i in range(60)],
+    )
+    salted = {
+        r.event_type: (r.n_events, r.sum_cents)
+        for r in AN.salted_agg(ev, shards=4).collect()
+    }
+    direct = {
+        r.event_type: (r.n_events, r.sum_cents)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        .collect()
+    }
+    assert salted == direct
+    shards = {
+        r.event_type: r.n_shards_seen for r in AN.salted_agg(ev, 4).collect()
+    }
+    assert all(1 <= v <= 4 for v in shards.values())
+
+
+def test_sliding_stats_hand_case(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 1, "2024-01-01 00:00:01", "view", 1.00),
+            (2, 1, "2024-01-01 00:00:02", "view", 2.00),
+            (3, 1, "2024-01-01 00:00:02", "view", 4.00),  # ts tie -> id order
+            (4, 1, "2024-01-01 00:00:03", "view", 8.00),
+        ],
+    )
+    out = {
+        r.event_id: (r.trail_sum_cents, r.trail_n, r.trail_max_cents)
+        for r in TS.sliding_stats(ev, trail_rows=2).collect()
+    }
+    assert out == {
+        1: (100, 1, 100),
+        2: (300, 2, 200),
+        3: (600, 2, 400),
+        4: (1200, 2, 800),
+    }
+
+
+def test_band_join_hand_case(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 10, "2024-01-01 00:00:00", "view", 0.0),
+            (2, 20, "2024-01-01 00:01:40", "view", 0.0),  # +100 s
+            (3, 10, "2024-01-01 00:02:01", "view", 0.0),  # +121 s
+            (4, 20, "2024-01-01 00:05:00", "view", 0.0),  # +300 s
+        ],
+    )
+    out = {
+        r.event_id: r.n_neighbors
+        for r in TS.band_join_counts(ev, radius_s=120).collect()
+    }
+    # e1-e2: 100 s apart, different users -> neighbors
+    # e1-e3: same user -> excluded; e2-e3: 21 s -> neighbors
+    # e4: nothing within 120 s from another user
+    assert out == {1: 1, 2: 2, 3: 1, 4: 0}
+
+
+def test_band_join_boundary_inclusive(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 10, "2024-01-01 00:00:00", "view", 0.0),
+            (2, 20, "2024-01-01 00:02:00", "view", 0.0),  # exactly 120 s
+        ],
+    )
+    out = {
+        r.event_id: r.n_neighbors
+        for r in TS.band_join_counts(ev, radius_s=120).collect()
+    }
+    assert out == {1: 1, 2: 1}

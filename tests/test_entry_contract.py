@@ -13,45 +13,34 @@ import __spark_entry__ as entrymod
 
 WINDOW = 50
 
-# Queries that had NO green driver CORRECTNESS row as of round 6
-# (23 never-verified + the round-6-only singles + the streaming
-# flagship).  Every one of these must sit inside the first-50 window
-# until it accumulates at least one green driver row; drop a name
-# from this set only after the corresponding CORRECTNESS_r{N}.json
-# row lands green.
+# Queries with NO green driver CORRECTNESS row yet (CORRECTNESS_r07
+# went 50/50 green, clearing the round-7 window; what remains
+# unverified is the round-8 tier 0 plus the nine queries staged past
+# position 50 in round 7).  Every one of these must sit inside the
+# first-50 window until it accumulates at least one green driver row;
+# drop a name from this set only after the corresponding
+# CORRECTNESS_r{N}.json row lands green.
 MUST_BE_IN_WINDOW = {
-    # new round 7
-    "grep_index_reuse",
-    "bloom_membership",
-    "perplexity_buckets",
-    "dedup_exact_stream",
-    "sim_topk_pq",
-    "sim_pq_rerank",
-    "quality_classifier",
-    # no driver row as of CORRECTNESS_r06.json
-    "training_data_pipeline",
-    "curation_pipeline",
-    "multimodal_meta",
-    "multimodal_features",
-    "multimodal_frames",
-    "rate_anomalies",
-    "rate_anomalies_stream",
-    "boilerplate_ngrams",
-    "dedup_keep_best",
-    "epoch_shuffle",
-    "mixture_sample",
-    "chunk_windows",
-    "search_topk",
-    "tfidf_top_terms",
-    "source_cap",
-    "length_quantiles",
-    "cluster_profile",
-    "dedup_incremental",
-    "cms_counts",
-    "hll_distinct",
-    "hybrid_search",
-    "substring_search",
-    "vocab_head",
+    # new round 8
+    "asof_join_last_touch",
+    "funnel_conversion",
+    "retention_cohorts",
+    "rollup_report",
+    "pivot_wide",
+    "skew_salted_agg",
+    "sliding_window_stats",
+    "band_join_counts",
+    "tpch_q3_shipping",
+    # staged past position 50 in round 7, never driver-verified
+    "hard_negatives",
+    "bpe_merge_pairs",
+    "hist_quantiles",
+    "json_props_agg",
+    "tumbling_window_stream",
+    "curation_pipeline_v2",
+    "dedup_incremental_stream",
+    "dataset_split_grouped",
+    "dedup_simhash_pairs",
 }
 
 # The mtail_* rows are the reference-parity core: they stay inside
