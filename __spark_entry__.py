@@ -1506,6 +1506,7 @@ def q_rate_anomalies_stream(spark, sf):
 # ------------------------------------------------- round-8 analytics family
 
 FUNNEL_STAGES = ["signup", "view", "purchase"]
+US = 1_000_000  # microseconds per second (mirrors timeseries.US)
 PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1593,6 +1594,140 @@ def q_band_join_counts(spark, sf):
     return TS.band_join_counts(_t(spark, sf, "events"), radius_s=120)
 
 
+def q_band_join_stream(spark, sf):
+    """STREAM-STREAM time-interval join: the same +-120 s
+    co-occurrence table as band_join_counts, but the pair discovery
+    runs as a genuine Structured Streaming stream-stream join — both
+    sides replay as file streams with event-time watermarks, and the
+    join condition bounds each side's event time relative to the
+    other (`b.ts BETWEEN a.ts - 120s AND a.ts + 120s`), which is what
+    lets Spark expire join state past the watermark horizon instead
+    of buffering both streams forever.  The matched pairs append to
+    the sink; the per-event rollup (and the zero-neighbor fill) is a
+    batch query over the sink table, as it would be over the parquet
+    the production job writes.  Checked against the SAME oracle as
+    the batch operator — the sixth stream ≡ batch pair."""
+    from mtail_spark.streaming.windows import (
+        run_replay_append,
+        stream_table,
+    )
+
+    def side(alias):
+        # two independent source instances: a streaming self-join of
+        # one source relation is the documented-fragile case
+        s = stream_table(spark, f"{sf}/events.parquet").select(
+            F.col("event_id").alias(f"{alias}_eid"),
+            F.col("user_id").alias(f"{alias}_key"),
+            F.col("ts").cast("timestamp").alias(f"{alias}_ts"),
+        )
+        return s.withWatermark(f"{alias}_ts", "10 minutes")
+
+    # Spark requires an EQUALITY predicate in stream-stream joins (the
+    # symmetric-hash state store is keyed by it) — the radius-sized
+    # time bucket provides one, exactly like the batch operator: the
+    # probe explodes into its 3 candidate cells, the build side keeps
+    # its own cell, and the exact +-120 s range plus key inequality
+    # filter inside the matched cell.
+    bkt = "CAST((us - pmod(us, {r})) DIV {r} AS BIGINT)".format(
+        r=120 * 1_000_000
+    )
+    a = (
+        side("a")
+        .withColumn("us", F.unix_micros(F.col("a_ts")))
+        .withColumn("bucket0", F.expr(bkt))
+        .select(
+            "a_eid",
+            "a_key",
+            "a_ts",
+            F.col("us").alias("a_us"),
+            F.explode(
+                F.array(
+                    F.col("bucket0") - 1,
+                    F.col("bucket0"),
+                    F.col("bucket0") + 1,
+                )
+            ).alias("bucket"),
+        )
+        .alias("a")
+    )
+    b = (
+        side("b")
+        .withColumn("us", F.unix_micros(F.col("b_ts")))
+        .select(
+            "b_eid",
+            "b_key",
+            "b_ts",
+            F.col("us").alias("b_us"),
+            F.expr(bkt).alias("bucket"),
+        )
+        .alias("b")
+    )
+    pairs = a.join(
+        b,
+        F.expr(
+            "a.bucket = b.bucket AND b_key != a_key AND "
+            "abs(b_us - a_us) <= 120000000 AND "
+            "b_ts >= a_ts - INTERVAL 120 SECONDS AND "
+            "b_ts <= a_ts + INTERVAL 120 SECONDS"
+        ),
+    )
+    tbl = run_replay_append(
+        pairs.select("a_eid", "b_eid"), "band_join_stream"
+    )
+    hits = tbl.groupBy("a_eid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neighbors")
+    )
+    base = _t(spark, sf, "events").select(
+        F.col("event_id"), F.col("user_id").alias("key")
+    )
+    return (
+        base.join(hits, base.event_id == hits.a_eid, "left")
+        .select(
+            "event_id",
+            "key",
+            F.coalesce(F.col("n_neighbors"), F.lit(0))
+            .cast("long")
+            .alias("n_neighbors"),
+        )
+    )
+
+
+def q_attribution_pipeline(spark, sf):
+    """Round-8 composition: last-touch attribution REPORT.  The as-of
+    join (timeseries.asof_join) attaches each purchase's most recent
+    prior click; purchases then bucket by click-to-purchase lag
+    (organic = no prior click) and the report aggregates order count
+    and revenue per band.  Checks the COMPOSITION end to end the way
+    training_data_pipeline does for the curation stages: the as-of
+    result feeds a derived-column rollup inside one plan.  All checked
+    values are exact integers (band edges in integer microseconds,
+    revenue in cents)."""
+    import mtail_spark.operators.timeseries as TS
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    aj = TS.asof_join(purchases, ev.filter(F.col("event_type") == "click"))
+    rev = purchases.select(
+        F.col("event_id").alias("probe_id"), _cents(F.col("value")).alias("cents")
+    )
+    lag = F.col("lag_us")
+    band = (
+        F.when(lag.isNull(), "organic")
+        .when(lag <= 60 * US, "cl_1m")
+        .when(lag <= 600 * US, "cl_10m")
+        .when(lag <= 3600 * US, "cl_1h")
+        .otherwise("cl_gt1h")
+    )
+    return (
+        aj.join(rev, "probe_id")
+        .groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
 def q_tpch_q3_shipping(spark, sf):
     """TPC-H Q3 (shipping priority): BUILDING-segment orders placed
     before the cutoff with lineitems shipped after it; top 10 by
@@ -1669,6 +1804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": q_skew_salted_agg,
         "sliding_window_stats": q_sliding_window_stats,
         "band_join_counts": q_band_join_counts,
+        "band_join_stream": q_band_join_stream,
+        "attribution_pipeline": q_attribution_pipeline,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         # -- tier 1: NO driver row yet (staged past the window in r7) -------
         "hard_negatives": q_hard_negatives,
@@ -1698,8 +1835,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_groups_cc": q_dedup_groups_cc,
-        "dedup_embedding": q_dedup_embedding,
-        "embedding_nn": q_embedding_nn,
         # -- tier 3: mtail_* reference-parity core (always in-window) -------
         "mtail_linecount": q_mtail_linecount,
         "mtail_counter_by": q_mtail_counter_by,
@@ -1716,10 +1851,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtail_prog_stateful": q_mtail_prog_stateful,
         "mtail_prog_txn": q_mtail_prog_txn,
         # ---------------- position 50 boundary is ABOVE this line ----------
-        # (9 new + 9 never-verified + 6 flagships + 12 stale-r6 + 14
+        # (11 new + 9 never-verified + 6 flagships + 10 stale-r6 + 14
         # mtail_* = exactly 50; tests/test_entry_contract.py pins the
         # required contents)
         # -- tier 4a: r6-green rows next in line to rotate back in ----------
+        "dedup_embedding": q_dedup_embedding,
+        "embedding_nn": q_embedding_nn,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_lsh_bucketed": q_sim_lsh_bucketed,
         "sim_ivf": q_sim_ivf,
@@ -3144,6 +3281,32 @@ _SQL_BAND_JOIN = """
     GROUP BY 1, 2
 """
 
+_SQL_ATTRIBUTION = """
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), b AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'click'
+    ), aj AS (
+      SELECT p.event_id, p.cents, p.us - m.b_us AS lag_us
+      FROM p LEFT JOIN LATERAL (
+        SELECT b.us AS b_us FROM b
+        WHERE b.user_id = p.user_id AND b.us <= p.us
+        ORDER BY b.us DESC, b.event_id DESC LIMIT 1
+      ) m ON TRUE
+    )
+    SELECT CASE WHEN lag_us IS NULL THEN 'organic'
+                WHEN lag_us <= 60000000 THEN 'cl_1m'
+                WHEN lag_us <= 600000000 THEN 'cl_10m'
+                WHEN lag_us <= 3600000000 THEN 'cl_1h'
+                ELSE 'cl_gt1h' END AS band,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM aj GROUP BY 1
+"""
+
 _SQL_TPCH_Q3 = """
     SELECT l_orderkey, o_orderdate,
            CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
@@ -3215,6 +3378,8 @@ def oracle_sql() -> dict[str, str]:
         "skew_salted_agg": _SQL_SALTED_AGG,
         "sliding_window_stats": _SQL_SLIDING_STATS,
         "band_join_counts": _SQL_BAND_JOIN,
+        "band_join_stream": _SQL_BAND_JOIN,
+        "attribution_pipeline": _SQL_ATTRIBUTION,
         "tpch_q3_shipping": _SQL_TPCH_Q3,
         "mtail_linecount": (
             "SELECT 'lines_total' AS name, count(*) AS value_i FROM events"

@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     "sim_topk_gemm",
     "sim_topk_pq",
     "text_token_counts",
+    # round-8 analytics family
+    "asof_join_last_touch",
+    "band_join_counts",
+    "tpch_q3_shipping",
 ]
 
 
@@ -84,6 +88,10 @@ SF1_QUERIES = [
     # cross-round min-basis series are unaffected)
     "sim_topk_pq",
     "quality_classifier",
+    # round-8 additions
+    "asof_join_last_touch",
+    "band_join_counts",
+    "tpch_q3_shipping",
 ]
 
 

@@ -94,19 +94,20 @@ def retention_cohorts(
     active calendar day; one output row per (cohort_day, offset_days)
     with the number of cohort users active that day.
 
-    Scale shape: the first-day frame is one user-keyed aggregation;
-    activity is a distinct over (user, day) — both map-side-combine
-    friendly; their join is user-keyed (the SAME partitioning, so AQE
-    reuses the exchange); the final rollup is cohort-sized (days x
-    offsets), tiny.  This is the shape that survives 100 TB: nothing
-    ever groups on the (huge) user dimension without first collapsing
-    to per-user 1-row state.
+    Scale shape: events collapse to distinct (user, day) first — the
+    only corpus-sized shuffle, map-side-combine friendly; the cohort
+    day is then a per-user window MIN over that already-small frame
+    (instead of a separate first-day aggregate joined back, which
+    costs an extra shuffle AND a join); the final rollup is
+    cohort-sized (days x offsets), tiny.  This is the shape that
+    survives 100 TB: nothing ever groups on the (huge) user dimension
+    without first collapsing to per-user per-day 1-row state.
     """
     d = F.to_date(F.col(ts_col))
-    first = events.groupBy(user_col).agg(F.min(d).alias("cohort_day"))
     active = events.select(F.col(user_col), d.alias("day")).distinct()
+    w = Window.partitionBy(user_col)
     return (
-        active.join(first, user_col)
+        active.withColumn("cohort_day", F.min("day").over(w))
         .groupBy(
             "cohort_day",
             F.datediff(F.col("day"), F.col("cohort_day"))

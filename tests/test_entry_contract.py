@@ -30,6 +30,8 @@ MUST_BE_IN_WINDOW = {
     "skew_salted_agg",
     "sliding_window_stats",
     "band_join_counts",
+    "band_join_stream",
+    "attribution_pipeline",
     "tpch_q3_shipping",
     # staged past position 50 in round 7, never driver-verified
     "hard_negatives",
