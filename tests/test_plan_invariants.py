@@ -34,6 +34,7 @@ STREAMING_REPLAY = {
     "dedup_exact_stream",
     "tumbling_window_stream",
     "dedup_incremental_stream",
+    "band_join_stream",
 }
 
 

@@ -153,6 +153,44 @@ SHOW = [
      "are broadcast joins against bounded relations; the tercile "
      "pass exchanges on lang; the final aggregate is the only other "
      "exchange — nothing corpus x corpus anywhere"),
+    # round-8 analytics family
+    ("asof_join_last_touch",
+     "sort-merge as-of: filters pushed to BOTH scans, union, ONE "
+     "exchange on the key, one sort, one Window carrying the running "
+     "last build payload — no join node at all"),
+    ("band_join_counts",
+     "time-range self-join as a bucketed EQUI-join (probe explodes "
+     "into 3 radius cells) — no CartesianProduct/BroadcastNestedLoop "
+     "anywhere; zero-neighbor fill is a broadcast left join of the "
+     "count-sized hits table"),
+    ("sliding_window_stats",
+     "one exchange on the key, one sort, ONE Window node computing "
+     "all three trailing frames over integer cents"),
+    ("retention_cohorts",
+     "distinct (user, day) is the only corpus-sized shuffle; cohort "
+     "day is a window MIN over that frame (no first-day join); final "
+     "rollup is cohort-sized"),
+    ("funnel_conversion",
+     "each stage scans only its own event_type (pushed filter), "
+     "collapses to per-user 1-row state before any join; stage "
+     "frames and counts are user- and 1-row-sized"),
+    ("rollup_report",
+     "ROLLUP compiles to a single Expand + two-phase hash aggregate "
+     "— subtotals and grand total in one pass, no per-level rescan"),
+    ("pivot_wide",
+     "explicit pivot values -> single aggregation with conditional "
+     "count states; no distinct-values pre-job, one exchange on user"),
+    ("skew_salted_agg",
+     "two exchanges by construction: (key, salt) partial then key "
+     "merge — the hot-key fan-out shape, each carrying count rows"),
+    ("tpch_q3_shipping",
+     "customer AND the filtered orders side both broadcast (AQE "
+     "sizes them); lineitem never shuffles for the joins; top-10 is "
+     "TakeOrderedAndProject"),
+    ("attribution_pipeline",
+     "the as-of window feeds the band rollup inside one plan; the "
+     "revenue join is purchase-sized and broadcast; final aggregate "
+     "is band-cardinality-sized"),
 ]
 
 INTERESTING = re.compile(
