@@ -1728,6 +1728,18 @@ def q_attribution_pipeline(spark, sf):
     )
 
 
+def q_cusum_changepoints(spark, sf):
+    """CUSUM level-shift detection (timeseries.cusum_changepoints):
+    S_i = max(0, S_{i-1} + x_i - k) over hourly counts per event
+    type — the drift detector trailing-z misses.  The recurrence is
+    inherently sequential per key, so it runs as ONE applyInPandas
+    over the (tiny) count table — the fold model — and every value is
+    exact BIGINT, hash-matched against a recursive-CTE oracle."""
+    import mtail_spark.operators.timeseries as TS
+
+    return TS.cusum_changepoints(_t(spark, sf, "events"))
+
+
 def q_tpch_q3_shipping(spark, sf):
     """TPC-H Q3 (shipping priority): BUILDING-segment orders placed
     before the cutoff with lineitems shipped after it; top 10 by
@@ -1806,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_join_counts": q_band_join_counts,
         "band_join_stream": q_band_join_stream,
         "attribution_pipeline": q_attribution_pipeline,
+        "cusum_changepoints": q_cusum_changepoints,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         # -- tier 1: NO driver row yet (staged past the window in r7) -------
         "hard_negatives": q_hard_negatives,
@@ -1834,7 +1847,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_by_type": q_distinct_users_by_type,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_groups_cc": q_dedup_groups_cc,
         # -- tier 3: mtail_* reference-parity core (always in-window) -------
         "mtail_linecount": q_mtail_linecount,
         "mtail_counter_by": q_mtail_counter_by,
@@ -1851,10 +1863,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtail_prog_stateful": q_mtail_prog_stateful,
         "mtail_prog_txn": q_mtail_prog_txn,
         # ---------------- position 50 boundary is ABOVE this line ----------
-        # (11 new + 9 never-verified + 6 flagships + 10 stale-r6 + 14
+        # (12 new + 9 never-verified + 6 flagships + 9 stale-r6 + 14
         # mtail_* = exactly 50; tests/test_entry_contract.py pins the
         # required contents)
         # -- tier 4a: r6-green rows next in line to rotate back in ----------
+        "dedup_groups_cc": q_dedup_groups_cc,
         "dedup_embedding": q_dedup_embedding,
         "embedding_nn": q_embedding_nn,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
@@ -3307,6 +3320,42 @@ _SQL_ATTRIBUTION = """
     FROM aj GROUP BY 1
 """
 
+_SQL_CUSUM = """
+    -- the same pmod-floor widx as _SQL_RATE_ANOMALIES; keymean via
+    -- integer floor division; the CUSUM recurrence as a recursive CTE
+    -- stepping row_number order per key — exact BIGINT throughout
+    WITH RECURSIVE c AS (
+      SELECT event_type AS key,
+             (epoch_us(ts)
+                - ((epoch_us(ts) % 3600000000 + 3600000000) % 3600000000))
+               // 3600000000 AS widx,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT key,
+             CAST(sum(n_events) // count(*) AS BIGINT) AS keymean
+      FROM c GROUP BY 1
+    ), o AS (
+      SELECT c.key, c.widx, c.n_events,
+             m.keymean + (m.keymean * 1) // 4 AS k,
+             4 * (m.keymean + 1) AS h,
+             row_number() OVER (PARTITION BY c.key ORDER BY c.widx)
+               AS rn
+      FROM c JOIN m ON c.key = m.key
+    ), r AS (
+      SELECT key, rn, widx, n_events, k, h,
+             greatest(0, n_events - k) AS s
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.key, o.rn, o.widx, o.n_events, o.k, o.h,
+             greatest(0, r.s + o.n_events - o.k) AS s
+      FROM r JOIN o ON o.key = r.key AND o.rn = r.rn + 1
+    )
+    SELECT key, CAST(widx AS BIGINT) AS widx, n_events,
+           CAST(s AS BIGINT) AS s, s >= h AS is_alarm
+    FROM r
+"""
+
 _SQL_TPCH_Q3 = """
     SELECT l_orderkey, o_orderdate,
            CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
@@ -3380,6 +3429,7 @@ def oracle_sql() -> dict[str, str]:
         "band_join_counts": _SQL_BAND_JOIN,
         "band_join_stream": _SQL_BAND_JOIN,
         "attribution_pipeline": _SQL_ATTRIBUTION,
+        "cusum_changepoints": _SQL_CUSUM,
         "tpch_q3_shipping": _SQL_TPCH_Q3,
         "mtail_linecount": (
             "SELECT 'lines_total' AS name, count(*) AS value_i FROM events"

@@ -141,6 +141,10 @@ def main(argv=None):
                          "/metrics output")
     ap.add_argument("--port", type=int, default=3903,
                     help="HTTP port for /metrics /json /varz /graphite")
+    ap.add_argument("--unix_socket",
+                    help="serve the HTTP endpoints on this unix-domain "
+                         "socket path instead of a TCP port (reference "
+                         "cmd/mtail/main.go flag)")
     ap.add_argument("--syslog_use_current_year", action="store_true")
     ap.add_argument("--max_regexp_length", type=int, default=1024,
                     help="reject programs whose regexps exceed this "
@@ -504,8 +508,10 @@ def main(argv=None):
         provider, host="0.0.0.0", port=args.port,
         emit_prog_label=args.emit_prog_label,
         emit_metric_timestamp=args.emit_metric_timestamp,
+        unix_socket=args.unix_socket,
     ).start()
-    print(f"serving on :{srv.port} (/metrics /json /varz /graphite)",
+    where = args.unix_socket or f":{srv.port}"
+    print(f"serving on {where} (/metrics /json /varz /graphite)",
           file=sys.stderr)
     from mtail_spark.exporters.push import PushScheduler
 

@@ -1,5 +1,6 @@
 """HTTP serving surface: /metrics /json /varz /graphite
-(reference internal/mtail/mtail.go:120 route wiring).
+(reference internal/mtail/mtail.go:120 route wiring), over TCP or a
+unix-domain socket (reference cmd/mtail/main.go `--unix_socket`).
 
 The server reads from a store *provider* (a callable returning the
 current store rows) so it composes with both batch results and the
@@ -8,8 +9,31 @@ streaming store, which foreachBatch keeps updating.
 
 from __future__ import annotations
 
+import os
+import socket
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class _UnixHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer bound to an AF_UNIX path.  A stale socket
+    file from a previous run is unlinked before bind (the reference
+    daemon does the same); request handlers see a synthetic client
+    address since unix peers have none."""
+
+    address_family = socket.AF_UNIX
+
+    def server_bind(self):
+        try:
+            os.unlink(self.server_address)
+        except (FileNotFoundError, TypeError):
+            pass
+        # skip ThreadingHTTPServer's TCP-specific bind steps
+        socket.socket.bind(self.socket, self.server_address)
+
+    def get_request(self):
+        request, _ = self.socket.accept()
+        return request, ("unix-socket", 0)
 
 from mtail_spark.exporters.formats import (
     to_graphite,
@@ -22,7 +46,8 @@ from mtail_spark.exporters.formats import (
 class MetricsServer:
     def __init__(self, rows_provider, host: str = "127.0.0.1", port: int = 0,
                  emit_prog_label: bool = True,
-                 emit_metric_timestamp: bool = False):
+                 emit_metric_timestamp: bool = False,
+                 unix_socket: str | None = None):
         provider = rows_provider
         omit = not emit_prog_label
 
@@ -59,8 +84,14 @@ class MetricsServer:
             def log_message(self, *a):  # quiet
                 pass
 
-        self._httpd = ThreadingHTTPServer((host, port), Handler)
-        self.port = self._httpd.server_address[1]
+        if unix_socket:
+            self._httpd = _UnixHTTPServer(unix_socket, Handler)
+            self.port = None
+            self.unix_socket = unix_socket
+        else:
+            self._httpd = ThreadingHTTPServer((host, port), Handler)
+            self.port = self._httpd.server_address[1]
+            self.unix_socket = None
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
         )
@@ -72,3 +103,8 @@ class MetricsServer:
     def stop(self):
         self._httpd.shutdown()
         self._httpd.server_close()
+        if self.unix_socket:
+            try:
+                os.unlink(self.unix_socket)
+            except FileNotFoundError:
+                pass

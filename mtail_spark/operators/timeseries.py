@@ -311,3 +311,84 @@ def band_join_counts(
             .alias("n_neighbors"),
         )
     )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_s: int = 3600,
+    slack_num: int = 1,
+    slack_den: int = 4,
+    h_mult: int = 4,
+) -> DataFrame:
+    """CUSUM level-shift detection over tumbling-window counts — the
+    classic sequential changepoint statistic a monitoring pipeline
+    runs where the trailing-z of rate_anomalies misses slow drifts:
+
+        S_0 = 0;  S_i = max(0, S_{i-1} + x_i - k)     (per key)
+        alarm when S_i >= h
+
+    with k = keymean + floor(keymean * slack_num / slack_den) and
+    h = h_mult * (keymean + 1), keymean the key's overall mean count
+    (integer floor) — everything exact BIGINT arithmetic, so the
+    DuckDB recursive-CTE oracle reproduces S bit-for-bit.
+
+    Shape: counts aggregate on (key, widx) with map-side partials
+    (input-sized exchange of count rows, never raw events); the
+    per-key mean is a second count-row-sized aggregation broadcast
+    back; the recurrence itself is inherently sequential PER KEY, so
+    it runs as ONE applyInPandas over key groups ordered by window —
+    the fold model pack_sequences documents: parallel across keys,
+    sequential within, state O(1) per key.  A 100 TB deployment runs
+    it over the (tiny) count table a streaming aggregation maintains,
+    not over raw events.
+
+    Returns (key, widx, n_events, s, is_alarm).
+    """
+    from pyspark.sql import types as T
+
+    counts = window_counts(events, ts_col, key_col, window_s).select(
+        "key", "widx", "n_events"
+    )
+    # integer DIV, not float /: a float mean could round differently
+    # from the oracle's integer floor at large sums
+    means = counts.groupBy("key").agg(
+        F.expr("CAST(sum(n_events) DIV count(1) AS BIGINT)")
+        .alias("keymean")
+    )
+    withm = counts.join(F.broadcast(means), "key")
+    schema = T.StructType(
+        [
+            T.StructField("key", withm.schema["key"].dataType, True),
+            T.StructField("widx", T.LongType(), True),
+            T.StructField("n_events", T.LongType(), True),
+            T.StructField("s", T.LongType(), False),
+            T.StructField("is_alarm", T.BooleanType(), False),
+        ]
+    )
+
+    def scan(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("widx", kind="mergesort")
+        keymean = int(pdf["keymean"].iloc[0])
+        k = keymean + (keymean * slack_num) // slack_den
+        h = h_mult * (keymean + 1)
+        s = 0
+        ss, alarms = [], []
+        for x in pdf["n_events"].tolist():
+            s = max(0, s + int(x) - k)
+            ss.append(s)
+            alarms.append(s >= h)
+        return pd.DataFrame(
+            {
+                "key": pdf["key"],
+                "widx": pdf["widx"].astype("int64"),
+                "n_events": pdf["n_events"].astype("int64"),
+                "s": pd.Series(ss, index=pdf.index, dtype="int64"),
+                "is_alarm": pd.Series(alarms, index=pdf.index),
+            }
+        )
+
+    return withm.groupBy("key").applyInPandas(scan, schema)

@@ -228,3 +228,59 @@ def test_band_join_boundary_inclusive(spark):
         for r in TS.band_join_counts(ev, radius_s=120).collect()
     }
     assert out == {1: 1, 2: 1}
+
+
+def test_cusum_hand_case(spark):
+    # one key, hourly counts 2,2,2,8,8 -> keymean = (2+2+2+8+8)//5 = 4,
+    # k = 4 + 4//4 = 5, h = 4*(4+1) = 20
+    # S: max(0,0+2-5)=0, 0, 0, max(0,0+8-5)=3, max(0,3+8-5)=6
+    rows = []
+    eid = 0
+    for hour, n in enumerate([2, 2, 2, 8, 8]):
+        for _ in range(n):
+            rows.append(
+                (eid, 1, f"2024-01-01 {hour:02d}:30:00", "view", 0.0)
+            )
+            eid += 1
+    ev = _ev(spark, rows)
+    out = {
+        r.widx: (r.n_events, r.s, r.is_alarm)
+        for r in TS.cusum_changepoints(ev).collect()
+    }
+    widx0 = min(out)
+    got = [out[widx0 + i] for i in range(5)]
+    assert got == [
+        (2, 0, False),
+        (2, 0, False),
+        (2, 0, False),
+        (8, 3, False),
+        (8, 6, False),
+    ]
+
+
+def test_cusum_alarm_fires_on_level_shift(spark):
+    # counts 1x20 then 9x10: keymean floor((20+90)/30)=3, k=3+0=3
+    # (3//4=0), h=16; S ramps by 6 per shifted window -> alarm from
+    # the 3rd shifted window on
+    rows = []
+    eid = 0
+    for hour in range(30):
+        n = 1 if hour < 20 else 9
+        for _ in range(n):
+            rows.append(
+                (eid, 1, f"2024-01-{1 + hour // 24:02d} "
+                         f"{hour % 24:02d}:15:00", "view", 0.0)
+            )
+            eid += 1
+    ev = _ev(spark, rows)
+    out = sorted(
+        (r.widx, r.s, r.is_alarm)
+        for r in TS.cusum_changepoints(ev).collect()
+    )
+    # pre-shift: S stays 0 (1 - 3 < 0)
+    assert all(s == 0 and not a for _, s, a in out[:20])
+    shifted = [(s, a) for _, s, a in out[20:]]
+    assert shifted == [
+        (6, False), (12, False), (18, True), (24, True), (30, True),
+        (36, True), (42, True), (48, True), (54, True), (60, True),
+    ]

@@ -32,6 +32,7 @@ MUST_BE_IN_WINDOW = {
     "band_join_counts",
     "band_join_stream",
     "attribution_pipeline",
+    "cusum_changepoints",
     "tpch_q3_shipping",
     # staged past position 50 in round 7, never driver-verified
     "hard_negatives",

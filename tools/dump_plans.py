@@ -191,6 +191,11 @@ SHOW = [
      "the as-of window feeds the band rollup inside one plan; the "
      "revenue join is purchase-sized and broadcast; final aggregate "
      "is band-cardinality-sized"),
+    ("cusum_changepoints",
+     "counts aggregate map-side-combined on (key, widx); the key "
+     "mean is a count-row-sized broadcast; the sequential recurrence "
+     "is ONE FlatMapGroupsInPandas over count rows — raw events "
+     "never reach Python"),
 ]
 
 INTERESTING = re.compile(
