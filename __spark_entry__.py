@@ -1728,6 +1728,18 @@ def q_attribution_pipeline(spark, sf):
     )
 
 
+def q_state_intervals(spark, sf):
+    """Gaps-and-islands / SCD-2 interval build
+    (analytics.state_intervals): each user's consecutive runs of the
+    same event_type collapse into validity intervals — the event-log
+    to slowly-changing-dimension transform.  Two windows (lag change
+    flag, running island id) and the aggregate share ONE exchange on
+    the key; duplicate-ts ties resolve by event_id."""
+    import mtail_spark.operators.analytics as AN
+
+    return AN.state_intervals(_t(spark, sf, "events"))
+
+
 def q_cusum_changepoints(spark, sf):
     """CUSUM level-shift detection (timeseries.cusum_changepoints):
     S_i = max(0, S_{i-1} + x_i - k) over hourly counts per event
@@ -1819,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_join_stream": q_band_join_stream,
         "attribution_pipeline": q_attribution_pipeline,
         "cusum_changepoints": q_cusum_changepoints,
+        "state_intervals": q_state_intervals,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         # -- tier 1: NO driver row yet (staged past the window in r7) -------
         "hard_negatives": q_hard_negatives,
@@ -1846,7 +1859,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_users": q_set_ops_users,
         "distinct_users_by_type": q_distinct_users_by_type,
         "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         # -- tier 3: mtail_* reference-parity core (always in-window) -------
         "mtail_linecount": q_mtail_linecount,
         "mtail_counter_by": q_mtail_counter_by,
@@ -1863,10 +1875,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtail_prog_stateful": q_mtail_prog_stateful,
         "mtail_prog_txn": q_mtail_prog_txn,
         # ---------------- position 50 boundary is ABOVE this line ----------
-        # (12 new + 9 never-verified + 6 flagships + 9 stale-r6 + 14
+        # (13 new + 9 never-verified + 6 flagships + 8 stale-r6 + 14
         # mtail_* = exactly 50; tests/test_entry_contract.py pins the
         # required contents)
         # -- tier 4a: r6-green rows next in line to rotate back in ----------
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_groups_cc": q_dedup_groups_cc,
         "dedup_embedding": q_dedup_embedding,
         "embedding_nn": q_embedding_nn,
@@ -3320,6 +3333,32 @@ _SQL_ATTRIBUTION = """
     FROM aj GROUP BY 1
 """
 
+_SQL_STATE_INTERVALS = """
+    -- classic difference-of-change-flags islands, same two windows
+    WITH b AS (
+      SELECT user_id AS key, event_type AS state, epoch_us(ts) AS us,
+             event_id AS _id
+      FROM events
+    ), f AS (
+      SELECT key, state, us, _id,
+             CASE WHEN lag(state) OVER w IS NULL
+                    OR lag(state) OVER w <> state
+                  THEN 1 ELSE 0 END AS chg
+      FROM b
+      WINDOW w AS (PARTITION BY key ORDER BY us ASC, _id ASC)
+    ), i AS (
+      SELECT key, state, us,
+             sum(chg) OVER (PARTITION BY key ORDER BY us ASC, _id ASC
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM f
+    )
+    SELECT key, CAST(island AS BIGINT) AS island, state,
+           CAST(min(us) AS BIGINT) AS from_us,
+           CAST(max(us) AS BIGINT) AS to_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM i GROUP BY 1, 2, 3
+"""
+
 _SQL_CUSUM = """
     -- the same pmod-floor widx as _SQL_RATE_ANOMALIES; keymean via
     -- integer floor division; the CUSUM recurrence as a recursive CTE
@@ -3430,6 +3469,7 @@ def oracle_sql() -> dict[str, str]:
         "band_join_stream": _SQL_BAND_JOIN,
         "attribution_pipeline": _SQL_ATTRIBUTION,
         "cusum_changepoints": _SQL_CUSUM,
+        "state_intervals": _SQL_STATE_INTERVALS,
         "tpch_q3_shipping": _SQL_TPCH_Q3,
         "mtail_linecount": (
             "SELECT 'lines_total' AS name, count(*) AS value_i FROM events"

@@ -225,3 +225,56 @@ def salted_agg(
         F.sum("pc").cast("long").alias("sum_cents"),
         F.count(F.lit(1)).cast("long").alias("n_shards_seen"),
     )
+
+
+def state_intervals(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "event_type",
+) -> DataFrame:
+    """Gaps-and-islands / SCD-2 interval build: collapse each key's
+    CONSECUTIVE runs of equal values into validity intervals — the
+    standard way an event log becomes a slowly-changing-dimension
+    table (state = value, valid from first to last event of the run).
+
+    Classic two-window shape: a lag() change flag, a running SUM of
+    flags as the island id, then one aggregate per (key, island).
+    All three windows and the aggregate share ONE exchange on the key
+    (identical partitioning; the windows sort once).  Ordering ties
+    on duplicate (key, ts) resolve by the row id, so islands are
+    fully deterministic.  Timestamps as exact integer microseconds.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.select(
+        F.col(user_col).alias("key"),
+        F.col(value_col).alias("state"),
+        us.alias("us"),
+        F.col(id_col).alias("_id"),
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("us").asc(), F.col("_id").asc()
+    )
+    prev = F.lag("state").over(w)
+    chg = F.when(prev.isNull() | (prev != F.col("state")), 1).otherwise(0)
+    base = base.withColumn(
+        "island",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        base.groupBy("key", "island", "state")
+        .agg(
+            F.min("us").cast("long").alias("from_us"),
+            F.max("us").cast("long").alias("to_us"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            "key",
+            F.col("island").cast("long").alias("island"),
+            "state",
+            "from_us",
+            "to_us",
+            "n_events",
+        )
+    )

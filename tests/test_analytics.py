@@ -284,3 +284,46 @@ def test_cusum_alarm_fires_on_level_shift(spark):
         (6, False), (12, False), (18, True), (24, True), (30, True),
         (36, True), (42, True), (48, True), (54, True), (60, True),
     ]
+
+
+def test_state_intervals_hand_case(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 1, "2024-01-01 00:00:01", "view", 0.0),
+            (2, 1, "2024-01-01 00:00:02", "view", 0.0),
+            (3, 1, "2024-01-01 00:00:03", "click", 0.0),
+            (4, 1, "2024-01-01 00:00:04", "view", 0.0),   # view AGAIN
+            (5, 2, "2024-01-01 00:00:05", "view", 0.0),
+        ],
+    )
+    out = {
+        (r.key, r.island): (r.state, r.n_events,
+                            (r.to_us - r.from_us) // 1_000_000)
+        for r in AN.state_intervals(ev).collect()
+    }
+    # user 1: view-run (2 events, 1 s span), click, then a NEW view
+    # island (consecutive runs only — not grouped with island 1)
+    assert out == {
+        (1, 1): ("view", 2, 1),
+        (1, 2): ("click", 1, 0),
+        (1, 3): ("view", 1, 0),
+        (2, 1): ("view", 1, 0),
+    }
+
+
+def test_state_intervals_tie_break_on_id(spark):
+    # duplicate (user, ts): island boundaries must follow event_id order
+    ev = _ev(
+        spark,
+        [
+            (10, 1, "2024-01-01 00:00:01", "a", 0.0),
+            (11, 1, "2024-01-01 00:00:01", "b", 0.0),
+            (12, 1, "2024-01-01 00:00:01", "b", 0.0),
+        ],
+    )
+    out = sorted(
+        (r.island, r.state, r.n_events)
+        for r in AN.state_intervals(ev).collect()
+    )
+    assert out == [(1, "a", 1), (2, "b", 2)]

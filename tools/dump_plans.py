@@ -191,6 +191,9 @@ SHOW = [
      "the as-of window feeds the band rollup inside one plan; the "
      "revenue join is purchase-sized and broadcast; final aggregate "
      "is band-cardinality-sized"),
+    ("state_intervals",
+     "two windows (lag change flag, running island id) and the "
+     "interval aggregate share ONE exchange on the key"),
     ("cusum_changepoints",
      "counts aggregate map-side-combined on (key, widx); the key "
      "mean is a count-row-sized broadcast; the sequential recurrence "
