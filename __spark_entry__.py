@@ -1728,6 +1728,41 @@ def q_attribution_pipeline(spark, sf):
     )
 
 
+def q_incident_correlation(spark, sf):
+    """Round-8 monitoring composition: the incident-correlation query
+    an on-call runs after an alert — for every CUSUM-alarmed
+    (key, hour window), the breakdown of what ELSE fired in that
+    window.  cusum_changepoints supplies the alarm set (tiny by
+    construction); it broadcast-joins back to the hourly
+    (type, window) count table, keeping other-type rows only.  The
+    alarm detector, the window bucketing, and the correlation all
+    share exact integer arithmetic, so the composition hash-matches
+    end to end.  h_mult=1 is the sensitive paging threshold — the
+    noisy alarm set is precisely the one that needs this triage
+    query.  Output: (key, widx, other_type, n_other) per alarm."""
+    import mtail_spark.operators.timeseries as TS
+
+    ev = _t(spark, sf, "events")
+    alarms = (
+        TS.cusum_changepoints(ev, h_mult=1)
+        .filter(F.col("is_alarm"))
+        .select("key", "widx")
+    )
+    counts = TS.window_counts(ev, "ts", "event_type", 3600).select(
+        F.col("key").alias("other_type"), "widx", "n_events"
+    )
+    return (
+        counts.join(F.broadcast(alarms), "widx")
+        .filter(F.col("other_type") != F.col("key"))
+        .select(
+            "key",
+            "widx",
+            "other_type",
+            F.col("n_events").cast("long").alias("n_other"),
+        )
+    )
+
+
 def q_state_intervals(spark, sf):
     """Gaps-and-islands / SCD-2 interval build
     (analytics.state_intervals): each user's consecutive runs of the
@@ -1831,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_join_stream": q_band_join_stream,
         "attribution_pipeline": q_attribution_pipeline,
         "cusum_changepoints": q_cusum_changepoints,
+        "incident_correlation": q_incident_correlation,
         "state_intervals": q_state_intervals,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         # -- tier 1: NO driver row yet (staged past the window in r7) -------
@@ -1858,7 +1894,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window_counts": q_tumbling_window_counts,
         "set_ops_users": q_set_ops_users,
         "distinct_users_by_type": q_distinct_users_by_type,
-        "dedup_exact": q_dedup_exact,
         # -- tier 3: mtail_* reference-parity core (always in-window) -------
         "mtail_linecount": q_mtail_linecount,
         "mtail_counter_by": q_mtail_counter_by,
@@ -1875,10 +1910,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtail_prog_stateful": q_mtail_prog_stateful,
         "mtail_prog_txn": q_mtail_prog_txn,
         # ---------------- position 50 boundary is ABOVE this line ----------
-        # (13 new + 9 never-verified + 6 flagships + 8 stale-r6 + 14
+        # (14 new + 9 never-verified + 6 flagships + 7 stale-r6 + 14
         # mtail_* = exactly 50; tests/test_entry_contract.py pins the
         # required contents)
         # -- tier 4a: r6-green rows next in line to rotate back in ----------
+        "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_groups_cc": q_dedup_groups_cc,
         "dedup_embedding": q_dedup_embedding,
@@ -3359,10 +3395,11 @@ _SQL_STATE_INTERVALS = """
     FROM i GROUP BY 1, 2, 3
 """
 
-_SQL_CUSUM = """
-    -- the same pmod-floor widx as _SQL_RATE_ANOMALIES; keymean via
-    -- integer floor division; the CUSUM recurrence as a recursive CTE
-    -- stepping row_number order per key — exact BIGINT throughout
+def _sql_cusum_ctes(h_mult: int = 4) -> str:
+    """Shared recursive-CTE chain for cusum_changepoints and
+    incident_correlation; h_mult is the alarm-threshold knob."""
+    return """
+    -- shared by cusum_changepoints and incident_correlation
     WITH RECURSIVE c AS (
       SELECT event_type AS key,
              (epoch_us(ts)
@@ -3372,12 +3409,13 @@ _SQL_CUSUM = """
       FROM events GROUP BY 1, 2
     ), m AS (
       SELECT key,
-             CAST(sum(n_events) // count(*) AS BIGINT) AS keymean
+             CAST((sum(n_events) + count(*) - 1) // count(*) AS BIGINT)
+               AS keymean
       FROM c GROUP BY 1
     ), o AS (
       SELECT c.key, c.widx, c.n_events,
-             m.keymean + (m.keymean * 1) // 4 AS k,
-             4 * (m.keymean + 1) AS h,
+             m.keymean + greatest(1, (m.keymean * 1) // 4) AS k,
+             {h_mult} * (m.keymean + 1) AS h,
              row_number() OVER (PARTITION BY c.key ORDER BY c.widx)
                AS rn
       FROM c JOIN m ON c.key = m.key
@@ -3390,9 +3428,20 @@ _SQL_CUSUM = """
              greatest(0, r.s + o.n_events - o.k) AS s
       FROM r JOIN o ON o.key = r.key AND o.rn = r.rn + 1
     )
+""".format(h_mult=h_mult)
+
+_SQL_CUSUM = _sql_cusum_ctes(4) + """
     SELECT key, CAST(widx AS BIGINT) AS widx, n_events,
            CAST(s AS BIGINT) AS s, s >= h AS is_alarm
     FROM r
+"""
+
+_SQL_INCIDENT = _sql_cusum_ctes(1) + """
+    SELECT a.key, CAST(a.widx AS BIGINT) AS widx,
+           c.key AS other_type,
+           CAST(c.n_events AS BIGINT) AS n_other
+    FROM (SELECT key, widx FROM r WHERE s >= h) a
+    JOIN c ON c.widx = a.widx AND c.key <> a.key
 """
 
 _SQL_TPCH_Q3 = """
@@ -3469,6 +3518,7 @@ def oracle_sql() -> dict[str, str]:
         "band_join_stream": _SQL_BAND_JOIN,
         "attribution_pipeline": _SQL_ATTRIBUTION,
         "cusum_changepoints": _SQL_CUSUM,
+        "incident_correlation": _SQL_INCIDENT,
         "state_intervals": _SQL_STATE_INTERVALS,
         "tpch_q3_shipping": _SQL_TPCH_Q3,
         "mtail_linecount": (

@@ -329,10 +329,14 @@ def cusum_changepoints(
         S_0 = 0;  S_i = max(0, S_{i-1} + x_i - k)     (per key)
         alarm when S_i >= h
 
-    with k = keymean + floor(keymean * slack_num / slack_den) and
-    h = h_mult * (keymean + 1), keymean the key's overall mean count
-    (integer floor) — everything exact BIGINT arithmetic, so the
-    DuckDB recursive-CTE oracle reproduces S bit-for-bit.
+    with k = ceilmean + max(1, floor(ceilmean * slack_num /
+    slack_den)) and h = h_mult * (ceilmean + 1), ceilmean the key's
+    overall mean count rounded UP ((sum + n - 1) DIV n): a floor mean
+    would leave up to +1 expected drift per in-control window and S
+    would ramp to an alarm on perfectly steady traffic; the ceil plus
+    a minimum slack of 1 makes the in-control drift nonpositive.
+    Everything is exact BIGINT arithmetic, so the DuckDB
+    recursive-CTE oracle reproduces S bit-for-bit.
 
     Shape: counts aggregate on (key, widx) with map-side partials
     (input-sized exchange of count rows, never raw events); the
@@ -351,11 +355,13 @@ def cusum_changepoints(
     counts = window_counts(events, ts_col, key_col, window_s).select(
         "key", "widx", "n_events"
     )
-    # integer DIV, not float /: a float mean could round differently
-    # from the oracle's integer floor at large sums
+    # integer DIV on (sum + n - 1) = ceil, not a float mean: float
+    # rounding could differ from the oracle at large sums, and a
+    # FLOOR mean would leave positive in-control drift (see docstring)
     means = counts.groupBy("key").agg(
-        F.expr("CAST(sum(n_events) DIV count(1) AS BIGINT)")
-        .alias("keymean")
+        F.expr(
+            "CAST((sum(n_events) + count(1) - 1) DIV count(1) AS BIGINT)"
+        ).alias("keymean")
     )
     withm = counts.join(F.broadcast(means), "key")
     schema = T.StructType(
@@ -373,7 +379,7 @@ def cusum_changepoints(
 
         pdf = pdf.sort_values("widx", kind="mergesort")
         keymean = int(pdf["keymean"].iloc[0])
-        k = keymean + (keymean * slack_num) // slack_den
+        k = keymean + max(1, (keymean * slack_num) // slack_den)
         h = h_mult * (keymean + 1)
         s = 0
         ss, alarms = [], []

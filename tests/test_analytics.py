@@ -231,9 +231,9 @@ def test_band_join_boundary_inclusive(spark):
 
 
 def test_cusum_hand_case(spark):
-    # one key, hourly counts 2,2,2,8,8 -> keymean = (2+2+2+8+8)//5 = 4,
-    # k = 4 + 4//4 = 5, h = 4*(4+1) = 20
-    # S: max(0,0+2-5)=0, 0, 0, max(0,0+8-5)=3, max(0,3+8-5)=6
+    # one key, hourly counts 2,2,2,8,8 -> ceilmean = ceil(22/5) = 5,
+    # k = 5 + max(1, 5//4) = 6, h = 4*(5+1) = 24
+    # S: max(0,0+2-6)=0, 0, 0, max(0,0+8-6)=2, max(0,2+8-6)=4
     rows = []
     eid = 0
     for hour, n in enumerate([2, 2, 2, 8, 8]):
@@ -253,15 +253,15 @@ def test_cusum_hand_case(spark):
         (2, 0, False),
         (2, 0, False),
         (2, 0, False),
-        (8, 3, False),
-        (8, 6, False),
+        (8, 2, False),
+        (8, 4, False),
     ]
 
 
 def test_cusum_alarm_fires_on_level_shift(spark):
-    # counts 1x20 then 9x10: keymean floor((20+90)/30)=3, k=3+0=3
-    # (3//4=0), h=16; S ramps by 6 per shifted window -> alarm from
-    # the 3rd shifted window on
+    # counts 1x20 then 9x10: ceilmean = ceil(110/30) = 4,
+    # k = 4 + max(1, 4//4) = 5, h = 4*(4+1) = 20; S ramps by 4 per
+    # shifted window -> alarm from the 5th shifted window on
     rows = []
     eid = 0
     for hour in range(30):
@@ -277,12 +277,12 @@ def test_cusum_alarm_fires_on_level_shift(spark):
         (r.widx, r.s, r.is_alarm)
         for r in TS.cusum_changepoints(ev).collect()
     )
-    # pre-shift: S stays 0 (1 - 3 < 0)
+    # pre-shift: S stays 0 (1 - 5 < 0)
     assert all(s == 0 and not a for _, s, a in out[:20])
     shifted = [(s, a) for _, s, a in out[20:]]
     assert shifted == [
-        (6, False), (12, False), (18, True), (24, True), (30, True),
-        (36, True), (42, True), (48, True), (54, True), (60, True),
+        (4, False), (8, False), (12, False), (16, False), (20, True),
+        (24, True), (28, True), (32, True), (36, True), (40, True),
     ]
 
 

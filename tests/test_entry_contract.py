@@ -33,6 +33,7 @@ MUST_BE_IN_WINDOW = {
     "band_join_stream",
     "attribution_pipeline",
     "cusum_changepoints",
+    "incident_correlation",
     "state_intervals",
     "tpch_q3_shipping",
     # staged past position 50 in round 7, never driver-verified

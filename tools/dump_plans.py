@@ -194,6 +194,10 @@ SHOW = [
     ("state_intervals",
      "two windows (lag change flag, running island id) and the "
      "interval aggregate share ONE exchange on the key"),
+    ("incident_correlation",
+     "the alarm set is tiny by construction and BROADCAST back onto "
+     "the hourly count table — the correlation join never touches "
+     "raw events"),
     ("cusum_changepoints",
      "counts aggregate map-side-combined on (key, widx); the key "
      "mean is a count-row-sized broadcast; the sequential recurrence "
