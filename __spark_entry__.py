@@ -1728,6 +1728,111 @@ def q_attribution_pipeline(spark, sf):
     )
 
 
+def q_asof_join_stream(spark, sf):
+    """STREAM-STATIC as-of join: the same last-touch table as
+    asof_join_last_touch, with purchases arriving as a STREAM matched
+    against a static click history — the enrichment shape of a live
+    pipeline joining onto a reference table.  The stream-static left
+    join fans each probe out to its user's prior clicks; a stateful
+    max_by(struct(b_us, b_id)) aggregation per probe collapses to the
+    latest one (struct comparison is lexicographic, so the (ts, id)
+    tie-break matches the batch operator and the LATERAL oracle).
+    Complete-mode replay; the per-probe state is one struct.
+    SEVENTH stream ≡ batch pair — same oracle as the batch as-of."""
+    from mtail_spark.streaming.windows import (
+        run_replay_to_table,
+        stream_table,
+    )
+
+    probe = (
+        stream_table(spark, f"{sf}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("probe_id"),
+            F.col("user_id").alias("key"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us"),
+        )
+    )
+    build = _t(spark, sf, "events").filter(
+        F.col("event_type") == "click"
+    ).select(
+        F.col("user_id").alias("b_key"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("b_us"),
+        F.col("event_id").alias("b_id"),
+        F.col("value").alias("b_value"),
+    )
+    joined = probe.join(
+        build,
+        (probe.key == build.b_key) & (F.col("b_us") <= F.col("p_us")),
+        "left",
+    )
+    best = F.max_by(
+        F.struct(
+            F.col("b_us"), F.col("b_id").cast("long").alias("b_id"),
+            F.col("b_value"),
+        ),
+        F.struct(F.col("b_us"), F.col("b_id")),
+    ).alias("_b")
+    agg = joined.groupBy("probe_id", "key", "ts", "p_us").agg(best)
+    tbl = run_replay_to_table(agg, "asof_join_stream")
+    return tbl.select(
+        "probe_id",
+        "key",
+        "ts",
+        F.col("_b.b_id").alias("b_id"),
+        F.col("_b.b_value").alias("b_value"),
+        (F.col("p_us") - F.col("_b.b_us")).cast("long").alias("lag_us"),
+    )
+
+
+def q_sliding_window_counts(spark, sf):
+    """SLIDING event-time windows (1 h window, 15 min slide): each
+    event contributes to window/slide = 4 overlapping windows —
+    Catalyst expands the window list map-side (one Expand, no join)
+    and the count aggregation map-side-combines, so the only exchange
+    carries (key, window) count rows.  Completes the window-type
+    matrix (tumbling/sliding/session) with an oracle: the DuckDB dual
+    enumerates the same slide-aligned starts via generate_series.
+    Floor-aligned for any epoch sign (same pmod convention as
+    window_counts)."""
+    ev = _t(spark, sf, "events")
+    w = F.window(F.col("ts").cast("timestamp"), "1 hour", "15 minutes")
+    return (
+        ev.groupBy(w.alias("w"), F.col("event_type").alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "key",
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+        )
+    )
+
+
+def q_sliding_window_stream(spark, sf):
+    """The SAME sliding-window table computed through Structured
+    Streaming (state-store accumulation over the replay, complete
+    mode) — EIGHTH stream ≡ batch pair, same oracle as
+    sliding_window_counts."""
+    from mtail_spark.streaming.windows import (
+        run_replay_to_table,
+        stream_table,
+    )
+
+    ev = stream_table(spark, f"{sf}/events.parquet")
+    w = F.window(F.col("ts").cast("timestamp"), "1 hour", "15 minutes")
+    agg = (
+        ev.groupBy(w.alias("w"), F.col("event_type").alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "key",
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+        )
+    )
+    return run_replay_to_table(agg, "sliding_window_stream")
+
+
 def q_incident_correlation(spark, sf):
     """Round-8 monitoring composition: the incident-correlation query
     an on-call runs after an alert — for every CUSUM-alarmed
@@ -1868,6 +1973,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoints": q_cusum_changepoints,
         "incident_correlation": q_incident_correlation,
         "state_intervals": q_state_intervals,
+        "asof_join_stream": q_asof_join_stream,
+        "sliding_window_counts": q_sliding_window_counts,
+        "sliding_window_stream": q_sliding_window_stream,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         # -- tier 1: NO driver row yet (staged past the window in r7) -------
         "hard_negatives": q_hard_negatives,
@@ -1891,9 +1999,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk_orders": q_window_topk_orders,
         "sessionize_events": q_sessionize_events,
         "session_window_native": q_session_window_native,
-        "tumbling_window_counts": q_tumbling_window_counts,
-        "set_ops_users": q_set_ops_users,
-        "distinct_users_by_type": q_distinct_users_by_type,
         # -- tier 3: mtail_* reference-parity core (always in-window) -------
         "mtail_linecount": q_mtail_linecount,
         "mtail_counter_by": q_mtail_counter_by,
@@ -1910,10 +2015,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtail_prog_stateful": q_mtail_prog_stateful,
         "mtail_prog_txn": q_mtail_prog_txn,
         # ---------------- position 50 boundary is ABOVE this line ----------
-        # (14 new + 9 never-verified + 6 flagships + 7 stale-r6 + 14
+        # (17 new + 9 never-verified + 6 flagships + 4 stale-r6 + 14
         # mtail_* = exactly 50; tests/test_entry_contract.py pins the
         # required contents)
         # -- tier 4a: r6-green rows next in line to rotate back in ----------
+        "tumbling_window_counts": q_tumbling_window_counts,
+        "set_ops_users": q_set_ops_users,
+        "distinct_users_by_type": q_distinct_users_by_type,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_groups_cc": q_dedup_groups_cc,
@@ -3369,6 +3477,26 @@ _SQL_ATTRIBUTION = """
     FROM aj GROUP BY 1
 """
 
+_SQL_SLIDING_COUNTS = """
+    -- each event's 4 overlapping 1h/15m windows: slide-aligned starts
+    -- enumerated via generate_series; pmod keeps the grid floor-aligned
+    -- for negative epochs (matches F.window)
+    WITH e AS (
+      SELECT event_type AS key, epoch_us(ts) AS us FROM events
+    ), g AS (
+      SELECT key, us,
+             us - ((us % 900000000 + 900000000) % 900000000) AS anchor
+      FROM e
+    ), x AS (
+      SELECT key, us, anchor - k * 900000000 AS ws
+      FROM g CROSS JOIN generate_series(0, 3) AS t(k)
+    )
+    SELECT key, CAST(ws AS BIGINT) AS window_start_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM x WHERE us >= ws AND us < ws + 3600000000
+    GROUP BY 1, 2
+"""
+
 _SQL_STATE_INTERVALS = """
     -- classic difference-of-change-flags islands, same two windows
     WITH b AS (
@@ -3520,6 +3648,9 @@ def oracle_sql() -> dict[str, str]:
         "cusum_changepoints": _SQL_CUSUM,
         "incident_correlation": _SQL_INCIDENT,
         "state_intervals": _SQL_STATE_INTERVALS,
+        "asof_join_stream": _SQL_ASOF_LAST_TOUCH,
+        "sliding_window_counts": _SQL_SLIDING_COUNTS,
+        "sliding_window_stream": _SQL_SLIDING_COUNTS,
         "tpch_q3_shipping": _SQL_TPCH_Q3,
         "mtail_linecount": (
             "SELECT 'lines_total' AS name, count(*) AS value_i FROM events"

@@ -35,6 +35,9 @@ MUST_BE_IN_WINDOW = {
     "cusum_changepoints",
     "incident_correlation",
     "state_intervals",
+    "asof_join_stream",
+    "sliding_window_counts",
+    "sliding_window_stream",
     "tpch_q3_shipping",
     # staged past position 50 in round 7, never driver-verified
     "hard_negatives",

@@ -35,6 +35,8 @@ STREAMING_REPLAY = {
     "tumbling_window_stream",
     "dedup_incremental_stream",
     "band_join_stream",
+    "asof_join_stream",
+    "sliding_window_stream",
 }
 
 

@@ -194,6 +194,10 @@ SHOW = [
     ("state_intervals",
      "two windows (lag change flag, running island id) and the "
      "interval aggregate share ONE exchange on the key"),
+    ("sliding_window_counts",
+     "sliding windows expand map-side (one Expand, no join); the "
+     "only exchange carries (key, window) count rows with map-side "
+     "partials"),
     ("incident_correlation",
      "the alarm set is tiny by construction and BROADCAST back onto "
      "the hourly count table — the correlation join never touches "
