@@ -1728,6 +1728,33 @@ def q_attribution_pipeline(spark, sf):
     )
 
 
+def q_seasonal_anomalies(spark, sf):
+    """Seasonal-baseline anomaly detection
+    (timeseries.seasonal_anomalies): each (type, hour window) scored
+    against the other windows in the SAME day-of-week x hour-of-day
+    slot with a leave-one-out mean/variance — the detector for
+    traffic with daily/weekly shape, where a trailing window flags
+    every morning ramp.  Exact counts; z in micro-units via the
+    shared-literal-formula + IEEE-sqrt policy of rate_anomalies."""
+    import mtail_spark.operators.timeseries as TS
+
+    return TS.seasonal_anomalies(_t(spark, sf, "events"))
+
+
+def q_log_templates(spark, sf):
+    """Log template mining (textstats.log_templates): the rendered
+    dhcpd syslog stream collapses to its message SHAPES — variable
+    values (MACs, IPs, numbers) masked by a Catalyst regex chain,
+    then one tiny-keyed aggregation (template cardinality is message-
+    shape cardinality).  The Drain-class triage view an mtail author
+    uses to decide which patterns to write.  The oracle derives each
+    line's template directly from the event that rendered it."""
+    import mtail_spark.operators.textstats as TXS
+    from mtail_spark.plans.demo_programs import render_dhcpd_lines
+
+    return TXS.log_templates(render_dhcpd_lines(spark, sf))
+
+
 def q_asof_join_stream(spark, sf):
     """STREAM-STATIC as-of join: the same last-touch table as
     asof_join_last_touch, with purchases arriving as a STREAM matched
@@ -1973,6 +2000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoints": q_cusum_changepoints,
         "incident_correlation": q_incident_correlation,
         "state_intervals": q_state_intervals,
+        "seasonal_anomalies": q_seasonal_anomalies,
+        "log_templates": q_log_templates,
         "asof_join_stream": q_asof_join_stream,
         "sliding_window_counts": q_sliding_window_counts,
         "sliding_window_stream": q_sliding_window_stream,
@@ -1997,8 +2026,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 2b: stalest multi-green rows (last green row is r6) -------
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_topk_orders": q_window_topk_orders,
-        "sessionize_events": q_sessionize_events,
-        "session_window_native": q_session_window_native,
         # -- tier 3: mtail_* reference-parity core (always in-window) -------
         "mtail_linecount": q_mtail_linecount,
         "mtail_counter_by": q_mtail_counter_by,
@@ -2015,10 +2042,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtail_prog_stateful": q_mtail_prog_stateful,
         "mtail_prog_txn": q_mtail_prog_txn,
         # ---------------- position 50 boundary is ABOVE this line ----------
-        # (17 new + 9 never-verified + 6 flagships + 4 stale-r6 + 14
+        # (19 new + 9 never-verified + 6 flagships + 2 stale-r6 + 14
         # mtail_* = exactly 50; tests/test_entry_contract.py pins the
         # required contents)
         # -- tier 4a: r6-green rows next in line to rotate back in ----------
+        "sessionize_events": q_sessionize_events,
+        "session_window_native": q_session_window_native,
         "tumbling_window_counts": q_tumbling_window_counts,
         "set_ops_users": q_set_ops_users,
         "distinct_users_by_type": q_distinct_users_by_type,
@@ -3477,6 +3506,92 @@ _SQL_ATTRIBUTION = """
     FROM aj GROUP BY 1
 """
 
+_SQL_SEASONAL = """
+    -- leave-one-out seasonal z: same pmod-floor widx, the (key, dow,
+    -- hour) slot stats via window functions, ONE literal float formula
+    -- shared with the Spark side (IEEE sqrt is bit-portable)
+    WITH c AS (
+      SELECT event_type AS key,
+             (epoch_us(ts)
+                - ((epoch_us(ts) % 3600000000 + 3600000000) % 3600000000))
+               // 3600000000 AS widx,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT key, widx, n_events,
+             CAST(date_part('dow',
+               make_timestamp(CAST(widx * 3600000000 AS BIGINT)))
+               AS BIGINT) AS dow,
+             CAST(date_part('hour',
+               make_timestamp(CAST(widx * 3600000000 AS BIGINT)))
+               AS BIGINT) AS hod
+      FROM c
+    ), t AS (
+      SELECT key, widx, n_events, dow, hod,
+             CAST(count(*) OVER w - 1 AS BIGINT) AS n_peers,
+             CAST(sum(n_events) OVER w AS BIGINT) AS s1,
+             CAST(sum(n_events * n_events) OVER w AS BIGINT) AS s2
+      FROM s WINDOW w AS (PARTITION BY key, dow, hod)
+    ), z AS (
+      SELECT *,
+             CASE WHEN n_peers >= 3 AND
+                  ((CAST(s2 AS DOUBLE)
+                      - CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))
+                     - (CAST(s1 AS DOUBLE) - CAST(n_events AS DOUBLE))
+                       * (CAST(s1 AS DOUBLE) - CAST(n_events AS DOUBLE))
+                       / CAST(n_peers AS DOUBLE))
+                    / CAST(n_peers AS DOUBLE) > 0.0
+             THEN CAST(round(
+               (CAST(n_events AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) - CAST(n_events AS DOUBLE))
+                    / CAST(n_peers AS DOUBLE))
+               * 1000000.0
+               / sqrt(((CAST(s2 AS DOUBLE)
+                          - CAST(n_events AS DOUBLE)
+                            * CAST(n_events AS DOUBLE))
+                         - (CAST(s1 AS DOUBLE) - CAST(n_events AS DOUBLE))
+                           * (CAST(s1 AS DOUBLE) - CAST(n_events AS DOUBLE))
+                           / CAST(n_peers AS DOUBLE))
+                      / CAST(n_peers AS DOUBLE))) AS BIGINT)
+             END AS z_micro
+      FROM t
+    )
+    SELECT key, CAST(widx AS BIGINT) AS widx,
+           CAST(n_events AS BIGINT) AS n_events, dow, hod, n_peers,
+           z_micro,
+           CASE WHEN z_micro IS NULL THEN false
+                ELSE abs(z_micro) >= 3000000 END AS is_anomaly
+    FROM z
+"""
+
+_SQL_LOG_TEMPLATES = """
+    -- each line's template derives directly from the event that
+    -- rendered it (mask constants mirror textstats.LOG_TEMPLATE_MASKS
+    -- applied to plans/demo_programs.render_dhcpd_lines output)
+    WITH ev AS (
+      SELECT event_id,
+             strftime(ts, '%b')
+             || CASE WHEN day(ts) < 10 THEN '  <n> ' ELSE ' <n> ' END
+             || '<n>:<n>:<n> dhcp<n> dhcpd[<n>]: '
+             || CASE event_type
+                  WHEN 'purchase'
+                    THEN 'DHCPACK on <ip> to <mac> via eth<n>'
+                  WHEN 'view'
+                    THEN 'DHCPOFFER on <ip> to <mac> via eth<n>'
+                  WHEN 'error'
+                    THEN 'DHCPDISCOVER from <mac> via eth<n>: '
+                         || 'network <ip>/<n>: no free leases'
+                  WHEN 'click'
+                    THEN 'DHCPREQUEST for <ip> (<ip>) from <mac> via eth<n>'
+                  ELSE 'DHCPDISCOVER from <mac> via eth<n>'
+                END AS template
+      FROM events
+    )
+    SELECT template, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(min(event_id) AS BIGINT) AS first_line_no
+    FROM ev GROUP BY 1
+"""
+
 _SQL_SLIDING_COUNTS = """
     -- each event's 4 overlapping 1h/15m windows: slide-aligned starts
     -- enumerated via generate_series; pmod keeps the grid floor-aligned
@@ -3648,6 +3763,8 @@ def oracle_sql() -> dict[str, str]:
         "cusum_changepoints": _SQL_CUSUM,
         "incident_correlation": _SQL_INCIDENT,
         "state_intervals": _SQL_STATE_INTERVALS,
+        "seasonal_anomalies": _SQL_SEASONAL,
+        "log_templates": _SQL_LOG_TEMPLATES,
         "asof_join_stream": _SQL_ASOF_LAST_TOUCH,
         "sliding_window_counts": _SQL_SLIDING_COUNTS,
         "sliding_window_stream": _SQL_SLIDING_COUNTS,

@@ -397,3 +397,53 @@ def bpe_merge_pairs(
 
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# variable-value masks applied IN ORDER; longest/most-specific first so
+# a MAC's hex bytes are not half-eaten by the bare-number mask.  RE2-safe
+# (no lookaround/backrefs) so Spark and any RE2-based engine agree.
+LOG_TEMPLATE_MASKS = (
+    ("[0-9a-f]{2}(:[0-9a-f]{2}){5}", "<mac>"),
+    ("\\d+\\.\\d+\\.\\d+\\.\\d+", "<ip>"),
+    ("\\d+", "<n>"),
+)
+
+
+def log_template(col):
+    """Mask the variable values of a log line (MACs, IPs, numbers) to
+    its TEMPLATE — the Drain-style log-pattern-mining key, as a pure
+    Catalyst expression chain."""
+    out = col
+    for pat, repl in LOG_TEMPLATE_MASKS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def log_templates(
+    lines,
+    line_col: str = "line",
+    order_col: str = "line_no",
+):
+    """Log template mining: group lines by their masked template and
+    report frequency + the first occurrence — the triage view that
+    turns a 100 TB log into its handful of message shapes (the
+    simplified deterministic core of Drain-class template miners;
+    mtail program authors use exactly this to decide which patterns
+    to write).
+
+    One map-side regex projection (three replaces, no Python), one
+    map-side-combined aggregation keyed on the template — template
+    cardinality is message-shape cardinality, tiny by definition, so
+    the exchange carries almost nothing at any input scale.
+    """
+    return (
+        lines.select(
+            log_template(F.col(line_col)).alias("template"),
+            F.col(order_col).alias("_ord"),
+        )
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.min("_ord").cast("long").alias("first_line_no"),
+        )
+    )

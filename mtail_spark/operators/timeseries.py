@@ -398,3 +398,75 @@ def cusum_changepoints(
         )
 
     return withm.groupBy("key").applyInPandas(scan, schema)
+
+
+def seasonal_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_s: int = 3600,
+    min_peers: int = 3,
+    z_thresh_micro: int = 3_000_000,
+) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each (key, hour window)
+    compares against the history of the SAME day-of-week x hour-of-day
+    slot (Monday-9am vs all other Monday-9ams) — the detector for
+    traffic with daily/weekly shape, where trailing_z would flag every
+    morning ramp.  z excludes the window itself from its baseline
+    (leave-one-out mean/variance), so a single spiked window cannot
+    dilute its own score.
+
+    Determinism: counts are exact integers; mu/var/z use ONE literal
+    evaluation order shared with the DuckDB oracle and IEEE-exact
+    sqrt, so z_micro hash-matches (same policy as rate_anomalies).
+
+    Shape: the count merge exchanges on (key, widx) with map-side
+    partials; ONE count-row-sized exchange on (key, dow, hour) feeds
+    a single Window node computing all three seasonal aggregates.
+    Raw events never shuffle on the seasonal key.
+    """
+    counts = window_counts(events, ts_col, key_col, window_s)
+    wts = F.timestamp_micros(F.col("window_start_us"))
+    seasonal = counts.select(
+        "key",
+        "widx",
+        "window_start_us",
+        "n_events",
+        (F.dayofweek(wts) - 1).cast("long").alias("dow"),
+        F.hour(wts).cast("long").alias("hod"),
+    )
+    w = Window.partitionBy("key", "dow", "hod")
+    x = F.col("n_events").cast("double")
+    n_all = F.count(F.lit(1)).over(w).cast("long")
+    s1 = F.sum("n_events").over(w).cast("long")
+    s2 = F.sum(F.col("n_events") * F.col("n_events")).over(w).cast("long")
+    stats = seasonal.select(
+        "key", "widx", "window_start_us", "n_events", "dow", "hod",
+        (n_all - 1).alias("n_peers"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+    )
+    np_ = F.col("n_peers").cast("double")
+    mu = (F.col("s1").cast("double") - x) / np_
+    var = (
+        (F.col("s2").cast("double") - x * x)
+        - (F.col("s1").cast("double") - x)
+        * (F.col("s1").cast("double") - x)
+        / np_
+    ) / np_
+    z = F.round((x - mu) * F.lit(float(US)) / F.sqrt(var)).cast("long")
+    z_micro = F.when(
+        (F.col("n_peers") >= min_peers) & (var > 0.0), z
+    )
+    return stats.select(
+        "key",
+        "widx",
+        "n_events",
+        "dow",
+        "hod",
+        "n_peers",
+        z_micro.alias("z_micro"),
+        (
+            z_micro.isNotNull() & (F.abs(z_micro) >= z_thresh_micro)
+        ).alias("is_anomaly"),
+    )

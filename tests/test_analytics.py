@@ -327,3 +327,50 @@ def test_state_intervals_tie_break_on_id(spark):
         for r in AN.state_intervals(ev).collect()
     )
     assert out == [(1, "a", 1), (2, "b", 2)]
+
+
+def test_log_template_masks():
+    from pyspark.sql import Row
+    import mtail_spark.operators.textstats as TXS
+
+    # pure-expression check via a literal row
+    line = ("Jan  1 00:00:07 dhcp1 dhcpd[1234]: "
+            "DHCPACK on 10.0.3.77 to 02:ab:cd:0e:ef:34 via eth0")
+    import __spark_entry__  # noqa: F401  (session conventions)
+    from mtail_spark.session import get_spark
+
+    spark = get_spark("tmpl-test", cpus=2)
+    out = spark.createDataFrame([Row(line=line)]).select(
+        TXS.log_template(F.col("line")).alias("t")
+    ).collect()[0].t
+    assert out == ("Jan  <n> <n>:<n>:<n> dhcp<n> dhcpd[<n>]: "
+                   "DHCPACK on <ip> to <mac> via eth<n>")
+
+
+def test_seasonal_anomalies_flags_slot_spike(spark):
+    # same Monday-9am slot across 4 weeks: 4,5,6 then a 50-burst; other
+    # hours quiet so the slot is isolated
+    rows, eid = [], 0
+    for week, n in enumerate([4, 5, 6, 50]):
+        day = 1 + 7 * week  # 2024-01-01 is a Monday
+        for _ in range(n):
+            rows.append((eid, 1, f"2024-01-{day:02d} 09:10:00", "view", 0.0))
+            eid += 1
+    ev = _ev(spark, rows)
+    out = {r.widx: r for r in TS.seasonal_anomalies(ev).collect()}
+    assert len(out) == 4
+    spike = max(out.values(), key=lambda r: r.n_events)
+    assert spike.n_events == 50 and spike.n_peers == 3
+    assert spike.dow == 1 and spike.hod == 9  # Monday, 09:xx
+    assert spike.is_anomaly and spike.z_micro > 3_000_000
+    # the quiet weeks: peers include the 50-burst, variance is huge,
+    # z is small -> not anomalous
+    for r in out.values():
+        if r.n_events != 50:
+            assert not r.is_anomaly
+
+
+def test_seasonal_anomalies_null_without_history(spark):
+    ev = _ev(spark, [(1, 1, "2024-01-01 09:00:00", "view", 0.0)])
+    (r,) = TS.seasonal_anomalies(ev).collect()
+    assert r.n_peers == 0 and r.z_micro is None and not r.is_anomaly

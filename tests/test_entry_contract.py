@@ -35,6 +35,8 @@ MUST_BE_IN_WINDOW = {
     "cusum_changepoints",
     "incident_correlation",
     "state_intervals",
+    "seasonal_anomalies",
+    "log_templates",
     "asof_join_stream",
     "sliding_window_counts",
     "sliding_window_stream",

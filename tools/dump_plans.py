@@ -194,6 +194,14 @@ SHOW = [
     ("state_intervals",
      "two windows (lag change flag, running island id) and the "
      "interval aggregate share ONE exchange on the key"),
+    ("seasonal_anomalies",
+     "count merge on (key, widx) with map-side partials; ONE "
+     "count-row-sized exchange on (key, dow, hour) feeds a single "
+     "Window node for all three seasonal aggregates"),
+    ("log_templates",
+     "three-regex mask is a map-side Catalyst projection; the only "
+     "exchange carries template-cardinality count rows (message "
+     "shapes, tiny at any input scale)"),
     ("sliding_window_counts",
      "sliding windows expand map-side (one Expand, no join); the "
      "only exchange carries (key, window) count rows with map-side "
