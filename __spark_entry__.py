@@ -1507,6 +1507,9 @@ def q_rate_anomalies_stream(spark, sf):
 
 FUNNEL_STAGES = ["signup", "view", "purchase"]
 US = 1_000_000  # microseconds per second (mirrors timeseries.US)
+# one radius for the batch band join, its streaming dual, and the
+# shared oracle — four call sites that must never drift apart
+BAND_RADIUS_S = 120
 PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1591,7 +1594,8 @@ def q_band_join_counts(spark, sf):
     NOT become a cartesian product at scale."""
     import mtail_spark.operators.timeseries as TS
 
-    return TS.band_join_counts(_t(spark, sf, "events"), radius_s=120)
+    return TS.band_join_counts(_t(spark, sf, "events"),
+                               radius_s=BAND_RADIUS_S)
 
 
 def q_band_join_stream(spark, sf):
@@ -1628,9 +1632,8 @@ def q_band_join_stream(spark, sf):
     # probe explodes into its 3 candidate cells, the build side keeps
     # its own cell, and the exact +-120 s range plus key inequality
     # filter inside the matched cell.
-    bkt = "CAST((us - pmod(us, {r})) DIV {r} AS BIGINT)".format(
-        r=120 * 1_000_000
-    )
+    r_us = BAND_RADIUS_S * US
+    bkt = "CAST((us - pmod(us, {r})) DIV {r} AS BIGINT)".format(r=r_us)
     a = (
         side("a")
         .withColumn("us", F.unix_micros(F.col("a_ts")))
@@ -1665,10 +1668,10 @@ def q_band_join_stream(spark, sf):
     pairs = a.join(
         b,
         F.expr(
-            "a.bucket = b.bucket AND b_key != a_key AND "
-            "abs(b_us - a_us) <= 120000000 AND "
-            "b_ts >= a_ts - INTERVAL 120 SECONDS AND "
-            "b_ts <= a_ts + INTERVAL 120 SECONDS"
+            f"a.bucket = b.bucket AND b_key != a_key AND "
+            f"abs(b_us - a_us) <= {r_us} AND "
+            f"b_ts >= a_ts - INTERVAL {BAND_RADIUS_S} SECONDS AND "
+            f"b_ts <= a_ts + INTERVAL {BAND_RADIUS_S} SECONDS"
         ),
     )
     tbl = run_replay_append(
@@ -3466,7 +3469,7 @@ _SQL_SLIDING_STATS = """
                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """
 
-_SQL_BAND_JOIN = """
+_SQL_BAND_JOIN = f"""
     -- reference inequality self-join (IEJoin in DuckDB); the Spark
     -- operator gets the same answer from the bucketed equi-join
     WITH b AS (
@@ -3476,7 +3479,8 @@ _SQL_BAND_JOIN = """
            CAST(count(n.event_id) AS BIGINT) AS n_neighbors
     FROM b a LEFT JOIN b n
       ON n.key <> a.key
-     AND n.us BETWEEN a.us - 120000000 AND a.us + 120000000
+     AND n.us BETWEEN a.us - {BAND_RADIUS_S * US}
+                  AND a.us + {BAND_RADIUS_S * US}
     GROUP BY 1, 2
 """
 

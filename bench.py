@@ -150,10 +150,13 @@ _COMPACT_DROP_ORDER = (
 
 
 def compact_line(result: dict, limit: int = COMPACT_LIMIT) -> str:
-    """One JSON line guaranteed <= limit bytes (assuming the required
-    core fields themselves fit, which they do by construction: ~21
-    query timings is ~700 bytes).  Drops detail keys in
-    _COMPACT_DROP_ORDER until the serialization fits."""
+    """One JSON line guaranteed <= limit bytes.  Drops detail keys in
+    _COMPACT_DROP_ORDER until the serialization fits; if the suite
+    ever grows so large that the core alone exceeds the limit, the
+    LAST-RESORT path trims entries off the "queries" dict (longest
+    key first, count recorded as "queries_truncated") rather than
+    silently regressing to the rounds-1-7 unparseable-line failure —
+    the full dict always survives in BENCH_DETAIL.json."""
     out = dict(result)
     line = json.dumps(out)
     for key in _COMPACT_DROP_ORDER:
@@ -161,6 +164,22 @@ def compact_line(result: dict, limit: int = COMPACT_LIMIT) -> str:
             break
         out.pop(key, None)
         line = json.dumps(out)
+    if len(line) > limit and isinstance(out.get("queries"), dict):
+        qs = dict(out["queries"])
+        dropped = 0
+        for name in sorted(qs, key=len, reverse=True):
+            if len(line) <= limit:
+                break
+            qs.pop(name)
+            dropped += 1
+            out["queries"] = qs
+            out["queries_truncated"] = dropped
+            line = json.dumps(out)
+        print(
+            f"bench: compact line over {limit} bytes; trimmed "
+            f"{dropped} queries entries (full set in BENCH_DETAIL.json)",
+            file=sys.stderr,
+        )
     return line
 
 

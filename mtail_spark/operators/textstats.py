@@ -403,7 +403,7 @@ def bpe_merge_pairs(
 # a MAC's hex bytes are not half-eaten by the bare-number mask.  RE2-safe
 # (no lookaround/backrefs) so Spark and any RE2-based engine agree.
 LOG_TEMPLATE_MASKS = (
-    ("[0-9a-f]{2}(:[0-9a-f]{2}){5}", "<mac>"),
+    ("[0-9a-fA-F]{2}(:[0-9a-fA-F]{2}){5}", "<mac>"),
     ("\\d+\\.\\d+\\.\\d+\\.\\d+", "<ip>"),
     ("\\d+", "<n>"),
 )

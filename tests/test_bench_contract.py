@@ -79,3 +79,30 @@ def test_bench_queries_are_registered():
     qs = entrymod.queries()
     for name in bench.BENCH_QUERIES + bench.SF1_QUERIES:
         assert name in qs, name
+
+
+def test_compact_line_last_resort_trims_queries():
+    # pathological future: so many bench queries that the core alone
+    # exceeds the limit — the line must STILL fit (trimming entries and
+    # recording the count) rather than regress to an unparseable line
+    r = _fake_result(n_queries=120, with_sf1=False)
+    line = bench.compact_line(r, limit=1900)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert parsed["queries_truncated"] > 0
+    assert len(parsed["queries"]) + parsed["queries_truncated"] == 120
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in parsed
+
+
+def test_log_template_uppercase_mac():
+    # review finding: real syslog emits uppercase-hex MACs too
+    from pyspark.sql import functions as F
+    import mtail_spark.operators.textstats as TXS
+    from mtail_spark.session import get_spark
+
+    spark = get_spark("tmpl-upper", cpus=2)
+    out = spark.createDataFrame(
+        [("x to 02:AB:CD:0E:EF:34 via eth0",)], ["line"]
+    ).select(TXS.log_template(F.col("line")).alias("t")).collect()[0].t
+    assert out == "x to <mac> via eth<n>"
