@@ -1731,6 +1731,30 @@ def q_attribution_pipeline(spark, sf):
     )
 
 
+def q_event_transitions(spark, sf):
+    """First-order Markov transition matrix
+    (analytics.event_transitions): (prev_type -> next_type) counts per
+    user stream with exact-ppm outgoing probabilities — the
+    behavioral-flow model behind anomalous-sequence detection.  One
+    key exchange for the lag window; everything after operates on
+    type-pair-cardinality rows."""
+    import mtail_spark.operators.analytics as AN
+
+    return AN.event_transitions(_t(spark, sf, "events"))
+
+
+def q_multi_touch_attribution(spark, sf):
+    """Linear multi-touch attribution (analytics.
+    multi_touch_attribution): each purchase's integer-cent revenue
+    splits equally (cents DIV n) across the same user's clicks in the
+    trailing day; per click, conversions credited + attributed cents,
+    zero-filled for never-credited clicks.  The user-keyed join bounds
+    the fan-out by per-user event counts — never all-pairs."""
+    import mtail_spark.operators.analytics as AN
+
+    return AN.multi_touch_attribution(_t(spark, sf, "events"))
+
+
 def q_seasonal_anomalies(spark, sf):
     """Seasonal-baseline anomaly detection
     (timeseries.seasonal_anomalies): each (type, hour window) scored
@@ -2005,6 +2029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "state_intervals": q_state_intervals,
         "seasonal_anomalies": q_seasonal_anomalies,
         "log_templates": q_log_templates,
+        "event_transitions": q_event_transitions,
+        "multi_touch_attribution": q_multi_touch_attribution,
         "asof_join_stream": q_asof_join_stream,
         "sliding_window_counts": q_sliding_window_counts,
         "sliding_window_stream": q_sliding_window_stream,
@@ -2027,8 +2053,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "decontamination": q_decontamination,
         # -- tier 2b: stalest multi-green rows (last green row is r6) -------
-        "join_revenue_by_nation": q_join_revenue_by_nation,
-        "window_topk_orders": q_window_topk_orders,
         # -- tier 3: mtail_* reference-parity core (always in-window) -------
         "mtail_linecount": q_mtail_linecount,
         "mtail_counter_by": q_mtail_counter_by,
@@ -2045,10 +2069,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtail_prog_stateful": q_mtail_prog_stateful,
         "mtail_prog_txn": q_mtail_prog_txn,
         # ---------------- position 50 boundary is ABOVE this line ----------
-        # (19 new + 9 never-verified + 6 flagships + 2 stale-r6 + 14
-        # mtail_* = exactly 50; tests/test_entry_contract.py pins the
+        # (21 new + 9 never-verified + 6 flagships + 14 mtail_* =
+        # exactly 50; tests/test_entry_contract.py pins the
         # required contents)
         # -- tier 4a: r6-green rows next in line to rotate back in ----------
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "window_topk_orders": q_window_topk_orders,
         "sessionize_events": q_sessionize_events,
         "session_window_native": q_session_window_native,
         "tumbling_window_counts": q_tumbling_window_counts,
@@ -3510,6 +3536,50 @@ _SQL_ATTRIBUTION = """
     FROM aj GROUP BY 1
 """
 
+_SQL_EVENT_TRANSITIONS = """
+    WITH p AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC) AS prev_type,
+             event_type AS next_type
+      FROM events
+    ), c AS (
+      SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), o AS (
+      SELECT prev_type, CAST(sum(n) AS BIGINT) AS out_total
+      FROM c GROUP BY 1
+    )
+    SELECT c.prev_type, c.next_type, c.n,
+           CAST(c.n * 1000000 // o.out_total AS BIGINT) AS ppm
+    FROM c JOIN o ON c.prev_type = o.prev_type
+"""
+
+_SQL_MULTI_TOUCH = """
+    WITH t AS (
+      SELECT event_id AS touch_id, user_id AS key, epoch_us(ts) AS t_us
+      FROM events WHERE event_type = 'click'
+    ), cv AS (
+      SELECT user_id AS key, epoch_us(ts) AS c_us, event_id AS conv_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), m AS (
+      SELECT t.touch_id, cv.conv_id, cv.cents,
+             count(*) OVER (PARTITION BY cv.conv_id) AS n_touches
+      FROM t JOIN cv ON t.key = cv.key
+       AND t.t_us <= cv.c_us AND t.t_us >= cv.c_us - 86400000000
+    ), cr AS (
+      SELECT touch_id, CAST(count(*) AS BIGINT) AS n_conversions,
+             CAST(sum(cents // n_touches) AS BIGINT) AS attributed_cents
+      FROM m GROUP BY 1
+    )
+    SELECT t.touch_id, t.key,
+           CAST(COALESCE(cr.n_conversions, 0) AS BIGINT)
+             AS n_conversions,
+           CAST(COALESCE(cr.attributed_cents, 0) AS BIGINT)
+             AS attributed_cents
+    FROM t LEFT JOIN cr ON t.touch_id = cr.touch_id
+"""
+
 _SQL_SEASONAL = """
     -- leave-one-out seasonal z: same pmod-floor widx, the (key, dow,
     -- hour) slot stats via window functions, ONE literal float formula
@@ -3769,6 +3839,8 @@ def oracle_sql() -> dict[str, str]:
         "state_intervals": _SQL_STATE_INTERVALS,
         "seasonal_anomalies": _SQL_SEASONAL,
         "log_templates": _SQL_LOG_TEMPLATES,
+        "event_transitions": _SQL_EVENT_TRANSITIONS,
+        "multi_touch_attribution": _SQL_MULTI_TOUCH,
         "asof_join_stream": _SQL_ASOF_LAST_TOUCH,
         "sliding_window_counts": _SQL_SLIDING_COUNTS,
         "sliding_window_stream": _SQL_SLIDING_COUNTS,

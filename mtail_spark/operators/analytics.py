@@ -278,3 +278,113 @@ def state_intervals(
             "n_events",
         )
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition counts: for each key's event
+    stream in (ts, id) order, count (prev_type -> next_type) pairs and
+    report the outgoing transition probability in exact ppm
+    (n * 1e6 DIV outgoing-total of prev_type) — the behavioral-model /
+    anomalous-flow primitive.
+
+    One exchange on the key for the lag window; the pair aggregation
+    and the per-prev totals both operate on pair rows (type-pair
+    cardinality, tiny); the totals join is broadcast by construction.
+    Ties on duplicate (key, ts) resolve by the row id.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    pairs = (
+        events.select(
+            F.lag(type_col).over(w).alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    outgoing = pairs.groupBy("prev_type").agg(
+        F.sum("n").cast("long").alias("out_total")
+    )
+    return pairs.join(F.broadcast(outgoing), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("n * 1000000 DIV out_total").cast("long").alias("ppm"),
+    )
+
+
+def multi_touch_attribution(
+    events: DataFrame,
+    window_s: int = 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    touch_type: str = "click",
+    conv_type: str = "purchase",
+) -> DataFrame:
+    """Linear multi-touch attribution: each conversion's revenue
+    splits equally across the SAME user's touch events in the
+    trailing `window_s` (inclusive); per touch, report how many
+    conversions credited it and the attributed integer-cent revenue
+    (cents DIV n_touches per conversion — exact, deterministic,
+    conservative by at most n_touches-1 cents per conversion).
+
+    The touch-conversion match is a user-keyed equi-join with the
+    time band filtered inside the matched key (per-user event counts
+    bound the pair fan-out; nothing is all-pairs).  Touches with no
+    conversion survive with zero credit via the final left join —
+    the same zero-fill shape as band_join_counts.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    touches = events.filter(F.col(type_col) == touch_type).select(
+        F.col(id_col).alias("touch_id"),
+        F.col(user_col).alias("key"),
+        us.alias("t_us"),
+    )
+    convs = events.filter(F.col(type_col) == conv_type).select(
+        F.col(user_col).alias("key"),
+        us.alias("c_us"),
+        F.col(id_col).alias("conv_id"),
+        _cents(F.col(value_col)).alias("cents"),
+    )
+    matched = touches.join(convs, "key").filter(
+        (F.col("t_us") <= F.col("c_us"))
+        & (F.col("t_us") >= F.col("c_us") - F.lit(window_s * 1_000_000))
+    )
+    w = Window.partitionBy("conv_id")
+    credited = (
+        matched.withColumn(
+            "n_touches", F.count(F.lit(1)).over(w).cast("long")
+        )
+        .groupBy("touch_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.sum(F.expr("cents DIV n_touches"))
+            .cast("long")
+            .alias("attributed_cents"),
+        )
+    )
+    return (
+        touches.select("touch_id", "key")
+        .join(credited, "touch_id", "left")
+        .select(
+            "touch_id",
+            "key",
+            F.coalesce(F.col("n_conversions"), F.lit(0))
+            .cast("long")
+            .alias("n_conversions"),
+            F.coalesce(F.col("attributed_cents"), F.lit(0))
+            .cast("long")
+            .alias("attributed_cents"),
+        )
+    )

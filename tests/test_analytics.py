@@ -374,3 +374,48 @@ def test_seasonal_anomalies_null_without_history(spark):
     ev = _ev(spark, [(1, 1, "2024-01-01 09:00:00", "view", 0.0)])
     (r,) = TS.seasonal_anomalies(ev).collect()
     assert r.n_peers == 0 and r.z_micro is None and not r.is_anomaly
+
+
+def test_event_transitions_hand_case(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 1, "2024-01-01 00:00:01", "view", 0.0),
+            (2, 1, "2024-01-01 00:00:02", "click", 0.0),
+            (3, 1, "2024-01-01 00:00:03", "view", 0.0),
+            (4, 1, "2024-01-01 00:00:04", "click", 0.0),
+            (5, 2, "2024-01-01 00:00:05", "view", 0.0),
+            (6, 2, "2024-01-01 00:00:06", "purchase", 0.0),
+        ],
+    )
+    out = {
+        (r.prev_type, r.next_type): (r.n, r.ppm)
+        for r in AN.event_transitions(ev).collect()
+    }
+    # view -> click twice, view -> purchase once, click -> view once
+    assert out[("view", "click")] == (2, 666666)
+    assert out[("view", "purchase")] == (1, 333333)
+    assert out[("click", "view")] == (1, 1000000)
+    # user boundary: click(4) -> view(5) must NOT count (different users)
+    assert ("click", "purchase") not in out
+
+
+def test_multi_touch_attribution_hand_case(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 1, "2024-01-01 10:00:00", "click", 0.0),
+            (2, 1, "2024-01-01 11:00:00", "click", 0.0),
+            (3, 1, "2024-01-01 12:00:00", "purchase", 10.01),  # 1001 cents
+            (4, 1, "2024-01-03 12:00:00", "purchase", 2.00),  # outside 1d
+            (5, 2, "2024-01-01 09:00:00", "click", 0.0),      # other user
+        ],
+    )
+    out = {
+        r.touch_id: (r.n_conversions, r.attributed_cents)
+        for r in AN.multi_touch_attribution(ev).collect()
+    }
+    # purchase 3 splits 1001 cents across clicks 1 and 2: 500 each
+    # (floor; 1 cent deliberately unassigned); purchase 4 is outside
+    # the window for every click; user-2's click gets nothing
+    assert out == {1: (1, 500), 2: (1, 500), 5: (0, 0)}

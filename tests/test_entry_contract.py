@@ -37,6 +37,8 @@ MUST_BE_IN_WINDOW = {
     "state_intervals",
     "seasonal_anomalies",
     "log_templates",
+    "event_transitions",
+    "multi_touch_attribution",
     "asof_join_stream",
     "sliding_window_counts",
     "sliding_window_stream",

@@ -194,6 +194,11 @@ SHOW = [
     ("state_intervals",
      "two windows (lag change flag, running island id) and the "
      "interval aggregate share ONE exchange on the key"),
+    ("multi_touch_attribution",
+     "touch-conversion match is a user-keyed equi-join (per-user "
+     "event counts bound the fan-out, never all-pairs); the credit "
+     "split windows on conversion id and the zero-fill is a "
+     "count-sized left join"),
     ("seasonal_anomalies",
      "count merge on (key, widx) with map-side partials; ONE "
      "count-row-sized exchange on (key, dow, hour) feeds a single "
