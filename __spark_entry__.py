@@ -1616,6 +1616,17 @@ def q_band_join_stream(spark, sf):
         stream_table,
     )
 
+    # The watermark/range-condition column is the event time SHIFTED
+    # +200 years: Spark initializes the global event-time watermark to
+    # epoch 0, so in the first micro-batch any pre-1970 row is "later
+    # than the watermark allows" and silently DROPPED from the join —
+    # an epoch-initialization artifact, not real lateness (caught by
+    # fuzz seeds 4/5: two planted 1969 events within the radius lost
+    # their pair stream-side only).  The shift is identical on both
+    # sides, so it cancels in the range condition; state expiry
+    # semantics are unchanged.
+    shift_us = 200 * 365 * 86400 * US
+
     def side(alias):
         # two independent source instances: a streaming self-join of
         # one source relation is the documented-fragile case
@@ -1623,8 +1634,12 @@ def q_band_join_stream(spark, sf):
             F.col("event_id").alias(f"{alias}_eid"),
             F.col("user_id").alias(f"{alias}_key"),
             F.col("ts").cast("timestamp").alias(f"{alias}_ts"),
+            F.timestamp_micros(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                + F.lit(shift_us)
+            ).alias(f"{alias}_tsw"),
         )
-        return s.withWatermark(f"{alias}_ts", "10 minutes")
+        return s.withWatermark(f"{alias}_tsw", "10 minutes")
 
     # Spark requires an EQUALITY predicate in stream-stream joins (the
     # symmetric-hash state store is keyed by it) — the radius-sized
@@ -1642,6 +1657,7 @@ def q_band_join_stream(spark, sf):
             "a_eid",
             "a_key",
             "a_ts",
+            "a_tsw",
             F.col("us").alias("a_us"),
             F.explode(
                 F.array(
@@ -1660,6 +1676,7 @@ def q_band_join_stream(spark, sf):
             "b_eid",
             "b_key",
             "b_ts",
+            "b_tsw",
             F.col("us").alias("b_us"),
             F.expr(bkt).alias("bucket"),
         )
@@ -1670,8 +1687,8 @@ def q_band_join_stream(spark, sf):
         F.expr(
             f"a.bucket = b.bucket AND b_key != a_key AND "
             f"abs(b_us - a_us) <= {r_us} AND "
-            f"b_ts >= a_ts - INTERVAL {BAND_RADIUS_S} SECONDS AND "
-            f"b_ts <= a_ts + INTERVAL {BAND_RADIUS_S} SECONDS"
+            f"b_tsw >= a_tsw - INTERVAL {BAND_RADIUS_S} SECONDS AND "
+            f"b_tsw <= a_tsw + INTERVAL {BAND_RADIUS_S} SECONDS"
         ),
     )
     tbl = run_replay_append(

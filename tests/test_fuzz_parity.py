@@ -32,6 +32,16 @@ FUZZ_SUBSET = [
     "text_token_counts",
     "mtail_gauge_lww",
     "tumbling_window_counts",
+    # round-8 hazard classes: the planted co-occurring pre-1970
+    # cross-user pair (stream watermark epoch-0 artifact), negative-
+    # epoch window/cohort/island arithmetic, duplicate-(user, ts)
+    # ordering ties in the lag/asof/island operators
+    "band_join_counts",
+    "band_join_stream",
+    "asof_join_last_touch",
+    "state_intervals",
+    "cusum_changepoints",
+    "sliding_window_counts",
 ]
 
 

@@ -123,6 +123,13 @@ def gen_tables(seed: int, outdir: str) -> None:
         ts[i] = ts[i].floor("h")
     users = [rnd.randrange(1, 120) for _ in range(2000)]
     types = [rnd.choice(EVENT_TYPES) for _ in range(2000)]
+    # co-occurring PRE-1970 cross-user pair: two 1969 events 30 s
+    # apart from different users.  Seeds 4/5 hit this by chance and
+    # exposed band_join_stream dropping pre-1970 rows as "late"
+    # against Spark's epoch-0 initial watermark (the batch operator
+    # was fine); plant it deterministically ever after.
+    ts[1] = ts[0] + pd.Timedelta(seconds=30)
+    users[1] = users[0] + 1
     for i in range(30, 60, 2):
         users[i + 1] = users[i]
         types[i + 1] = types[i]
