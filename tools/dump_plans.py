@@ -194,6 +194,10 @@ SHOW = [
     ("state_intervals",
      "two windows (lag change flag, running island id) and the "
      "interval aggregate share ONE exchange on the key"),
+    ("event_transitions",
+     "one key exchange for the lag window; the pair aggregation and "
+     "the outgoing totals operate on type-pair-cardinality rows; the "
+     "totals join is broadcast by construction"),
     ("multi_touch_attribution",
      "touch-conversion match is a user-keyed equi-join (per-user "
      "event counts bound the fan-out, never all-pairs); the credit "
