@@ -1530,6 +1530,83 @@ def q_asof_join_last_touch(spark, sf):
     )
 
 
+def q_tpch_q6_forecast(spark, sf):
+    """TPC-H Q6 (forecasting revenue change): the pure scan-side
+    query — every predicate reaches the parquet scan (PushedFilters),
+    one map-side-combined global aggregate, zero joins.  Revenue in
+    integer cents (round(extprice * discount * 100) per row)."""
+    li = _t(spark, sf, "lineitem")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount")))
+            .cast("long")
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+def q_conversion_lag_quantiles(spark, sf):
+    """Time-to-convert distribution: per user, the lag from first
+    signup to first subsequent purchase; p50/p90 as type-1 order
+    statistics (exact integer microseconds, no interpolation — the
+    engine-portable quantile convention of length_quantiles).  The
+    per-user collapse happens BEFORE the single-group ranking window,
+    so the window sees one row per converting user."""
+    ev = _t(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    t0 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t0"))
+    )
+    lag = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("t1"))
+        .join(t0, "user_id")
+        .filter(F.col("t1") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("t1") - F.col("t0")).alias("lag_us"))
+    )
+    w = Window.orderBy(F.col("lag_us").asc(), F.col("user_id").asc())
+    ranked = lag.select(
+        "lag_us", F.row_number().over(w).cast("long").alias("rk")
+    ).crossJoin(
+        F.broadcast(lag.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.min(F.when(F.col("rk") * 2 >= F.col("n"), F.col("lag_us")))
+        .cast("long")
+        .alias("p50_lag_us"),
+        F.min(F.when(F.col("rk") * 10 >= F.col("n") * 9, F.col("lag_us")))
+        .cast("long")
+        .alias("p90_lag_us"),
+    )
+
+
+def q_funnel_windowed(spark, sf):
+    """Time-bounded funnel (analytics.funnel within_s=7 days): each
+    stage must follow the previous stage's first time by at most a
+    week — the conversion-window form every product funnel actually
+    uses.  Same shape as funnel_conversion; the bound is one more
+    integer-microsecond predicate in the stage join."""
+    import mtail_spark.operators.analytics as AN
+
+    return AN.funnel(
+        _t(spark, sf, "events"), FUNNEL_STAGES, within_s=7 * 86400
+    )
+
+
 def q_funnel_conversion(spark, sf):
     """Ordered funnel (analytics.funnel): signup -> view -> purchase,
     stage i counted from each user's first stage-(i-1) time.  Exact
@@ -2089,6 +2166,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (21 new + 9 never-verified + 6 flagships + 14 mtail_* =
         # exactly 50; tests/test_entry_contract.py pins the
         # required contents)
+        # -- staging: round-8 extras past the full window (judge-
+        # verifiable via check_parity now; first in line to rotate IN
+        # next round alongside the tier-4a stale rows) ---------------
+        "tpch_q6_forecast": q_tpch_q6_forecast,
+        "conversion_lag_quantiles": q_conversion_lag_quantiles,
+        "funnel_windowed": q_funnel_windowed,
         # -- tier 4a: r6-green rows next in line to rotate back in ----------
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_topk_orders": q_window_topk_orders,
@@ -3553,6 +3636,76 @@ _SQL_ATTRIBUTION = """
     FROM aj GROUP BY 1
 """
 
+_SQL_TPCH_Q6 = """
+    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= CAST('0.05' AS DOUBLE)
+      AND l_discount <= CAST('0.07' AS DOUBLE)
+      AND l_quantity < 24
+"""
+
+_SQL_CONVERSION_LAG = """
+    WITH t0 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ), lag AS (
+      SELECT e.user_id,
+             min(epoch_us(e.ts) - t0.t0) AS lag_us
+      FROM events e JOIN t0 ON e.user_id = t0.user_id
+       AND epoch_us(e.ts) >= t0.t0
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    ), r AS (
+      SELECT lag_us,
+             row_number() OVER (ORDER BY lag_us ASC, user_id ASC) AS rk,
+             count(*) OVER () AS n
+      FROM lag
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_converted,
+           CAST(min(CASE WHEN rk * 2 >= n THEN lag_us END) AS BIGINT)
+             AS p50_lag_us,
+           CAST(min(CASE WHEN rk * 10 >= n * 9 THEN lag_us END)
+                AS BIGINT) AS p90_lag_us
+    FROM r
+"""
+
+def _sql_funnel(within_us=None):
+    bound0 = bound1 = ""
+    if within_us is not None:
+        bound0 = f" AND epoch_us(e.ts) <= u0.t + {within_us}"
+        bound1 = f" AND epoch_us(e.ts) <= u1.t + {within_us}"
+    return f"""
+    WITH u0 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ), u1 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+      JOIN u0 ON e.user_id = u0.user_id
+       AND epoch_us(e.ts) >= u0.t{bound0}
+      WHERE e.event_type = 'view' GROUP BY 1
+    ), u2 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+      JOIN u1 ON e.user_id = u1.user_id
+       AND epoch_us(e.ts) >= u1.t{bound1}
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    ), c AS (
+      SELECT 0 AS stage_idx, 'signup' AS stage,
+             (SELECT count(*) FROM u0) AS n_users
+      UNION ALL SELECT 1, 'view', (SELECT count(*) FROM u1)
+      UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM u2)
+    )
+    SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+           CAST(n_users AS BIGINT) AS n_users,
+           CASE WHEN (SELECT count(*) FROM u0) > 0
+                THEN CAST(n_users * 1000 // (SELECT count(*) FROM u0)
+                          AS BIGINT)
+           END AS conv_permille
+    FROM c
+"""
+
 _SQL_EVENT_TRANSITIONS = """
     WITH p AS (
       SELECT lag(event_type) OVER (PARTITION BY user_id
@@ -3858,6 +4011,9 @@ def oracle_sql() -> dict[str, str]:
         "log_templates": _SQL_LOG_TEMPLATES,
         "event_transitions": _SQL_EVENT_TRANSITIONS,
         "multi_touch_attribution": _SQL_MULTI_TOUCH,
+        "tpch_q6_forecast": _SQL_TPCH_Q6,
+        "conversion_lag_quantiles": _SQL_CONVERSION_LAG,
+        "funnel_windowed": _sql_funnel(7 * 86400 * 1_000_000),
         "asof_join_stream": _SQL_ASOF_LAST_TOUCH,
         "sliding_window_counts": _SQL_SLIDING_COUNTS,
         "sliding_window_stream": _SQL_SLIDING_COUNTS,

@@ -30,11 +30,15 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_s: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel conversion: stage i counts users whose FIRST
     qualifying stage-i event is at-or-after their first qualifying
     stage-(i-1) event (the classic product funnel, >= so same-timestamp
-    progressions count).
+    progressions count).  With `within_s`, stage i must ALSO occur no
+    more than within_s seconds after the first stage-(i-1) time — the
+    time-bounded funnel (conversion windows); comparisons in exact
+    integer microseconds.
 
     Output: (stage_idx, stage, n_users, conv_permille) — one row per
     stage, conv_permille = floor(1000 * n_i / n_0), NULL when the
@@ -48,21 +52,27 @@ def funnel(
     the per-user state is one min timestamp.
     """
     assert len(stages) >= 2
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     u_prev = (
         events.filter(F.col(type_col) == stages[0])
         .groupBy(user_col)
-        .agg(F.min(ts_col).alias("t"))
+        .agg(F.min(us).alias("t"))
     )
     counts = [u_prev.agg(F.count(F.lit(1)).cast("long").alias("n"))]
     for s in stages[1:]:
         stage_ev = events.filter(F.col(type_col) == s).select(
-            user_col, F.col(ts_col).alias("_ts")
+            user_col, us.alias("_us")
         )
+        cond = F.col("_us") >= F.col("t")
+        if within_s is not None:
+            cond = cond & (
+                F.col("_us") <= F.col("t") + F.lit(within_s * 1_000_000)
+            )
         u_prev = (
             stage_ev.join(u_prev, user_col)
-            .filter(F.col("_ts") >= F.col("t"))
+            .filter(cond)
             .groupBy(user_col)
-            .agg(F.min("_ts").alias("t"))
+            .agg(F.min("_us").alias("t"))
         )
         counts.append(u_prev.agg(F.count(F.lit(1)).cast("long").alias("n")))
     head = counts[0].select(F.col("n").alias("n0"))

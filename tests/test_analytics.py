@@ -419,3 +419,28 @@ def test_multi_touch_attribution_hand_case(spark):
     # (floor; 1 cent deliberately unassigned); purchase 4 is outside
     # the window for every click; user-2's click gets nothing
     assert out == {1: (1, 500), 2: (1, 500), 5: (0, 0)}
+
+
+def test_funnel_within_bound_excludes_late_stage(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 1, "2024-01-01 00:00:00", "signup", 0.0),
+            (2, 1, "2024-01-09 00:00:00", "view", 0.0),   # day 8: too late
+            (3, 2, "2024-01-01 00:00:00", "signup", 0.0),
+            (4, 2, "2024-01-05 00:00:00", "view", 0.0),   # day 4: in window
+        ],
+    )
+    rows = {
+        r.stage: r.n_users
+        for r in AN.funnel(
+            ev, ["signup", "view"], within_s=7 * 86400
+        ).collect()
+    }
+    assert rows == {"signup": 2, "view": 1}
+    # unbounded form still counts both
+    rows2 = {
+        r.stage: r.n_users
+        for r in AN.funnel(ev, ["signup", "view"]).collect()
+    }
+    assert rows2 == {"signup": 2, "view": 2}
