@@ -194,6 +194,10 @@ SHOW = [
     ("state_intervals",
      "two windows (lag change flag, running island id) and the "
      "interval aggregate share ONE exchange on the key"),
+    ("tpch_q6_forecast",
+     "the pure scan-side query: every predicate in PushedFilters, "
+     "4-column ReadSchema, one map-side-combined global aggregate, "
+     "zero joins"),
     ("event_transitions",
      "one key exchange for the lag window; the pair aggregation and "
      "the outgoing totals operate on type-pair-cardinality rows; the "
