@@ -1607,6 +1607,45 @@ def q_funnel_windowed(spark, sf):
     )
 
 
+def q_tpch_q10_returns(spark, sf):
+    """TPC-H Q10 (returned-item revenue): customers who returned items
+    in a quarter, ranked by lost revenue.  customer and nation are
+    broadcast dims; lineitem (filtered to returnflag='R' at the scan)
+    joins the filtered orders on orderkey — one shuffle pair — and the
+    top-20 is TakeOrderedAndProject.  Revenue and acctbal in integer
+    cents, full deterministic tie-break."""
+    lo = F.lit("1996-10-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    side = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "o_orderkey", "c_custkey", "c_name",
+            _cents(F.col("c_acctbal")).alias("acctbal_cents"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+    return (
+        li.join(side, li.l_orderkey == side.o_orderkey)
+        .groupBy("c_custkey", "c_name", "acctbal_cents", "nation")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            )
+            .cast("long")
+            .alias("revenue_cents")
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 def q_funnel_conversion(spark, sf):
     """Ordered funnel (analytics.funnel): signup -> view -> purchase,
     stage i counted from each user's first stage-(i-1) time.  Exact
@@ -2170,6 +2209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verifiable via check_parity now; first in line to rotate IN
         # next round alongside the tier-4a stale rows) ---------------
         "tpch_q6_forecast": q_tpch_q6_forecast,
+        "tpch_q10_returns": q_tpch_q10_returns,
         "conversion_lag_quantiles": q_conversion_lag_quantiles,
         "funnel_windowed": q_funnel_windowed,
         # -- tier 4a: r6-green rows next in line to rotate back in ----------
@@ -3648,6 +3688,25 @@ _SQL_TPCH_Q6 = """
       AND l_quantity < 24
 """
 
+_SQL_TPCH_Q10 = """
+    SELECT c_custkey, c_name,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           n_name AS nation,
+           CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                               * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY revenue_cents DESC, c_custkey ASC
+    LIMIT 20
+"""
+
 _SQL_CONVERSION_LAG = """
     WITH t0 AS (
       SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
@@ -4012,6 +4071,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": _SQL_EVENT_TRANSITIONS,
         "multi_touch_attribution": _SQL_MULTI_TOUCH,
         "tpch_q6_forecast": _SQL_TPCH_Q6,
+        "tpch_q10_returns": _SQL_TPCH_Q10,
         "conversion_lag_quantiles": _SQL_CONVERSION_LAG,
         "funnel_windowed": _sql_funnel(7 * 86400 * 1_000_000),
         "asof_join_stream": _SQL_ASOF_LAST_TOUCH,
