@@ -1650,6 +1650,77 @@ def q_tpch_q10_returns(spark, sf):
     )
 
 
+def q_tpch_q18_big_orders(spark, sf):
+    """TPC-H Q18 (large-volume customers): orders whose total line
+    quantity exceeds 300 units, with customer context — the
+    HAVING-clause group-filter shape.  Plan: lineitem aggregates once
+    on l_orderkey (map-side partial sums), the >300 survivors are a
+    highly selective aggregate-derived set and BROADCAST back against
+    orders (no second corpus shuffle); customer is a broadcast dim;
+    the top-100 is TakeOrderedAndProject.  Quantities are integral in
+    TPC-H — summed as units (long); totalprice in integer cents; full
+    deterministic tie-break (totalprice desc, orderdate, orderkey)."""
+    li = _t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long"))
+            .cast("long")
+            .alias("total_qty")
+        )
+        .filter(F.col("total_qty") > 300)
+    )
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            _cents(F.col("o_totalprice")).alias("totalprice_cents"),
+            "total_qty",
+        )
+        .orderBy(
+            F.col("totalprice_cents").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+def q_tpch_q4_priority(spark, sf):
+    """TPC-H Q4 (order-priority checking): count a quarter's orders
+    that have AT LEAST ONE returned line — the EXISTS/semi-join shape
+    (the reference Q4's commitdate<receiptdate predicate maps to
+    returnflag='R' on this schema, preserving the correlated-EXISTS
+    plan).  Spark: LEFT SEMI join — the lineitem side is filtered at
+    the scan and carries only l_orderkey, the semi-join stops probing
+    an order at its first match and never widens rows; then one
+    priority-cardinality aggregate."""
+    lo = F.lit("1996-07-01").cast("timestamp")
+    hi = F.lit("1996-10-01").cast("timestamp")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    returned = (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_funnel_conversion(spark, sf):
     """Ordered funnel (analytics.funnel): signup -> view -> purchase,
     stage i counted from each user's first stage-(i-1) time.  Exact
@@ -2150,73 +2221,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window contents.
     """
     return {
-        # -- tier 0: new round 8 ---------------------------------------------
-        "asof_join_last_touch": q_asof_join_last_touch,
-        "funnel_conversion": q_funnel_conversion,
-        "retention_cohorts": q_retention_cohorts,
-        "rollup_report": q_rollup_report,
-        "pivot_wide": q_pivot_wide,
-        "skew_salted_agg": q_skew_salted_agg,
-        "sliding_window_stats": q_sliding_window_stats,
-        "band_join_counts": q_band_join_counts,
-        "band_join_stream": q_band_join_stream,
-        "attribution_pipeline": q_attribution_pipeline,
-        "cusum_changepoints": q_cusum_changepoints,
-        "incident_correlation": q_incident_correlation,
-        "state_intervals": q_state_intervals,
-        "seasonal_anomalies": q_seasonal_anomalies,
-        "log_templates": q_log_templates,
-        "event_transitions": q_event_transitions,
-        "multi_touch_attribution": q_multi_touch_attribution,
-        "asof_join_stream": q_asof_join_stream,
-        "sliding_window_counts": q_sliding_window_counts,
-        "sliding_window_stream": q_sliding_window_stream,
-        "tpch_q3_shipping": q_tpch_q3_shipping,
-        # -- tier 1: NO driver row yet (staged past the window in r7) -------
-        "hard_negatives": q_hard_negatives,
-        "bpe_merge_pairs": q_bpe_merge_pairs,
-        "hist_quantiles": q_hist_quantiles,
-        "json_props_agg": q_json_props_agg,
-        "tumbling_window_stream": q_tumbling_window_stream,
-        "curation_pipeline_v2": q_curation_pipeline_v2,
-        "dedup_incremental_stream": q_dedup_incremental_stream,
-        "dataset_split_grouped": q_dataset_split_grouped,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        # -- tier 2: flagships displaced in r7 (last green row is r6) -------
-        "tpch_pricing_summary": q_tpch_pricing_summary,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "sim_topk_gemm": q_sim_topk_gemm,
-        "pack_sequences": q_pack_sequences,
-        "decontamination": q_decontamination,
-        # -- tier 2b: stalest multi-green rows (last green row is r6) -------
-        # -- tier 3: mtail_* reference-parity core (always in-window) -------
-        "mtail_linecount": q_mtail_linecount,
-        "mtail_counter_by": q_mtail_counter_by,
-        "mtail_bytes_sum": q_mtail_bytes_sum,
-        "mtail_gauge_lww": q_mtail_gauge_lww,
-        "mtail_histogram": q_mtail_histogram,
-        "mtail_strptime_hour": q_mtail_strptime_hour,
-        "mtail_getfilename": q_mtail_getfilename,
-        "mtail_prog_counters": q_mtail_prog_counters,
-        "mtail_prog_dhcpd": q_mtail_prog_dhcpd,
-        "mtail_prog_dhcpd_core": q_mtail_prog_dhcpd_core,
-        "mtail_prog_gauge": q_mtail_prog_gauge,
-        "mtail_prog_histogram": q_mtail_prog_histogram,
-        "mtail_prog_stateful": q_mtail_prog_stateful,
-        "mtail_prog_txn": q_mtail_prog_txn,
-        # ---------------- position 50 boundary is ABOVE this line ----------
-        # (21 new + 9 never-verified + 6 flagships + 14 mtail_* =
-        # exactly 50; tests/test_entry_contract.py pins the
-        # required contents)
-        # -- staging: round-8 extras past the full window (judge-
-        # verifiable via check_parity now; first in line to rotate IN
-        # next round alongside the tier-4a stale rows) ---------------
+        # -- tier 0: new round 9 ---------------------------------------------
+        "tpch_q18_big_orders": q_tpch_q18_big_orders,
+        "tpch_q4_priority": q_tpch_q4_priority,
+        # -- tier 1: staged past the window in r8, never driver-verified ----
         "tpch_q6_forecast": q_tpch_q6_forecast,
         "tpch_q10_returns": q_tpch_q10_returns,
         "conversion_lag_quantiles": q_conversion_lag_quantiles,
         "funnel_windowed": q_funnel_windowed,
-        # -- tier 4a: r6-green rows next in line to rotate back in ----------
+        # -- tier 2: stalest driver rows (last green row is r6) --------------
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_topk_orders": q_window_topk_orders,
         "sessionize_events": q_sessionize_events,
@@ -2241,9 +2254,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,
         "sample_documents": q_sample_documents,
         "dataset_split": q_dataset_split,
-        # -- tier 4b: freshly proven in CORRECTNESS_r07 (green this round) --
+        # -- tier 2b: single-green r7 rows next-stalest (VERDICT r8 item 5) -
+        "hybrid_search": q_hybrid_search,
         "grep_index_reuse": q_grep_index_reuse,
         "bloom_membership": q_bloom_membership,
+        "cms_counts": q_cms_counts,
+        "hll_distinct": q_hll_distinct,
+        "vocab_head": q_vocab_head,
+        # -- tier 3: mtail_* reference-parity core (always in-window) -------
+        "mtail_linecount": q_mtail_linecount,
+        "mtail_counter_by": q_mtail_counter_by,
+        "mtail_bytes_sum": q_mtail_bytes_sum,
+        "mtail_gauge_lww": q_mtail_gauge_lww,
+        "mtail_histogram": q_mtail_histogram,
+        "mtail_strptime_hour": q_mtail_strptime_hour,
+        "mtail_getfilename": q_mtail_getfilename,
+        "mtail_prog_counters": q_mtail_prog_counters,
+        "mtail_prog_dhcpd": q_mtail_prog_dhcpd,
+        "mtail_prog_dhcpd_core": q_mtail_prog_dhcpd_core,
+        "mtail_prog_gauge": q_mtail_prog_gauge,
+        "mtail_prog_histogram": q_mtail_prog_histogram,
+        "mtail_prog_stateful": q_mtail_prog_stateful,
+        "mtail_prog_txn": q_mtail_prog_txn,
+        # ---------------- position 50 boundary is ABOVE this line ----------
+        # (2 new + 4 staged-r8 + 24 r6-stale + 6 r7-single-green +
+        # 14 mtail_* = exactly 50; tests/test_entry_contract.py pins
+        # the required contents)
+        # -- tier 4a: remaining single-green r7 rows (rotate in next) --------
+        "substring_search": q_substring_search,
+        "cluster_profile": q_cluster_profile,
+        "dedup_incremental": q_dedup_incremental,
         "perplexity_buckets": q_perplexity_buckets,
         "dedup_exact_stream": q_dedup_exact_stream,
         "sim_topk_pq": q_sim_topk_pq,
@@ -2265,19 +2305,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "source_cap": q_source_cap,
         "length_quantiles": q_length_quantiles,
-        "cluster_profile": q_cluster_profile,
-        "dedup_incremental": q_dedup_incremental,
-        "cms_counts": q_cms_counts,
-        "hll_distinct": q_hll_distinct,
-        "hybrid_search": q_hybrid_search,
-        "substring_search": q_substring_search,
-        "vocab_head": q_vocab_head,
         "semantic_dedup": q_semantic_dedup,
         "text_lm_xent": q_text_lm_xent,
         "dsir_weights": q_dsir_weights,
         "span_dedup": q_span_dedup,
         "sample_stratified": q_sample_stratified,
         "session_window_stream": q_session_window_stream,
+        # -- tier 4b: freshly proven in CORRECTNESS_r08 (green last round) --
+        "asof_join_last_touch": q_asof_join_last_touch,
+        "funnel_conversion": q_funnel_conversion,
+        "retention_cohorts": q_retention_cohorts,
+        "rollup_report": q_rollup_report,
+        "pivot_wide": q_pivot_wide,
+        "skew_salted_agg": q_skew_salted_agg,
+        "sliding_window_stats": q_sliding_window_stats,
+        "band_join_counts": q_band_join_counts,
+        "band_join_stream": q_band_join_stream,
+        "attribution_pipeline": q_attribution_pipeline,
+        "cusum_changepoints": q_cusum_changepoints,
+        "incident_correlation": q_incident_correlation,
+        "state_intervals": q_state_intervals,
+        "seasonal_anomalies": q_seasonal_anomalies,
+        "log_templates": q_log_templates,
+        "event_transitions": q_event_transitions,
+        "multi_touch_attribution": q_multi_touch_attribution,
+        "asof_join_stream": q_asof_join_stream,
+        "sliding_window_counts": q_sliding_window_counts,
+        "sliding_window_stream": q_sliding_window_stream,
+        "tpch_q3_shipping": q_tpch_q3_shipping,
+        "hard_negatives": q_hard_negatives,
+        "bpe_merge_pairs": q_bpe_merge_pairs,
+        "hist_quantiles": q_hist_quantiles,
+        "json_props_agg": q_json_props_agg,
+        "tumbling_window_stream": q_tumbling_window_stream,
+        "curation_pipeline_v2": q_curation_pipeline_v2,
+        "dedup_incremental_stream": q_dedup_incremental_stream,
+        "dataset_split_grouped": q_dataset_split_grouped,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_topk_gemm": q_sim_topk_gemm,
+        "pack_sequences": q_pack_sequences,
+        "decontamination": q_decontamination,
     }
 
 
@@ -3711,6 +3781,35 @@ _SQL_TPCH_Q10 = """
     LIMIT 20
 """
 
+_SQL_TPCH_Q18 = """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS total_qty
+      FROM lineitem GROUP BY 1
+      HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           big.total_qty
+    FROM orders
+    JOIN big ON o_orderkey = big.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY totalprice_cents DESC, o_orderdate ASC, o_orderkey ASC
+    LIMIT 100
+"""
+
+_SQL_TPCH_Q4 = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY 1 ORDER BY 1
+"""
+
 _SQL_CONVERSION_LAG = """
     WITH t0 AS (
       SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
@@ -4076,6 +4175,8 @@ def oracle_sql() -> dict[str, str]:
         "multi_touch_attribution": _SQL_MULTI_TOUCH,
         "tpch_q6_forecast": _SQL_TPCH_Q6,
         "tpch_q10_returns": _SQL_TPCH_Q10,
+        "tpch_q18_big_orders": _SQL_TPCH_Q18,
+        "tpch_q4_priority": _SQL_TPCH_Q4,
         "conversion_lag_quantiles": _SQL_CONVERSION_LAG,
         "funnel_windowed": _sql_funnel(7 * 86400 * 1_000_000),
         "asof_join_stream": _SQL_ASOF_LAST_TOUCH,

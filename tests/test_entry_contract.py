@@ -13,46 +13,22 @@ import __spark_entry__ as entrymod
 
 WINDOW = 50
 
-# Queries with NO green driver CORRECTNESS row yet (CORRECTNESS_r07
-# went 50/50 green, clearing the round-7 window; what remains
-# unverified is the round-8 tier 0 plus the nine queries staged past
-# position 50 in round 7).  Every one of these must sit inside the
+# Queries with NO green driver CORRECTNESS row yet (CORRECTNESS_r08
+# went 50/50 green, clearing the round-8 window; what remains
+# unverified is the round-9 tier 0 plus the four queries staged past
+# position 50 in round 8).  Every one of these must sit inside the
 # first-50 window until it accumulates at least one green driver row;
 # drop a name from this set only after the corresponding
 # CORRECTNESS_r{N}.json row lands green.
 MUST_BE_IN_WINDOW = {
-    # new round 8
-    "asof_join_last_touch",
-    "funnel_conversion",
-    "retention_cohorts",
-    "rollup_report",
-    "pivot_wide",
-    "skew_salted_agg",
-    "sliding_window_stats",
-    "band_join_counts",
-    "band_join_stream",
-    "attribution_pipeline",
-    "cusum_changepoints",
-    "incident_correlation",
-    "state_intervals",
-    "seasonal_anomalies",
-    "log_templates",
-    "event_transitions",
-    "multi_touch_attribution",
-    "asof_join_stream",
-    "sliding_window_counts",
-    "sliding_window_stream",
-    "tpch_q3_shipping",
-    # staged past position 50 in round 7, never driver-verified
-    "hard_negatives",
-    "bpe_merge_pairs",
-    "hist_quantiles",
-    "json_props_agg",
-    "tumbling_window_stream",
-    "curation_pipeline_v2",
-    "dedup_incremental_stream",
-    "dataset_split_grouped",
-    "dedup_simhash_pairs",
+    # new round 9
+    "tpch_q18_big_orders",
+    "tpch_q4_priority",
+    # staged past position 50 in round 8, never driver-verified
+    "tpch_q6_forecast",
+    "tpch_q10_returns",
+    "conversion_lag_quantiles",
+    "funnel_windowed",
 }
 
 # The mtail_* rows are the reference-parity core: they stay inside

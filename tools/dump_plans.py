@@ -228,6 +228,28 @@ SHOW = [
      "mean is a count-row-sized broadcast; the sequential recurrence "
      "is ONE FlatMapGroupsInPandas over count rows — raw events "
      "never reach Python"),
+    ("conversion_lag_quantiles",
+     "two-phase global order statistic (global_order_stats): the "
+     "returned plan is one scan filtered to the <=2 target value "
+     "buckets, a value-level aggregate, and a window partitioned by "
+     "quantile tag — NO un-partitioned Window / Exchange "
+     "SinglePartition over corpus-derived rows"),
+    ("funnel_windowed",
+     "same shape as funnel_conversion plus one integer-microsecond "
+     "bound predicate per stage join; stage frames stay user-keyed "
+     "min-aggregates"),
+    ("tpch_q10_returns",
+     "customer and nation broadcast; lineitem(returnflag=R at the "
+     "scan) joins filtered orders on orderkey — one shuffle pair; "
+     "top-20 is TakeOrderedAndProject"),
+    ("tpch_q18_big_orders",
+     "HAVING group filter: lineitem aggregates once on orderkey "
+     "(map-side partials); the >300 survivors broadcast back against "
+     "orders, customer broadcast, top-100 TakeOrderedAndProject"),
+    ("tpch_q4_priority",
+     "EXISTS semi-join: lineitem filtered at the scan to returned "
+     "lines, orderkey-only LeftSemi (no row widening), then one "
+     "priority-cardinality aggregate"),
 ]
 
 INTERESTING = re.compile(
