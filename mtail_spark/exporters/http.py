@@ -16,18 +16,34 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
 class _UnixHTTPServer(ThreadingHTTPServer):
-    """ThreadingHTTPServer bound to an AF_UNIX path.  A stale socket
-    file from a previous run is unlinked before bind (the reference
-    daemon does the same); request handlers see a synthetic client
-    address since unix peers have none."""
+    """ThreadingHTTPServer bound to an AF_UNIX path.  A pre-existing
+    file at the path is removed before bind ONLY if it is actually a
+    socket — a typo'd path to a regular file raises instead of
+    deleting it.  (This is deliberately more forgiving than the
+    reference daemon, whose net.Listen("unix") fails on ANY existing
+    path: stale socket files from a crashed previous run are the
+    common operational case.  It still hijacks a LIVE server's socket
+    if pointed at one — AF_UNIX has no portable liveness probe short
+    of connecting, and a daemon restart wants exactly that takeover.)
+    Request handlers see a synthetic client address since unix peers
+    have none."""
 
     address_family = socket.AF_UNIX
 
     def server_bind(self):
+        import stat as _stat
+
         try:
-            os.unlink(self.server_address)
+            mode = os.stat(self.server_address).st_mode
         except (FileNotFoundError, TypeError):
-            pass
+            mode = None
+        if mode is not None:
+            if not _stat.S_ISSOCK(mode):
+                raise OSError(
+                    f"refusing to replace non-socket file at "
+                    f"{self.server_address!r}"
+                )
+            os.unlink(self.server_address)
         # skip ThreadingHTTPServer's TCP-specific bind steps
         socket.socket.bind(self.socket, self.server_address)
 

@@ -44,53 +44,70 @@ def funnel(
     stage, conv_permille = floor(1000 * n_i / n_0), NULL when the
     funnel head is empty (no division by zero in either engine).
 
-    Scale shape: stage i is one aggregation of the stage-i event
-    subset (filter pushed to the scan) shuffled on user, joined to the
-    (already user-keyed) stage-(i-1) frame — every shuffle carries
-    per-user 1-row frames or a single stage's events, never the full
-    log.  The final output is stages-sized.  Skewed users don't hurt:
-    the per-user state is one min timestamp.
+    Scale shape: ONE linear plan.  The user frame accumulates a t_i
+    column per stage — stage i is the stage-i event subset (filter
+    pushed to the scan) joined per user against t_{i-1} and
+    re-aggregated to one min — and every per-stage count comes from a
+    SINGLE final aggregate over that frame (count(t_i)).  Earlier
+    shape (one .agg() per stage, unioned) embedded chain 0..i in
+    counts[i], so stage-j subplans re-executed O(stages^2) times per
+    action since Spark does not dedupe common subtrees (r8 ADVICE);
+    now each stage subplan executes exactly once.  Every shuffle
+    carries per-user 1-row frames or a single stage's events, never
+    the full log; the output is stages-sized.  Skewed users don't
+    hurt: the per-user state is one min timestamp per stage.
     """
     assert len(stages) >= 2
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    u_prev = (
+    u = (
         events.filter(F.col(type_col) == stages[0])
         .groupBy(user_col)
-        .agg(F.min(us).alias("t"))
+        .agg(F.min(us).alias("t0"))
     )
-    counts = [u_prev.agg(F.count(F.lit(1)).cast("long").alias("n"))]
-    for s in stages[1:]:
+    for i, s in enumerate(stages[1:], start=1):
         stage_ev = events.filter(F.col(type_col) == s).select(
-            user_col, us.alias("_us")
+            F.col(user_col).alias("_su"), us.alias("_us")
         )
-        cond = F.col("_us") >= F.col("t")
+        prev = F.col(f"t{i - 1}")
+        cond = (F.col(user_col) == F.col("_su")) & (F.col("_us") >= prev)
         if within_s is not None:
             cond = cond & (
-                F.col("_us") <= F.col("t") + F.lit(within_s * 1_000_000)
+                F.col("_us") <= prev + F.lit(within_s * 1_000_000)
             )
-        u_prev = (
-            stage_ev.join(u_prev, user_col)
-            .filter(cond)
-            .groupBy(user_col)
-            .agg(F.min("_us").alias("t"))
+        carried = [user_col] + [f"t{j}" for j in range(i)]
+        u = (
+            u.join(stage_ev, cond, "left")
+            .groupBy(*carried)
+            .agg(F.min("_us").alias(f"t{i}"))
         )
-        counts.append(u_prev.agg(F.count(F.lit(1)).cast("long").alias("n")))
-    head = counts[0].select(F.col("n").alias("n0"))
-    rows = None
-    for i, (cnt, s) in enumerate(zip(counts, stages)):
-        r = cnt.select(
-            F.lit(i).cast("long").alias("stage_idx"),
-            F.lit(s).alias("stage"),
-            F.col("n").alias("n_users"),
-        )
-        rows = r if rows is None else rows.unionByName(r)
-    return rows.crossJoin(F.broadcast(head)).select(
-        "stage_idx",
-        "stage",
-        "n_users",
+    totals = u.agg(
+        *[
+            F.count(f"t{i}").cast("long").alias(f"n{i}")
+            for i in range(len(stages))
+        ]
+    )
+    per_stage = totals.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("stage_idx"),
+                        F.lit(s).alias("stage"),
+                        F.col(f"n{i}").alias("n_users"),
+                    )
+                    for i, s in enumerate(stages)
+                ]
+            )
+        ).alias("r"),
+        F.col("n0"),
+    )
+    return per_stage.select(
+        F.col("r.stage_idx").alias("stage_idx"),
+        F.col("r.stage").alias("stage"),
+        F.col("r.n_users").alias("n_users"),
         F.when(
             F.col("n0") > 0,
-            F.expr("n_users * 1000 DIV n0").cast("long"),
+            F.expr("r.n_users * 1000 DIV n0").cast("long"),
         ).alias("conv_permille"),
     )
 

@@ -163,6 +163,15 @@ def asof_join(
     Returns (probe_id, key, ts, b_id, b_value, lag_us) with lag_us =
     exact integer microseconds since the matched build row.
     """
+    # the (key, ts) duplicate tie-break orders by build_id cast to
+    # long: a non-numeric id would cast to NULL and silently degrade
+    # the documented deterministic tie-break into arbitrary last()
+    # selection — fail loudly instead (r8 ADVICE)
+    _id_type = dict(build.dtypes)[build_id]
+    assert _id_type in ("tinyint", "smallint", "int", "bigint"), (
+        f"asof_join build_id column {build_id!r} must be integral for "
+        f"the deterministic (key, ts) tie-break, got {_id_type}"
+    )
     us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
     p = probe.select(
         F.col(probe_id).alias("p_id"),

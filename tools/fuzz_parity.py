@@ -129,7 +129,9 @@ def gen_tables(seed: int, outdir: str) -> None:
     # against Spark's epoch-0 initial watermark (the batch operator
     # was fine); plant it deterministically ever after.
     ts[1] = ts[0] + pd.Timedelta(seconds=30)
-    users[1] = users[0] + 1
+    # guaranteed different user while staying inside the generator's
+    # documented 1..119 user_id range (r8 ADVICE: +1 could mint 120)
+    users[1] = 1 + (users[0] % 119)
     for i in range(30, 60, 2):
         users[i + 1] = users[i]
         types[i + 1] = types[i]
