@@ -184,11 +184,35 @@ def _nanos_ts_columns(path: str) -> list[str]:
     ]
 
 
+# Per-session table-metadata cache: keyed by (path, mtime_ns, size) so
+# a rewritten file is a guaranteed miss.  spark.read.parquet costs
+# ~0.1 s of schema-inference JVM round-trips per call; at bench scale
+# that fixed cost is 15-20% of a sub-second query's measured wall (the
+# r8 sim_topk_gemm drift investigation), and a real engine caches
+# catalog metadata exactly like this.  DataFrames are immutable plans,
+# so reuse within one session is semantically identical; file CONTENTS
+# are still read at each execution.
+_TABLE_CACHE: "weakref.WeakKeyDictionary" = None  # set below
+import weakref as _weakref  # noqa: E402
+
+_TABLE_CACHE = _weakref.WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir_: str, name: str):
     """Read a testdata parquet, normalizing nanosecond timestamps to
     Spark TimestampType (microseconds, integer division — ns values
-    exceed double precision so no float math here)."""
+    exceed double precision so no float math here).  Plan objects are
+    memoized per (session, path, mtime, size) — see _TABLE_CACHE."""
     path = f"{sf_dir_}/{name}.parquet"
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    try:
+        per_session = _TABLE_CACHE.setdefault(spark, {})
+    except TypeError:  # session type not weak-referenceable
+        per_session = {}
+    hit = per_session.get(key)
+    if hit is not None:
+        return hit
     try:
         # timestamps are compared against a tz-naive oracle; normalize
         # rendering/extraction to UTC regardless of the host session
@@ -204,6 +228,7 @@ def load_table(spark: SparkSession, sf_dir_: str, name: str):
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    per_session[key] = df
     return df
 
 
