@@ -1721,6 +1721,76 @@ def q_tpch_q4_priority(spark, sf):
     )
 
 
+def q_tpch_q13_custdist(spark, sf):
+    """TPC-H Q13 (customer order-count distribution): how many
+    customers placed N qualifying orders, including N=0 — the OUTER
+    JOIN + double-aggregation shape.  Spark-first form: orders
+    aggregate to per-custkey counts FIRST (the join input shrinks to
+    customer cardinality before any join), customer left-joins the
+    counts with null->0, and the second aggregate runs over
+    count-cardinality rows.  Exchanges: one on o_custkey (agg+join
+    shared), one tiny on c_count."""
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cust = _t(spark, sf, "customer").select("c_custkey")
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_tpch_q22_idle_balances(spark, sf):
+    """TPC-H Q22 (global sales opportunity): above-average-balance
+    customers with NO recent orders — the NOT-EXISTS anti-join +
+    scalar-subquery-threshold shape.  The threshold is the mean
+    positive balance as INTEGER cents (sum DIV count — a float mean
+    differs in the last ulp across engines and could flip boundary
+    customers); recent-order custkeys anti-join customer
+    (LeftAnti, orderkey-free projection); one segment-cardinality
+    aggregate.  Reference predicate maps: phone-prefix list ->
+    mktsegment grouping, 7-years-no-orders -> no orders since
+    2000-07-01 on this data."""
+    cust = _t(spark, sf, "customer")
+    cents = _cents(F.col("c_acctbal"))
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))"
+                " DIV count(*) AS BIGINT)"
+            ).alias("thr")
+        )
+    )
+    recent = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.select("c_custkey", "c_mktsegment", cents.alias("bal_cents"))
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("bal_cents") > F.col("thr"))
+        .join(
+            recent,
+            F.col("c_custkey") == recent.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum("bal_cents").cast("long").alias("totacctbal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def q_funnel_conversion(spark, sf):
     """Ordered funnel (analytics.funnel): signup -> view -> purchase,
     stage i counted from each user's first stage-(i-1) time.  Exact
@@ -2224,6 +2294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 0: new round 9 ---------------------------------------------
         "tpch_q18_big_orders": q_tpch_q18_big_orders,
         "tpch_q4_priority": q_tpch_q4_priority,
+        "tpch_q13_custdist": q_tpch_q13_custdist,
+        "tpch_q22_idle_balances": q_tpch_q22_idle_balances,
         # -- tier 1: staged past the window in r8, never driver-verified ----
         "tpch_q6_forecast": q_tpch_q6_forecast,
         "tpch_q10_returns": q_tpch_q10_returns,
@@ -2259,8 +2331,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_index_reuse": q_grep_index_reuse,
         "bloom_membership": q_bloom_membership,
         "cms_counts": q_cms_counts,
-        "hll_distinct": q_hll_distinct,
-        "vocab_head": q_vocab_head,
         # -- tier 3: mtail_* reference-parity core (always in-window) -------
         "mtail_linecount": q_mtail_linecount,
         "mtail_counter_by": q_mtail_counter_by,
@@ -2277,10 +2347,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtail_prog_stateful": q_mtail_prog_stateful,
         "mtail_prog_txn": q_mtail_prog_txn,
         # ---------------- position 50 boundary is ABOVE this line ----------
-        # (2 new + 4 staged-r8 + 24 r6-stale + 6 r7-single-green +
+        # (4 new + 4 staged-r8 + 24 r6-stale + 4 r7-single-green +
         # 14 mtail_* = exactly 50; tests/test_entry_contract.py pins
         # the required contents)
         # -- tier 4a: remaining single-green r7 rows (rotate in next) --------
+        "hll_distinct": q_hll_distinct,
+        "vocab_head": q_vocab_head,
         "substring_search": q_substring_search,
         "cluster_profile": q_cluster_profile,
         "dedup_incremental": q_dedup_incremental,
@@ -3810,6 +3882,37 @@ _SQL_TPCH_Q4 = """
     GROUP BY 1 ORDER BY 1
 """
 
+_SQL_TPCH_Q13 = """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      SELECT c_custkey,
+             CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN (
+        SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT'
+      ) o ON c_custkey = o_custkey
+      GROUP BY 1
+    ) GROUP BY 1
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+_SQL_TPCH_Q22 = """
+    WITH t AS (
+      SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                  // count(*) AS BIGINT) AS thr
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS totacctbal_cents
+    FROM customer c, t
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) > t.thr
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >=
+                            TIMESTAMP '2000-07-01 00:00:00')
+    GROUP BY 1 ORDER BY 1
+"""
+
 _SQL_CONVERSION_LAG = """
     WITH t0 AS (
       SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
@@ -4177,6 +4280,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q10_returns": _SQL_TPCH_Q10,
         "tpch_q18_big_orders": _SQL_TPCH_Q18,
         "tpch_q4_priority": _SQL_TPCH_Q4,
+        "tpch_q13_custdist": _SQL_TPCH_Q13,
+        "tpch_q22_idle_balances": _SQL_TPCH_Q22,
         "conversion_lag_quantiles": _SQL_CONVERSION_LAG,
         "funnel_windowed": _sql_funnel(7 * 86400 * 1_000_000),
         "asof_join_stream": _SQL_ASOF_LAST_TOUCH,

@@ -24,6 +24,8 @@ MUST_BE_IN_WINDOW = {
     # new round 9
     "tpch_q18_big_orders",
     "tpch_q4_priority",
+    "tpch_q13_custdist",
+    "tpch_q22_idle_balances",
     # staged past position 50 in round 8, never driver-verified
     "tpch_q6_forecast",
     "tpch_q10_returns",

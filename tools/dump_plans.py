@@ -250,6 +250,15 @@ SHOW = [
      "EXISTS semi-join: lineitem filtered at the scan to returned "
      "lines, orderkey-only LeftSemi (no row widening), then one "
      "priority-cardinality aggregate"),
+    ("tpch_q13_custdist",
+     "OUTER-join double aggregation: orders pre-aggregate to "
+     "per-custkey counts BEFORE the left join (join input shrinks "
+     "to customer cardinality); second aggregate over "
+     "count-cardinality rows"),
+    ("tpch_q22_idle_balances",
+     "NOT-EXISTS anti-join + scalar threshold: integer-cents mean "
+     "broadcast (1 row), recent-order custkeys LeftAnti against "
+     "customer, one segment-cardinality aggregate"),
 ]
 
 INTERESTING = re.compile(
