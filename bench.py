@@ -63,6 +63,12 @@ BENCH_QUERIES = [
     "asof_join_last_touch",
     "band_join_counts",
     "tpch_q3_shipping",
+    # round-9 TPC-H spine (HAVING filter, semi-join, outer-join
+    # distribution, anti-join)
+    "tpch_q18_big_orders",
+    "tpch_q4_priority",
+    "tpch_q13_custdist",
+    "tpch_q22_idle_balances",
 ]
 
 
@@ -92,6 +98,9 @@ SF1_QUERIES = [
     "asof_join_last_touch",
     "band_join_counts",
     "tpch_q3_shipping",
+    # round-9 additions (6M-lineitem HAVING scan; anti-join)
+    "tpch_q18_big_orders",
+    "tpch_q4_priority",
 ]
 
 
