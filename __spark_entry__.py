@@ -1721,6 +1721,89 @@ def q_tpch_q4_priority(spark, sf):
     )
 
 
+_CODEC_W, _CODEC_H, _CODEC_OW, _CODEC_OH = 5, 4, 3, 2
+
+
+def q_multimodal_codec_roundtrip(spark, sf):
+    """REAL image-codec round trip, oracle-checked end to end: per
+    document, synthesize a 5x4 RGB image whose pixel bytes are a pure
+    integer formula of (doc_id, pixel index), encode it as P6 PPM
+    (operators/codecs.py — a real encoder, no media library needed),
+    push it through resize_images (REAL magic-dispatched decode +
+    deterministic nearest-neighbor resize + re-encode), decode the
+    resized payload again, and emit exact integer channel sums.
+
+    The DuckDB oracle never parses bytes: it recomputes the same sums
+    from the pixel formula + the integer nearest-neighbor index map
+    (out(i,j) = in(i*H DIV OH, j*W DIV OW)).  A hash match therefore
+    proves the encoder, the decoder, and the resampler are exact —
+    the r5-r8 'codecs are env-blocked stubs' gap, closed for the
+    formats stdlib+numpy can decode (PPM/BMP; JPEG/PNG stay honest
+    fallbacks).  Plan: three Arrow mapInPandas stages, zero shuffles
+    until the final sort."""
+    import mtail_spark.operators.multimodal as M
+
+    W, H, OW, OH = _CODEC_W, _CODEC_H, _CODEC_OW, _CODEC_OH
+    docs = _t(spark, sf, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mtail_spark.operators import codecs as C
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                idx = np.arange(H * W * 3, dtype=np.int64)
+                img = (
+                    ((int(did) % 256) * 31 + idx * 7) % 256
+                ).astype(np.uint8).reshape(H, W, 3)
+                payloads.append(bytearray(C.encode_ppm(img)))
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": pd.Series(["image"] * n, dtype="object"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "mime": pd.Series(
+                        ["image/x-portable-pixmap"] * n, dtype="object"
+                    ),
+                    "width": pd.Series([W] * n, dtype="int32"),
+                    "height": pd.Series([H] * n, dtype="int32"),
+                    "duration_ms": pd.Series([None] * n, dtype="object"),
+                }
+            )
+
+    media = docs.mapInPandas(synth, schema=M.MEDIA_SCHEMA)
+    resized = M.resize_images(media, OW, OH)
+
+    def stats(batches):
+        import pandas as pd
+
+        from mtail_spark.operators import codecs as C
+
+        for pdf in batches:
+            recs = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                img = C.decode_image(bytes(p))
+                st = C.image_stats(img)
+                recs.append(
+                    (int(mid), st["n_px"], st["sum_r"], st["sum_g"],
+                     st["sum_b"])
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "n_px", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return resized.mapInPandas(
+        stats,
+        "doc_id bigint, n_px bigint, sum_r bigint, sum_g bigint, "
+        "sum_b bigint",
+    )
+
+
 def q_tpch_q13_custdist(spark, sf):
     """TPC-H Q13 (customer order-count distribution): how many
     customers placed N qualifying orders, including N=0 — the OUTER
@@ -2296,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q13_custdist": q_tpch_q13_custdist,
         "tpch_q22_idle_balances": q_tpch_q22_idle_balances,
+        "multimodal_codec_roundtrip": q_multimodal_codec_roundtrip,
         # -- tier 1: staged past the window in r8, never driver-verified ----
         "tpch_q6_forecast": q_tpch_q6_forecast,
         "tpch_q10_returns": q_tpch_q10_returns,
@@ -2330,7 +2414,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "grep_index_reuse": q_grep_index_reuse,
         "bloom_membership": q_bloom_membership,
-        "cms_counts": q_cms_counts,
         # -- tier 3: mtail_* reference-parity core (always in-window) -------
         "mtail_linecount": q_mtail_linecount,
         "mtail_counter_by": q_mtail_counter_by,
@@ -2347,10 +2430,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtail_prog_stateful": q_mtail_prog_stateful,
         "mtail_prog_txn": q_mtail_prog_txn,
         # ---------------- position 50 boundary is ABOVE this line ----------
-        # (4 new + 4 staged-r8 + 24 r6-stale + 4 r7-single-green +
+        # (5 new + 4 staged-r8 + 24 r6-stale + 3 r7-single-green +
         # 14 mtail_* = exactly 50; tests/test_entry_contract.py pins
         # the required contents)
         # -- tier 4a: remaining single-green r7 rows (rotate in next) --------
+        "cms_counts": q_cms_counts,
         "hll_distinct": q_hll_distinct,
         "vocab_head": q_vocab_head,
         "substring_search": q_substring_search,
@@ -3882,6 +3966,28 @@ _SQL_TPCH_Q4 = """
     GROUP BY 1 ORDER BY 1
 """
 
+# the oracle recomputes the codec round trip from the pixel FORMULA:
+# nearest-neighbor index map out(i,j) = in(i*H DIV OH, j*W DIV OW),
+# pixel byte = ((doc_id % 256) * 31 + idx * 7) % 256 — no byte parsing
+_SQL_CODEC_ROUNDTRIP = f"""
+    WITH px AS (
+      SELECT d.doc_id,
+             ((d.doc_id % 256) * 31 +
+              (((oy.range * {_CODEC_H} // {_CODEC_OH}) * {_CODEC_W}
+                + (ox.range * {_CODEC_W} // {_CODEC_OW})) * 3
+               + ch.range) * 7) % 256 AS b,
+             ch.range AS ch
+      FROM documents d,
+           range({_CODEC_OH}) oy, range({_CODEC_OW}) ox, range(3) ch
+    )
+    SELECT doc_id,
+           CAST(count(*) // 3 AS BIGINT) AS n_px,
+           CAST(sum(CASE WHEN ch = 0 THEN b END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN ch = 1 THEN b END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN ch = 2 THEN b END) AS BIGINT) AS sum_b
+    FROM px GROUP BY 1
+"""
+
 _SQL_TPCH_Q13 = """
     SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
       SELECT c_custkey,
@@ -4282,6 +4388,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q4_priority": _SQL_TPCH_Q4,
         "tpch_q13_custdist": _SQL_TPCH_Q13,
         "tpch_q22_idle_balances": _SQL_TPCH_Q22,
+        "multimodal_codec_roundtrip": _SQL_CODEC_ROUNDTRIP,
         "conversion_lag_quantiles": _SQL_CONVERSION_LAG,
         "funnel_windowed": _sql_funnel(7 * 86400 * 1_000_000),
         "asof_join_stream": _SQL_ASOF_LAST_TOUCH,

@@ -61,13 +61,41 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _fake_decode(payload: bytes, out_dim: int) -> list:
-    # STUB: deterministic fake "decoded feature" — byte histogram
-    # folded to out_dim floats.  A real deployment decodes with
-    # PIL/ffmpeg here.
+    # FALLBACK for formats this environment cannot decode
+    # (JPEG/PNG/...): deterministic fake "decoded feature" — byte
+    # histogram folded to out_dim floats.  A real deployment decodes
+    # those with PIL/ffmpeg here; PPM/BMP take the REAL branch in
+    # _feature_of (operators/codecs.py needs no media library).
     acc = [0.0] * out_dim
     for i, b in enumerate(payload or b""):
         acc[i % out_dim] += b / 255.0
     return acc
+
+
+def _feature_of(payload, out_dim: int) -> list:
+    """REAL decode for stdlib-decodable formats, documented fake for
+    the rest: a PPM/BMP payload yields [mean_r, mean_g, mean_b,
+    w/4096, h/4096, 0...] (channel means as exact rationals pushed
+    through float32 once); anything else falls back to the byte
+    histogram."""
+    from mtail_spark.operators import codecs as C
+
+    p = bytes(payload) if payload is not None else b""
+    img = C.decode_image(p)
+    if img is None:
+        return _fake_decode(p, out_dim)
+    import numpy as np
+
+    st = C.image_stats(img)
+    f = [
+        st["sum_r"] / (255.0 * st["n_px"]),
+        st["sum_g"] / (255.0 * st["n_px"]),
+        st["sum_b"] / (255.0 * st["n_px"]),
+        img.shape[1] / 4096.0,
+        img.shape[0] / 4096.0,
+    ]
+    f = [float(np.float32(v)) for v in f[:out_dim]]
+    return f + [0.0] * (out_dim - len(f))
 
 
 def extract_features(media: DataFrame, out_dim: int = 8) -> DataFrame:
@@ -75,6 +103,8 @@ def extract_features(media: DataFrame, out_dim: int = 8) -> DataFrame:
 
     The batch shape is the real contract: each pandas batch holds the
     partition's rows; payload bytes arrive as Python bytes objects.
+    PPM/BMP payloads are REALLY decoded (channel-mean features);
+    env-blocked formats keep the documented deterministic fake.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -86,7 +116,7 @@ def extract_features(media: DataFrame, out_dim: int = 8) -> DataFrame:
                         lambda p: len(p) if p is not None else 0
                     ),
                     "feature": pdf["payload"].map(
-                        lambda p: _fake_decode(p, out_dim)
+                        lambda p: _feature_of(p, out_dim)
                     ),
                 }
             )
@@ -97,12 +127,60 @@ def extract_features(media: DataFrame, out_dim: int = 8) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize stub: the real implementation needs PIL."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv, not available in this "
-        "environment; see extract_features for the mapInPandas shape"
-    )
+    """REAL image resize for stdlib-decodable formats (PPM/BMP):
+    decode -> deterministic nearest-neighbor (pure integer pixel map,
+    operators/codecs.py) -> re-encode as P6 PPM.  Payloads this
+    environment cannot decode (JPEG/PNG need PIL) come back as an
+    explicit NULL row — per-row honesty instead of the pre-r9
+    module-level NotImplementedError, so mixed-format tables flow."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mtail_spark.operators import codecs as C
+
+        for pdf in batches:
+            outs, mimes, ws, hs = [], [], [], []
+            for p in pdf["payload"]:
+                img = C.decode_image(bytes(p) if p is not None else b"")
+                if img is None:
+                    outs.append(None)
+                    mimes.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                else:
+                    outs.append(
+                        bytearray(
+                            C.encode_ppm(C.resize_nearest(img, width, height))
+                        )
+                    )
+                    mimes.append("image/x-portable-pixmap")
+                    ws.append(width)
+                    hs.append(height)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pd.Series(outs, dtype="object"),
+                    "mime": pd.Series(mimes, dtype="object"),
+                    "width": pd.Series(ws, dtype="object"),
+                    "height": pd.Series(hs, dtype="object"),
+                }
+            )
+
+    from mtail_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(media.sparkSession)
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(

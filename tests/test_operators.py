@@ -157,13 +157,15 @@ def test_multimodal_feature_extraction(spark):
         assert len(r["feature"]) == 4
 
 
-def test_multimodal_stubs_raise(spark):
+def test_multimodal_codec_surfaces(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     media = M.synthesize_media(df, "doc_id", "text")
-    with pytest.raises(NotImplementedError):
-        M.resize_images(media, 10, 10)
-    # sample_frames now has real mapInPandas plumbing with a
-    # deterministic fake decode; the codec path stays an honest stub
+    # resize_images is REAL as of r9 for stdlib-decodable formats
+    # (PPM/BMP, tests/test_codecs.py); the synthetic md5-hex payload
+    # matches no magic, so it comes back as an explicit NULL row
+    rows = M.resize_images(media, 10, 10).collect()
+    assert len(rows) == 1 and rows[0].payload is None
+    # video decode stays an honest env-blocked stub
     with pytest.raises(NotImplementedError):
         M.sample_frames(media, 1000, real_codec=True)
 

@@ -259,6 +259,10 @@ SHOW = [
      "NOT-EXISTS anti-join + scalar threshold: integer-cents mean "
      "broadcast (1 row), recent-order custkeys LeftAnti against "
      "customer, one segment-cardinality aggregate"),
+    ("multimodal_codec_roundtrip",
+     "three chained Arrow MapInPandas stages (synthesize PPM -> real "
+     "decode+resize+re-encode -> decode+stats), ZERO exchanges — "
+     "media bytes never shuffle"),
 ]
 
 INTERESTING = re.compile(
