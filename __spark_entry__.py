@@ -1804,6 +1804,57 @@ def q_multimodal_codec_roundtrip(spark, sf):
     )
 
 
+_AUDIO_N, _AUDIO_RATE = 64, 8000
+
+
+def q_multimodal_audio_metrics(spark, sf):
+    """REAL audio-codec round trip, oracle-checked: per document,
+    synthesize 64 PCM16 samples from an integer formula of (doc_id,
+    i), encode a real RIFF/WAVE container (stdlib `wave` via
+    operators/codecs.py), DECODE it back with the real parser, and
+    emit exact integer metrics (sample count, floor duration-ms, sum
+    of squared samples, sign zero-crossings skipping zero samples).
+
+    The DuckDB oracle recomputes the metrics from the sample formula
+    with a lag window over nonzero signs — it never parses bytes, so
+    a hash match proves the WAV encoder+decoder and the sample math
+    exact.  Companion to multimodal_codec_roundtrip (images); same
+    zero-exchange mapInPandas shape."""
+    N, RATE = _AUDIO_N, _AUDIO_RATE
+    docs = _t(spark, sf, "documents").select("doc_id")
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mtail_spark.operators import codecs as C
+
+        for pdf in batches:
+            recs = []
+            for did in pdf["doc_id"]:
+                i = np.arange(N, dtype=np.int64)
+                s = ((int(did) % 97) * 131 + i * 17) % 2001 - 1000
+                payload = C.encode_wav_pcm16(
+                    s.astype(np.int16), framerate=RATE
+                )
+                m = C.audio_metrics(payload)
+                recs.append(
+                    (int(did), m["n_samples"], m["duration_ms"],
+                     m["sum_sq"], m["zero_crossings"])
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "n_samples", "duration_ms",
+                         "sum_sq", "zero_crossings"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id bigint, n_samples bigint, duration_ms bigint, "
+        "sum_sq bigint, zero_crossings bigint",
+    )
+
+
 def q_tpch_q13_custdist(spark, sf):
     """TPC-H Q13 (customer order-count distribution): how many
     customers placed N qualifying orders, including N=0 — the OUTER
@@ -2380,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13_custdist": q_tpch_q13_custdist,
         "tpch_q22_idle_balances": q_tpch_q22_idle_balances,
         "multimodal_codec_roundtrip": q_multimodal_codec_roundtrip,
+        "multimodal_audio_metrics": q_multimodal_audio_metrics,
         # -- tier 1: staged past the window in r8, never driver-verified ----
         "tpch_q6_forecast": q_tpch_q6_forecast,
         "tpch_q10_returns": q_tpch_q10_returns,
@@ -2413,7 +2465,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 2b: single-green r7 rows next-stalest (VERDICT r8 item 5) -
         "hybrid_search": q_hybrid_search,
         "grep_index_reuse": q_grep_index_reuse,
-        "bloom_membership": q_bloom_membership,
         # -- tier 3: mtail_* reference-parity core (always in-window) -------
         "mtail_linecount": q_mtail_linecount,
         "mtail_counter_by": q_mtail_counter_by,
@@ -2430,10 +2481,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtail_prog_stateful": q_mtail_prog_stateful,
         "mtail_prog_txn": q_mtail_prog_txn,
         # ---------------- position 50 boundary is ABOVE this line ----------
-        # (5 new + 4 staged-r8 + 24 r6-stale + 3 r7-single-green +
+        # (6 new + 4 staged-r8 + 24 r6-stale + 2 r7-single-green +
         # 14 mtail_* = exactly 50; tests/test_entry_contract.py pins
         # the required contents)
         # -- tier 4a: remaining single-green r7 rows (rotate in next) --------
+        "bloom_membership": q_bloom_membership,
         "cms_counts": q_cms_counts,
         "hll_distinct": q_hll_distinct,
         "vocab_head": q_vocab_head,
@@ -3988,6 +4040,33 @@ _SQL_CODEC_ROUNDTRIP = f"""
     FROM px GROUP BY 1
 """
 
+_SQL_AUDIO_METRICS = f"""
+    WITH s AS (
+      SELECT d.doc_id, i.range AS i,
+             ((d.doc_id % 97) * 131 + i.range * 17) % 2001 - 1000 AS v
+      FROM documents d, range({_AUDIO_N}) i
+    ), nz AS (
+      SELECT doc_id, i,
+             CASE WHEN v > 0 THEN 1 ELSE -1 END AS sg
+      FROM s WHERE v <> 0
+    ), cr AS (
+      SELECT doc_id,
+             CASE WHEN sg <> lag(sg) OVER (PARTITION BY doc_id
+                                           ORDER BY i)
+                  THEN 1 ELSE 0 END AS x
+      FROM nz
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(count(*) * 1000 // {_AUDIO_RATE} AS BIGINT)
+             AS duration_ms,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq,
+           CAST((SELECT coalesce(sum(x), 0) FROM cr
+                 WHERE cr.doc_id = s.doc_id) AS BIGINT)
+             AS zero_crossings
+    FROM s GROUP BY 1
+"""
+
 _SQL_TPCH_Q13 = """
     SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
       SELECT c_custkey,
@@ -4389,6 +4468,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q13_custdist": _SQL_TPCH_Q13,
         "tpch_q22_idle_balances": _SQL_TPCH_Q22,
         "multimodal_codec_roundtrip": _SQL_CODEC_ROUNDTRIP,
+        "multimodal_audio_metrics": _SQL_AUDIO_METRICS,
         "conversion_lag_quantiles": _SQL_CONVERSION_LAG,
         "funnel_windowed": _sql_funnel(7 * 86400 * 1_000_000),
         "asof_join_stream": _SQL_ASOF_LAST_TOUCH,

@@ -263,6 +263,9 @@ SHOW = [
      "three chained Arrow MapInPandas stages (synthesize PPM -> real "
      "decode+resize+re-encode -> decode+stats), ZERO exchanges — "
      "media bytes never shuffle"),
+    ("multimodal_audio_metrics",
+     "one Arrow MapInPandas stage (synthesize PCM16 WAV -> real "
+     "stdlib decode -> exact integer metrics), zero exchanges"),
 ]
 
 INTERESTING = re.compile(
