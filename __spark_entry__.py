@@ -1855,6 +1855,47 @@ def q_multimodal_audio_metrics(spark, sf):
     )
 
 
+def q_tpch_q17_small_qty(spark, sf):
+    """TPC-H Q17 (small-quantity-order revenue): lineitems of one
+    brand's parts whose quantity is below 20% of that part's average
+    quantity — the CORRELATED AGGREGATE SUBQUERY shape.  The
+    correlated avg decorrelates into one per-partkey aggregate joined
+    back on the key; the brand dim (~100 parts) broadcasts onto BOTH
+    the aggregate input and the probe, so the per-part stats are
+    computed only for qualifying parts and the partkey exchange is
+    shared.  The 20%-of-average compare is exact integer
+    cross-multiplication (qty*5*cnt < sum_qty) — no float avg;
+    revenue as cents DIV 7 per the reference's avg_yearly."""
+    bparts = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf, "lineitem").join(
+        F.broadcast(bparts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    qty = F.round(F.col("l_quantity")).cast("long")
+    stats = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(qty).cast("long").alias("sum_qty"),
+    )
+    probe = li.select(
+        F.col("l_partkey").alias("pk"),
+        qty.alias("qty"),
+        _cents(F.col("l_extendedprice")).alias("price_cents"),
+    )
+    return (
+        probe.join(stats, probe.pk == stats.l_partkey)
+        .filter(F.col("qty") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.expr(
+                "CAST(sum(price_cents) DIV 7 AS BIGINT)"
+            ).alias("avg_yearly_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_small_rows"),
+        )
+    )
+
+
 def q_tpch_q13_custdist(spark, sf):
     """TPC-H Q13 (customer order-count distribution): how many
     customers placed N qualifying orders, including N=0 — the OUTER
@@ -2432,6 +2473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22_idle_balances": q_tpch_q22_idle_balances,
         "multimodal_codec_roundtrip": q_multimodal_codec_roundtrip,
         "multimodal_audio_metrics": q_multimodal_audio_metrics,
+        "tpch_q17_small_qty": q_tpch_q17_small_qty,
         # -- tier 1: staged past the window in r8, never driver-verified ----
         "tpch_q6_forecast": q_tpch_q6_forecast,
         "tpch_q10_returns": q_tpch_q10_returns,
@@ -2464,7 +2506,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         # -- tier 2b: single-green r7 rows next-stalest (VERDICT r8 item 5) -
         "hybrid_search": q_hybrid_search,
-        "grep_index_reuse": q_grep_index_reuse,
         # -- tier 3: mtail_* reference-parity core (always in-window) -------
         "mtail_linecount": q_mtail_linecount,
         "mtail_counter_by": q_mtail_counter_by,
@@ -2481,10 +2522,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtail_prog_stateful": q_mtail_prog_stateful,
         "mtail_prog_txn": q_mtail_prog_txn,
         # ---------------- position 50 boundary is ABOVE this line ----------
-        # (6 new + 4 staged-r8 + 24 r6-stale + 2 r7-single-green +
+        # (7 new + 4 staged-r8 + 24 r6-stale + 1 r7-single-green +
         # 14 mtail_* = exactly 50; tests/test_entry_contract.py pins
         # the required contents)
         # -- tier 4a: remaining single-green r7 rows (rotate in next) --------
+        "grep_index_reuse": q_grep_index_reuse,
         "bloom_membership": q_bloom_membership,
         "cms_counts": q_cms_counts,
         "hll_distinct": q_hll_distinct,
@@ -4067,6 +4109,23 @@ _SQL_AUDIO_METRICS = f"""
     FROM s GROUP BY 1
 """
 
+_SQL_TPCH_Q17 = """
+    WITH bl AS (
+      SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#23'
+    ), st AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(qty) AS BIGINT) AS sum_qty
+      FROM bl GROUP BY 1
+    )
+    SELECT CAST(sum(price_cents) // 7 AS BIGINT) AS avg_yearly_cents,
+           CAST(count(*) AS BIGINT) AS n_small_rows
+    FROM bl JOIN st USING (l_partkey)
+    WHERE qty * 5 * cnt < sum_qty
+"""
+
 _SQL_TPCH_Q13 = """
     SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
       SELECT c_custkey,
@@ -4469,6 +4528,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q22_idle_balances": _SQL_TPCH_Q22,
         "multimodal_codec_roundtrip": _SQL_CODEC_ROUNDTRIP,
         "multimodal_audio_metrics": _SQL_AUDIO_METRICS,
+        "tpch_q17_small_qty": _SQL_TPCH_Q17,
         "conversion_lag_quantiles": _SQL_CONVERSION_LAG,
         "funnel_windowed": _sql_funnel(7 * 86400 * 1_000_000),
         "asof_join_stream": _SQL_ASOF_LAST_TOUCH,

@@ -28,6 +28,7 @@ MUST_BE_IN_WINDOW = {
     "tpch_q22_idle_balances",
     "multimodal_codec_roundtrip",
     "multimodal_audio_metrics",
+    "tpch_q17_small_qty",
     # staged past position 50 in round 8, never driver-verified
     "tpch_q6_forecast",
     "tpch_q10_returns",

@@ -266,6 +266,11 @@ SHOW = [
     ("multimodal_audio_metrics",
      "one Arrow MapInPandas stage (synthesize PCM16 WAV -> real "
      "stdlib decode -> exact integer metrics), zero exchanges"),
+    ("tpch_q17_small_qty",
+     "correlated aggregate subquery decorrelated: brand dim "
+     "broadcast onto BOTH the per-partkey stats input and the probe; "
+     "partkey exchange shared; integer cross-multiplied 20%-of-avg "
+     "compare"),
 ]
 
 INTERESTING = re.compile(
