@@ -61,6 +61,10 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     (w, h, maxval), off = _ppm_tokens(payload, 3)
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
+    if w <= 0 or h <= 0:
+        # a zero-dimension header would decode to an empty array and
+        # crash downstream pixel math (resize indexing, mean /n_px)
+        raise ValueError(f"degenerate PPM dimensions {w}x{h}")
     need = w * h * 3
     raw = payload[off : off + need]
     if len(raw) < need:
@@ -89,6 +93,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
     flip = h > 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"degenerate BMP dimensions {w}x{h}")
     stride = (w * 3 + 3) & ~3
     rows = np.frombuffer(
         payload[data_off : data_off + stride * h], dtype=np.uint8
@@ -137,38 +143,49 @@ def image_stats(img: np.ndarray) -> dict:
 # -------------------------------------------------------------- audio
 
 
-def decode_wav(payload: bytes) -> tuple[int, np.ndarray] | None:
-    """RIFF/WAVE PCM16 -> (framerate, int16 samples flattened across
-    channels); None if not a decodable WAV."""
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """RIFF/WAVE PCM16 -> (framerate, n_channels, (frames, ch) int16
+    samples); None if not a decodable WAV."""
     if not payload or payload[:4] != b"RIFF":
         return None
     try:
         with wave.open(io.BytesIO(payload)) as wf:
             if wf.getsampwidth() != 2:
                 return None
+            nch = wf.getnchannels()
             frames = wf.readframes(wf.getnframes())
-            return wf.getframerate(), np.frombuffer(frames, dtype="<i2")
-    except (wave.Error, EOFError):
+            flat = np.frombuffer(frames, dtype="<i2")
+            return (
+                wf.getframerate(),
+                nch,
+                flat.reshape(-1, nch) if nch else flat.reshape(-1, 1),
+            )
+    except (wave.Error, EOFError, ValueError):
         return None
 
 
 def audio_metrics(payload: bytes) -> dict | None:
     """Integer audio features from a PCM16 WAV: duration in ms
-    (floor), sum of squared samples (exact int64), zero crossings —
-    all exact integers, engine-portable."""
+    (floor, from FRAMES not flattened samples — a stereo file is not
+    twice as long), sum of squared samples (exact int64), zero
+    crossings summed PER CHANNEL (interleaved L/R sign flips are not
+    crossings) — all exact integers, engine-portable."""
     dec = decode_wav(payload)
     if dec is None:
         return None
-    rate, samples = dec
-    n = int(samples.size)
+    rate, nch, samples = dec
+    n_frames = int(samples.shape[0])
     sumsq = int(np.sum(samples.astype(np.int64) ** 2))
-    signs = np.sign(samples.astype(np.int64))
-    nz = signs[signs != 0]
-    crossings = int(np.count_nonzero(np.diff(nz) != 0))
+    crossings = 0
+    for ch in range(samples.shape[1]):
+        signs = np.sign(samples[:, ch].astype(np.int64))
+        nz = signs[signs != 0]
+        crossings += int(np.count_nonzero(np.diff(nz) != 0))
     return {
         "framerate": int(rate),
-        "n_samples": n,
-        "duration_ms": (n * 1000) // rate if rate else 0,
+        "n_channels": int(nch),
+        "n_samples": n_frames * int(nch),
+        "duration_ms": (n_frames * 1000) // rate if rate else 0,
         "sum_sq": sumsq,
         "zero_crossings": crossings,
     }

@@ -191,25 +191,29 @@ def _nanos_ts_columns(path: str) -> list[str]:
 # r8 sim_topk_gemm drift investigation), and a real engine caches
 # catalog metadata exactly like this.  DataFrames are immutable plans,
 # so reuse within one session is semantically identical; file CONTENTS
-# are still read at each execution.
-_TABLE_CACHE: "weakref.WeakKeyDictionary" = None  # set below
-import weakref as _weakref  # noqa: E402
-
-_TABLE_CACHE = _weakref.WeakKeyDictionary()
+# are still read at each execution.  The cache dict lives as an
+# ATTRIBUTE ON THE SESSION OBJECT, not in a module global: cached
+# DataFrames strongly reference their session, so a global registry
+# (even weak-keyed) would pin every session it ever saw for process
+# lifetime; an attribute dies with the session (r9 review finding).
+_TABLE_CACHE_ATTR = "_mtail_table_cache"
 
 
 def load_table(spark: SparkSession, sf_dir_: str, name: str):
     """Read a testdata parquet, normalizing nanosecond timestamps to
     Spark TimestampType (microseconds, integer division — ns values
     exceed double precision so no float math here).  Plan objects are
-    memoized per (session, path, mtime, size) — see _TABLE_CACHE."""
+    memoized per (session, path, mtime, size) — see _TABLE_CACHE_ATTR."""
     path = f"{sf_dir_}/{name}.parquet"
     st = os.stat(path)
     key = (path, st.st_mtime_ns, st.st_size)
-    try:
-        per_session = _TABLE_CACHE.setdefault(spark, {})
-    except TypeError:  # session type not weak-referenceable
+    per_session = getattr(spark, _TABLE_CACHE_ATTR, None)
+    if per_session is None:
         per_session = {}
+        try:
+            setattr(spark, _TABLE_CACHE_ATTR, per_session)
+        except AttributeError:  # __slots__-restricted session type
+            pass
     hit = per_session.get(key)
     if hit is not None:
         return hit

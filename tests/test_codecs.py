@@ -93,6 +93,41 @@ def test_wav_metrics_exact():
     assert C.audio_metrics(b"not audio") is None
 
 
+def test_wav_metrics_stereo_channel_aware():
+    # r9 review finding: duration must come from FRAMES, and
+    # interleaved L/R sign flips are not zero crossings
+    import io as _io
+    import wave as _wave
+
+    l = np.array([100, -100, 100, -100], dtype=np.int16)   # 3 crossings
+    r = np.array([50, 50, 50, 50], dtype=np.int16)         # 0 crossings
+    inter = np.empty(8, dtype=np.int16)
+    inter[0::2], inter[1::2] = l, r
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(4000)
+        wf.writeframes(inter.tobytes())
+    m = C.audio_metrics(buf.getvalue())
+    assert m["n_channels"] == 2
+    assert m["n_samples"] == 8
+    assert m["duration_ms"] == 1          # 4 frames at 4 kHz
+    assert m["zero_crossings"] == 3       # per-channel, summed
+    assert m["sum_sq"] == int(np.sum(inter.astype(np.int64) ** 2))
+
+
+def test_zero_dimension_images_are_undecodable():
+    # r9 review finding: a degenerate 0-dim header must not crash
+    # pixel math inside a Spark task — it reads as undecodable
+    assert C.decode_image(b"P6\n0 4\n255\n") is None
+    assert C.decode_image(b"P6\n4 0\n255\n") is None
+    import mtail_spark.operators.multimodal as _M
+
+    f = _M._feature_of(b"P6\n0 4\n255\n", 8)
+    assert len(f) == 8  # fake-branch fallback, no ZeroDivisionError
+
+
 # ------------------------------------- multimodal integration (Spark)
 
 

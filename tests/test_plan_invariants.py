@@ -21,24 +21,14 @@ invariants are checked on their batch duals instead.
 
 import io
 import contextlib
-import re
 
 import pytest
 
 import __spark_entry__ as entrymod
-
-# queries whose construction RUNS a streaming replay (the returned
-# DataFrame is the final memory-sink table — nothing left to check)
-STREAMING_REPLAY = {
-    "session_window_stream",
-    "rate_anomalies_stream",
-    "dedup_exact_stream",
-    "tumbling_window_stream",
-    "dedup_incremental_stream",
-    "band_join_stream",
-    "asof_join_stream",
-    "sliding_window_stream",
-}
+from mtail_spark.planaudit import (
+    STREAMING_REPLAY,
+    empty_partition_windows as _empty_partition_windows,
+)
 
 
 def _plan(df) -> str:
@@ -110,18 +100,21 @@ def test_python_surfaces_are_arrow_batched(all_plans):
     assert "FlatMapGroupsInPandas" in all_plans["pack_sequences"]["fmt"]
 
 
-def _empty_partition_windows(opt_plan: str) -> list[str]:
-    """windowspecdefinition(part..., order..., frame): partition
-    columns carry no sort direction, order columns do — so a FIRST
-    argument with ASC/DESC means the partition spec is empty."""
-    hits = []
-    for m in re.finditer(
-        r"windowspecdefinition\((.*?)specifiedwindowframe", opt_plan
-    ):
-        first = m.group(1).split(",")[0]
-        if " ASC" in first or " DESC" in first:
-            hits.append(m.group(1)[:80])
-    return hits
+def test_empty_partition_detector_handles_computed_keys():
+    # a computed ordering expression with a comma must not mask the
+    # sort keyword (the paren-aware split in planaudit)
+    plan = (
+        "Window [sum(x#1L) windowspecdefinition(coalesce(a#1L, b#2L) "
+        "ASC NULLS FIRST, specifiedwindowframe(RowFrame, ...)) AS c]"
+    )
+    assert _empty_partition_windows(plan)
+    # and a partition spec whose FIRST column is computed stays clean
+    plan2 = (
+        "Window [sum(x#1L) windowspecdefinition(coalesce(a#1L, b#2L), "
+        "ts#3L ASC NULLS FIRST, specifiedwindowframe(RowFrame, ...)) "
+        "AS c]"
+    )
+    assert not _empty_partition_windows(plan2)
 
 
 def test_no_unpartitioned_corpus_windows(all_plans):
