@@ -148,13 +148,17 @@ COMPACT_LIMIT = 1900  # driver tail buffer is 2000; leave margin
 # Keys dropped from the stdout line (in order) until it fits the
 # driver's tail buffer.  Everything always survives in
 # BENCH_DETAIL.json; "queries" itself is required by the spec and is
-# never dropped.
+# never dropped.  sf1_queries_min is deliberately NOT in this list:
+# it is the declared cross-round comparison basis
+# (cross_round_basis: "min") and the judge's round-over-round series,
+# so when the suite outgrows the limit the queries-dict trim runs
+# instead (r9: 28 headline queries pushed the line over and silently
+# cost the whole min series before this change).
 _COMPACT_DROP_ORDER = (
     "sf1_queries_cold",
     "queries_cold",
     "sf1_queries",
     "queries_min",
-    "sf1_queries_min",
 )
 
 

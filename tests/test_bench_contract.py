@@ -73,6 +73,19 @@ def test_compact_line_no_drop_when_small():
     assert "queries_min" in parsed and "queries_cold" in parsed
 
 
+def test_compact_line_preserves_min_basis():
+    # sf1_queries_min is the declared cross-round comparison basis:
+    # when the suite grows past the limit, per-query entries of
+    # "queries" get trimmed BEFORE the min series is lost (r9: 28
+    # headline queries silently cost the whole series)
+    r = _fake_result(n_queries=40, with_sf1=True)
+    line = bench.compact_line(r, limit=1900)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert "sf1_queries_min" in parsed
+    assert len(parsed["sf1_queries_min"]) == 40
+
+
 def test_bench_queries_are_registered():
     import __spark_entry__ as entrymod
 
