@@ -1896,6 +1896,82 @@ def q_tpch_q17_small_qty(spark, sf):
     )
 
 
+def q_tpch_q15_top_supplier(spark, sf):
+    """TPC-H Q15 (top supplier): the supplier(s) whose quarterly
+    revenue EQUALS the maximum — the ARGMAX-of-aggregate shape (view
+    + scalar subquery in the reference).  One per-suppkey aggregate
+    (filter pushed to the scan), the 1-row max broadcast back as an
+    equality filter, the supplier dim broadcast for names.  Revenue
+    in integer cents so the equality compare is exact (a float
+    revenue tie would be engine-dependent in the last ulp)."""
+    lo = F.lit("1996-07-01").cast("timestamp")
+    hi = F.lit("1996-10-01").cast("timestamp")
+    rev = (
+        _t(spark, sf, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            )
+            .cast("long")
+            .alias("revenue_cents")
+        )
+    )
+    mx = rev.agg(F.max("revenue_cents").alias("mx"))
+    sup = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("revenue_cents") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "revenue_cents",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q19_disjunctive(spark, sf):
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): one
+    partkey equi-join whose residual is an OR of three brand/size/
+    quantity clause groups — the DISJUNCTIVE-predicate shape the
+    optimizer must keep as a residual filter on a hash join (never a
+    cartesian; the common l_partkey=p_partkey conjunct is extracted
+    as the join key).  part is a broadcast dim; quantities compare as
+    integral units."""
+    li = _t(spark, sf, "lineitem")
+    pt = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.round(F.col("l_quantity")).cast("long")
+
+    def clause(brand, size_hi, q_lo, q_hi):
+        return (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size").between(1, size_hi))
+            & (qty >= q_lo)
+            & (qty <= q_hi)
+        )
+
+    cond = (
+        clause("Brand#12", 5, 1, 11)
+        | clause("Brand#23", 10, 10, 20)
+        | clause("Brand#34", 15, 20, 30)
+    )
+    return (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
 def q_tpch_q13_custdist(spark, sf):
     """TPC-H Q13 (customer order-count distribution): how many
     customers placed N qualifying orders, including N=0 — the OUTER
@@ -2474,6 +2550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_codec_roundtrip": q_multimodal_codec_roundtrip,
         "multimodal_audio_metrics": q_multimodal_audio_metrics,
         "tpch_q17_small_qty": q_tpch_q17_small_qty,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
         # -- tier 1: staged past the window in r8, never driver-verified ----
         "tpch_q6_forecast": q_tpch_q6_forecast,
         "tpch_q10_returns": q_tpch_q10_returns,
@@ -2503,9 +2581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
         "sample_documents": q_sample_documents,
-        "dataset_split": q_dataset_split,
         # -- tier 2b: single-green r7 rows next-stalest (VERDICT r8 item 5) -
-        "hybrid_search": q_hybrid_search,
         # -- tier 3: mtail_* reference-parity core (always in-window) -------
         "mtail_linecount": q_mtail_linecount,
         "mtail_counter_by": q_mtail_counter_by,
@@ -2522,10 +2598,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtail_prog_stateful": q_mtail_prog_stateful,
         "mtail_prog_txn": q_mtail_prog_txn,
         # ---------------- position 50 boundary is ABOVE this line ----------
-        # (7 new + 4 staged-r8 + 24 r6-stale + 1 r7-single-green +
-        # 14 mtail_* = exactly 50; tests/test_entry_contract.py pins
-        # the required contents)
-        # -- tier 4a: remaining single-green r7 rows (rotate in next) --------
+        # (9 new + 4 staged-r8 + 23 r6-stale + 14 mtail_* = exactly
+        # 50; tests/test_entry_contract.py pins the required contents;
+        # dataset_split + the r7 singles rotate back next round)
+        # -- tier 4a: stalest rows displaced by round-9 additions ------------
+        "dataset_split": q_dataset_split,
+        "hybrid_search": q_hybrid_search,
         "grep_index_reuse": q_grep_index_reuse,
         "bloom_membership": q_bloom_membership,
         "cms_counts": q_cms_counts,
@@ -4109,6 +4187,38 @@ _SQL_AUDIO_METRICS = f"""
     FROM s GROUP BY 1
 """
 
+_SQL_TPCH_Q15 = """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-07-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+           revenue_cents
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)
+    ORDER BY s_suppkey
+"""
+
+_SQL_TPCH_Q19 = """
+    SELECT CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                               * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)
+"""
+
 _SQL_TPCH_Q17 = """
     WITH bl AS (
       SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
@@ -4529,6 +4639,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_codec_roundtrip": _SQL_CODEC_ROUNDTRIP,
         "multimodal_audio_metrics": _SQL_AUDIO_METRICS,
         "tpch_q17_small_qty": _SQL_TPCH_Q17,
+        "tpch_q15_top_supplier": _SQL_TPCH_Q15,
+        "tpch_q19_disjunctive": _SQL_TPCH_Q19,
         "conversion_lag_quantiles": _SQL_CONVERSION_LAG,
         "funnel_windowed": _sql_funnel(7 * 86400 * 1_000_000),
         "asof_join_stream": _SQL_ASOF_LAST_TOUCH,

@@ -29,6 +29,8 @@ MUST_BE_IN_WINDOW = {
     "multimodal_codec_roundtrip",
     "multimodal_audio_metrics",
     "tpch_q17_small_qty",
+    "tpch_q15_top_supplier",
+    "tpch_q19_disjunctive",
     # staged past position 50 in round 8, never driver-verified
     "tpch_q6_forecast",
     "tpch_q10_returns",

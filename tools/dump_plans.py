@@ -271,6 +271,13 @@ SHOW = [
      "broadcast onto BOTH the per-partkey stats input and the probe; "
      "partkey exchange shared; integer cross-multiplied 20%-of-avg "
      "compare"),
+    ("tpch_q15_top_supplier",
+     "argmax-of-aggregate: one per-suppkey aggregate, the 1-row max "
+     "broadcast back as an equality filter, supplier dim broadcast"),
+    ("tpch_q19_disjunctive",
+     "disjunctive residual on a broadcast hash join: the common "
+     "partkey conjunct is the join key, the OR-of-clause-groups "
+     "stays a post-join filter — never a cartesian"),
 ]
 
 INTERESTING = re.compile(
