@@ -2042,6 +2042,225 @@ def q_tpch_q22_idle_balances(spark, sf):
     )
 
 
+def q_tpch_q7_nation_volume(spark, sf):
+    """TPC-H Q7 (volume shipping): revenue flowing between two named
+    nations, by direction and ship year — the TWO-ROLE-DIMENSION
+    shape (nation joins the plan twice, once through supplier and
+    once through customer).  Spark-first plan: nation (25 rows)
+    broadcasts onto supplier and customer, both of which FILTER to
+    the two named nations BEFORE touching a fact table (8% survive),
+    and the filtered supplier side then broadcasts onto lineitem so
+    the date-pruned scan shrinks to the qualifying-nation slice ahead
+    of the single orderkey shuffle against orders⋈customer.  The
+    cross-pair constraint (supp!=cust) is a residual filter over two
+    2-value columns.  Revenue in integer cents; year cast to long on
+    both engines (reference yardstick: TPC-H Q7, two-year window)."""
+    n_a, n_b = "NATION_3", "NATION_7"
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    nation = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    sup = (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin(n_a, n_b))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin(n_a, n_b))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    return (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q8_market_share(spark, sf):
+    """TPC-H Q8 (national market share): of the ECONOMY-type part
+    revenue sold into ASIA-region customers, what integer-basis-point
+    share came from NATION_5 suppliers, per order year — the
+    CONDITIONAL-RATIO-over-a-star shape (five dimension joins, one
+    fact).  Spark-first plan: every dimension chain collapses to a
+    broadcast BEFORE the single fact-fact shuffle — part filters to
+    the type slice, supplier carries its nation name, and
+    customer⋈nation⋈region filters to the ASIA slice and broadcasts
+    onto orders; lineitem (already part- and supplier-pruned) then
+    meets orders on the one orderkey exchange pair.  The share is
+    numerator*10000 DIV denominator in integer cents — a float
+    division would differ in the last ulp across engines."""
+    target = "NATION_5"
+    nation = _t(spark, sf, "nation")
+    part = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_type").startswith("ECONOMY"))
+        .select("p_partkey")
+    )
+    sup = (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_asia = (
+        _t(spark, sf, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(_t(spark, sf, "region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf, "orders")
+        .join(F.broadcast(cust_asia), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    )
+    vol = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    li = (
+        _t(spark, sf, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", "supp_nation", vol.alias("vol_cents"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == target, F.col("vol_cents")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("nation_cents"),
+            F.sum("vol_cents").cast("long").alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            "nation_cents",
+            "total_cents",
+            F.expr("CAST(nation_cents * 10000 DIV total_cents AS BIGINT)").alias(
+                "share_bp"
+            ),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q14_promo_share(spark, sf):
+    """TPC-H Q14 (promotion effect): what integer-basis-point share
+    of one month's discounted revenue came from PROMO-type parts —
+    the CONDITIONAL-AGGREGATE-RATIO shape (CASE inside the sum, one
+    global row out).  Spark: the month filter prunes the lineitem
+    scan, part broadcasts carrying only (partkey, is_promo), and the
+    whole query is one map-side-combinable aggregate — no shuffle
+    wider than the 1-row final combine.  Share as cents*10000 DIV
+    cents (exact); the reference's 100*promo/total float form is
+    engine-dependent in the last ulp."""
+    lo = F.lit("1996-09-01").cast("timestamp")
+    hi = F.lit("1996-10-01").cast("timestamp")
+    part = _t(spark, sf, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").alias("is_promo")
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    vol = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("is_promo"), vol).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("promo_cents"),
+            F.sum(vol).cast("long").alias("total_cents"),
+        )
+        .select(
+            "promo_cents",
+            "total_cents",
+            F.expr("CAST(promo_cents * 10000 DIV total_cents AS BIGINT)").alias(
+                "promo_bp"
+            ),
+        )
+    )
+
+
+def q_tpch_q21_waiting_suppliers(spark, sf):
+    """TPC-H Q21 (suppliers who kept orders waiting): late lines in
+    multi-supplier finalized orders where the line's supplier was the
+    ONLY late one — the EXISTS + NOT-EXISTS SELF-JOIN shape.  (The
+    reference's receiptdate>commitdate lateness maps to
+    l_shipdate > o_orderdate + 60 days on this schema, preserving
+    both correlated subqueries.)  Spark-first form: instead of two
+    self-joins re-executing the lineitem⋈orders subtree three times,
+    ONE orderkey shuffle computes per-order supplier sets as window
+    aggregates over the same partitioning — size(collect_set(supp))
+    for the EXISTS and size(collect_set(late supp)) for the
+    NOT-EXISTS (collect_set skips the CASE's nulls); both correlated
+    subqueries collapse into two columns of the one sorted pass.
+    Per-order state is bounded by the order's distinct-supplier
+    count (7 lines max in TPC-H).  Final count shuffles
+    supplier-cardinality rows; top-25 is TakeOrderedAndProject."""
+    from pyspark.sql.window import Window
+
+    orders = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lines = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    per_order = lines.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late_supp"),
+    )
+    sup = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.filter(
+            F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(25)
+    )
+
+
 def q_funnel_conversion(spark, sf):
     """Ordered funnel (analytics.funnel): signup -> view -> purchase,
     stage i counted from each user's first stage-(i-1) time.  Exact
@@ -2601,6 +2820,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (9 new + 4 staged-r8 + 23 r6-stale + 14 mtail_* = exactly
         # 50; tests/test_entry_contract.py pins the required contents;
         # dataset_split + the r7 singles rotate back next round)
+        # -- tier 4s: STAGED for the round-10 window (added late in round 9,
+        # parity-green locally via tools/check_parity.py; rotate these into
+        # positions 1-4 next round per the NOTES_r9 handoff) ----------------
+        "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q14_promo_share": q_tpch_q14_promo_share,
+        "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
         # -- tier 4a: stalest rows displaced by round-9 additions ------------
         "dataset_split": q_dataset_split,
         "hybrid_search": q_hybrid_search,
@@ -4267,6 +4493,94 @@ _SQL_TPCH_Q22 = """
     GROUP BY 1 ORDER BY 1
 """
 
+_SQL_TPCH_Q7 = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                               * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+_SQL_TPCH_Q8 = """
+    WITH v AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             n1.n_name AS supp_nation,
+             CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                  AS BIGINT) AS vol_cents
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region   ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND p_type LIKE 'ECONOMY%'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                         THEN vol_cents ELSE 0 END) AS BIGINT)
+             AS nation_cents,
+           CAST(sum(vol_cents) AS BIGINT) AS total_cents,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                         THEN vol_cents ELSE 0 END) * 10000
+                // sum(vol_cents) AS BIGINT) AS share_bp
+    FROM v GROUP BY 1 ORDER BY 1
+"""
+
+_SQL_TPCH_Q14 = """
+    SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN
+                    CAST(round(l_extendedprice * (1.0 - l_discount)
+                               * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS promo_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                               * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN
+                    CAST(round(l_extendedprice * (1.0 - l_discount)
+                               * 100) AS BIGINT) ELSE 0 END) * 10000
+                // sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                                  * 100) AS BIGINT)) AS BIGINT)
+             AS promo_bp
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+# the oracle keeps the reference's EXISTS / NOT-EXISTS self-join
+# formulation so it shares no plan shape with the Spark window form
+_SQL_TPCH_Q21 = """
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM l l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY 1 ORDER BY numwait DESC, s_name ASC LIMIT 25
+"""
+
 _SQL_CONVERSION_LAG = """
     WITH t0 AS (
       SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
@@ -4641,6 +4955,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q17_small_qty": _SQL_TPCH_Q17,
         "tpch_q15_top_supplier": _SQL_TPCH_Q15,
         "tpch_q19_disjunctive": _SQL_TPCH_Q19,
+        "tpch_q7_nation_volume": _SQL_TPCH_Q7,
+        "tpch_q8_market_share": _SQL_TPCH_Q8,
+        "tpch_q14_promo_share": _SQL_TPCH_Q14,
+        "tpch_q21_waiting_suppliers": _SQL_TPCH_Q21,
         "conversion_lag_quantiles": _SQL_CONVERSION_LAG,
         "funnel_windowed": _sql_funnel(7 * 86400 * 1_000_000),
         "asof_join_stream": _SQL_ASOF_LAST_TOUCH,

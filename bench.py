@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "tpch_q4_priority",
     "tpch_q13_custdist",
     "tpch_q22_idle_balances",
+    # late round-9 TPC-H spine (two-role dimension join; self-join
+    # collapsed into one corpus-wide orderkey window)
+    "tpch_q7_nation_volume",
+    "tpch_q21_waiting_suppliers",
 ]
 
 
@@ -101,6 +105,10 @@ SF1_QUERIES = [
     # round-9 additions (6M-lineitem HAVING scan; anti-join)
     "tpch_q18_big_orders",
     "tpch_q4_priority",
+    # late round-9 (the corpus-window self-join collapse — the
+    # heaviest new shape: 6M lineitem rows through ONE orderkey
+    # window at sf1)
+    "tpch_q21_waiting_suppliers",
 ]
 
 

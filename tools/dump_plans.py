@@ -278,6 +278,26 @@ SHOW = [
      "disjunctive residual on a broadcast hash join: the common "
      "partkey conjunct is the join key, the OR-of-clause-groups "
      "stays a post-join filter — never a cartesian"),
+    ("tpch_q7_nation_volume",
+     "two-role dimension: nation broadcasts onto supplier AND "
+     "customer, both filter to the 2-nation slice before any fact; "
+     "filtered supplier broadcasts onto the date-pruned lineitem "
+     "scan; ONE orderkey shuffle pair against orders⋈customer"),
+    ("tpch_q8_market_share",
+     "conditional ratio over a five-dim star: every dim chain "
+     "collapses to a broadcast before the single lineitem⋈orders "
+     "orderkey exchange; share computed as integer basis points "
+     "(cents*10000 DIV cents)"),
+    ("tpch_q14_promo_share",
+     "conditional-aggregate ratio: month filter pushed to the scan, "
+     "part broadcast carrying only (partkey, is_promo), one map-side "
+     "combinable aggregate — no exchange wider than the 1-row final "
+     "combine"),
+    ("tpch_q21_waiting_suppliers",
+     "EXISTS + NOT-EXISTS self-join collapsed into window aggregates "
+     "over ONE orderkey shuffle: size(collect_set(supp)) and "
+     "size(collect_set(late-supp)) replace both correlated "
+     "subqueries; supplier broadcast; TakeOrderedAndProject top-25"),
 ]
 
 INTERESTING = re.compile(
