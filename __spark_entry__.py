@@ -2261,6 +2261,30 @@ def q_tpch_q21_waiting_suppliers(spark, sf):
     )
 
 
+def q_zorder_layout(spark, sf):
+    """Z-order (Morton) layout keys over events(user_id, ts) — the
+    Delta/Iceberg OPTIMIZE ZORDER BY primitive for min/max file
+    skipping on multiple filter columns at once
+    (operators/layout.py).  Per-row 32-bit Morton key from two 16-bit
+    divide-first integer ranks (epoch MICROS for the time dimension —
+    a raw timestamp→long cast truncates differently across engines)
+    plus the contiguous 64-way bucket id that a
+    repartitionByRange-based layout write would target.  Plan: one
+    1-row envelope aggregate broadcast back, then pure
+    WholeStageCodegen bit math — no corpus shuffle, no Python."""
+    from mtail_spark.operators.layout import zorder_key
+
+    # events.ts arrives as TIMESTAMP_NTZ; session tz is pinned UTC, so
+    # the cast to TIMESTAMP (which unix_micros requires) is deterministic
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.col("user_id").cast("long").alias("uid"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    out = zorder_key(ev, ["uid", "ts_us"], bits=16, n_buckets=64)
+    return out.select("event_id", "zkey", "zbucket")
+
+
 def q_funnel_conversion(spark, sf):
     """Ordered funnel (analytics.funnel): signup -> view -> purchase,
     stage i counted from each user's first stage-(i-1) time.  Exact
@@ -2827,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8_market_share": q_tpch_q8_market_share,
         "tpch_q14_promo_share": q_tpch_q14_promo_share,
         "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
+        "zorder_layout": q_zorder_layout,
         # -- tier 4a: stalest rows displaced by round-9 additions ------------
         "dataset_split": q_dataset_split,
         "hybrid_search": q_hybrid_search,
@@ -4559,6 +4584,40 @@ _SQL_TPCH_Q14 = """
       AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
 """
 
+def _zorder_oracle_sql() -> str:
+    """DuckDB oracle for q_zorder_layout: identical divide-first rank
+    + Morton interleave formula (layout.interleave_sql keeps the two
+    engines' bit expressions literally shared)."""
+    from mtail_spark.operators.layout import interleave_sql
+
+    z = interleave_sql(["r0", "r1"], 16)
+    return f"""
+    WITH base AS (
+      SELECT event_id, CAST(user_id AS BIGINT) AS uid,
+             epoch_us(ts) AS ts_us
+      FROM events
+    ), env AS (
+      SELECT min(uid) AS umin, max(uid) AS umax,
+             min(ts_us) AS tmin, max(ts_us) AS tmax
+      FROM base
+    ), r AS (
+      SELECT event_id,
+             LEAST(CAST(65535 AS BIGINT), (uid - umin) //
+               GREATEST(CAST(1 AS BIGINT), (umax - umin) // 65535))
+               AS r0,
+             LEAST(CAST(65535 AS BIGINT), (ts_us - tmin) //
+               GREATEST(CAST(1 AS BIGINT), (tmax - tmin) // 65535))
+               AS r1
+      FROM base, env
+    )
+    SELECT event_id, zkey,
+           CAST(zkey * 64 // 4294967296 AS BIGINT) AS zbucket
+    FROM (SELECT event_id, CAST({z} AS BIGINT) AS zkey FROM r)
+    """
+
+
+_SQL_ZORDER = _zorder_oracle_sql()
+
 # the oracle keeps the reference's EXISTS / NOT-EXISTS self-join
 # formulation so it shares no plan shape with the Spark window form
 _SQL_TPCH_Q21 = """
@@ -4959,6 +5018,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q8_market_share": _SQL_TPCH_Q8,
         "tpch_q14_promo_share": _SQL_TPCH_Q14,
         "tpch_q21_waiting_suppliers": _SQL_TPCH_Q21,
+        "zorder_layout": _SQL_ZORDER,
         "conversion_lag_quantiles": _SQL_CONVERSION_LAG,
         "funnel_windowed": _sql_funnel(7 * 86400 * 1_000_000),
         "asof_join_stream": _SQL_ASOF_LAST_TOUCH,

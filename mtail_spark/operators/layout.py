@@ -1,0 +1,132 @@
+"""Locality-preserving data layout: Z-order (Morton) clustering keys.
+
+At 100 TB the dominant cost of most queries is the scan, and the
+dominant scan saving is file skipping on min/max column statistics.
+Min/max skipping only works when files are CLUSTERED on the filter
+columns; sorting on one column destroys locality on every other.  A
+Z-order key interleaves the bits of several columns so that rows close
+in ANY of the dimensions land close in the one-dimensional sort order
+— writing `df.repartitionByRange("zkey").sortWithinPartitions("zkey")`
+then gives every layout file a tight min/max envelope on ALL the
+clustered dimensions at once (the technique behind Delta/Iceberg
+`OPTIMIZE ZORDER BY`; publicly described in the Delta OPTIMIZE docs
+and the Iceberg spec).
+
+Spark-first design: the whole computation is a compile-time-unrolled
+Catalyst expression tree —
+
+  1. one tiny map-side-combinable aggregate computes each dimension's
+     (min, max) envelope and broadcasts it back (a 1-row cross join);
+  2. each dimension normalizes to a ``bits``-wide integer rank with
+     pure integer arithmetic, DIVIDE-FIRST so a wide envelope (e.g.
+     epoch micros spanning decades) never overflows a long under
+     ANSI mode: ``least(top, (v - min) DIV greatest(1, span DIV
+     top))`` — exact, engine-portable, no floats;
+  3. the Morton key ORs together ``(rank_d >> i & 1) << (i*D + d)``
+     for every bit i and dimension d — 2·bits·D shift/mask nodes,
+     all inside WholeStageCodegen, zero Python, zero shuffle;
+  4. a contiguous bucket id ``zkey * n_buckets DIV 2^(bits*D)``
+     assigns rows to layout files (the repartitionByRange target).
+
+No reference analogue: the reference engine (google/mtail) streams
+logs and never lays out columnar data; this operator exists for the
+100 TB training-data-pipeline north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def interleave_bits(ranks: list[Column], bits: int) -> Column:
+    """OR together the bit-spread of each rank column.
+
+    Bit i of dimension d lands at output position ``i * D + d`` —
+    the canonical Morton layout (dimension 0 owns the least
+    significant bit).  Unrolled at plan-build time; evaluates as one
+    codegen'd long expression per row.
+    """
+    ndim = len(ranks)
+    out = F.lit(0).cast("long")
+    for d, r in enumerate(ranks):
+        for i in range(bits):
+            out = out.bitwiseOR(
+                F.shiftleft(F.shiftright(r, i).bitwiseAND(F.lit(1)), i * ndim + d)
+            )
+    return out
+
+
+def interleave_sql(rank_names: list[str], bits: int) -> str:
+    """The same Morton interleave as ANSI SQL over pre-computed rank
+    columns — shared by the DuckDB oracle so both engines evaluate
+    one formula (DuckDB and Spark SQL agree on & | << >> for BIGINT)."""
+    ndim = len(rank_names)
+    terms = [
+        f"((({r} >> {i}) & 1) << {i * ndim + d})"
+        for d, r in enumerate(rank_names)
+        for i in range(bits)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    n_buckets: int = 64,
+    key_col: str = "zkey",
+    bucket_col: str = "zbucket",
+) -> DataFrame:
+    """Append a Z-order key and a contiguous bucket id over ``cols``.
+
+    ``cols`` must already be integral (cast timestamps to epoch
+    micros first — a raw timestamp→long cast truncates differently
+    across engines).  ``bits * len(cols)`` must fit a long (<= 62).
+    The bucket id splits the z-range into ``n_buckets`` contiguous
+    spans — the natural ``repartitionByRange`` / file-split target.
+
+    Deterministic: the envelope comes from the data itself, so the
+    same frame always produces the same keys.  Growth caveat: a new
+    increment with a wider envelope re-ranks; for incremental layout
+    pin the envelope explicitly like any production table property.
+    """
+    ndim = len(cols)
+    if ndim < 2:
+        raise ValueError("zorder_key needs >= 2 columns")
+    if bits * ndim > 62:
+        raise ValueError(f"bits*ndim = {bits * ndim} overflows a long")
+    for c in cols:
+        kind = dict(df.dtypes)[c]
+        if kind not in ("int", "bigint", "smallint", "tinyint"):
+            raise ValueError(f"zorder column {c} must be integral, got {kind}")
+
+    env = df.agg(
+        *[
+            a
+            for c in cols
+            for a in (
+                F.min(F.col(c).cast("long")).alias(f"__min_{c}"),
+                F.max(F.col(c).cast("long")).alias(f"__max_{c}"),
+            )
+        ]
+    )
+    top = (1 << bits) - 1
+    # divide-first: (v-min) DIV bucket_width, clamped to the top rank.
+    # The multiply-first form ((v-min) * top DIV span) is the textbook
+    # normalization but overflows int64 for spans > 2^63/top — real
+    # for epoch-microsecond columns — and Spark 4 ANSI mode turns that
+    # overflow into a query error.
+    ranks = [
+        F.expr(
+            f"LEAST(CAST({top} AS BIGINT), "
+            f"(CAST({c} AS BIGINT) - __min_{c}) DIV "
+            f"GREATEST(CAST(1 AS BIGINT), (__max_{c} - __min_{c}) DIV {top}))"
+        )
+        for c in cols
+    ]
+    zspace = 1 << (bits * ndim)
+    return (
+        df.crossJoin(F.broadcast(env))
+        .select(*df.columns, interleave_bits(ranks, bits).alias(key_col))
+        .withColumn(bucket_col, F.expr(f"{key_col} * {n_buckets} DIV {zspace}"))
+    )

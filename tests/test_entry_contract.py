@@ -47,6 +47,7 @@ STAGED_FOR_NEXT_WINDOW = {
     "tpch_q8_market_share",
     "tpch_q14_promo_share",
     "tpch_q21_waiting_suppliers",
+    "zorder_layout",
 }
 
 

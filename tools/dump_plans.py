@@ -298,6 +298,12 @@ SHOW = [
      "over ONE orderkey shuffle: size(collect_set(supp)) and "
      "size(collect_set(late-supp)) replace both correlated "
      "subqueries; supplier broadcast; TakeOrderedAndProject top-25"),
+    ("zorder_layout",
+     "Z-order layout keys: one 1-row envelope aggregate broadcast "
+     "back, then the Morton interleave as pure WholeStageCodegen bit "
+     "math — the corpus never hits an exchange; divide-first integer "
+     "ranks so decade-wide epoch-micros envelopes can't overflow "
+     "under ANSI mode"),
 ]
 
 INTERESTING = re.compile(
