@@ -2162,9 +2162,13 @@ def q_tpch_q8_market_share(spark, sf):
             "o_year",
             "nation_cents",
             "total_cents",
-            F.expr("CAST(nation_cents * 10000 DIV total_cents AS BIGINT)").alias(
-                "share_bp"
-            ),
+            # NULL (not an ANSI divide-by-zero error) when a group's
+            # revenue rounds to zero cents — same convention as funnel's
+            # conv_permille; mirrored in the oracle
+            F.expr(
+                "CASE WHEN total_cents > 0 THEN "
+                "CAST(nation_cents * 10000 DIV total_cents AS BIGINT) END"
+            ).alias("share_bp"),
         )
         .orderBy("o_year")
     )
@@ -2200,9 +2204,12 @@ def q_tpch_q14_promo_share(spark, sf):
         .select(
             "promo_cents",
             "total_cents",
-            F.expr("CAST(promo_cents * 10000 DIV total_cents AS BIGINT)").alias(
-                "promo_bp"
-            ),
+            # NULL when the month's revenue rounds to zero cents (or no
+            # rows match at all) — never an ANSI divide-by-zero error
+            F.expr(
+                "CASE WHEN total_cents > 0 THEN "
+                "CAST(promo_cents * 10000 DIV total_cents AS BIGINT) END"
+            ).alias("promo_bp"),
         )
     )
 
@@ -2283,6 +2290,65 @@ def q_zorder_layout(spark, sf):
     )
     out = zorder_key(ev, ["uid", "ts_us"], bits=16, n_buckets=64)
     return out.select("event_id", "zkey", "zbucket")
+
+
+# the uid-range predicate whose skip ratio zorder_skipping_stats
+# measures; shared by the Spark query and the DuckDB oracle
+_ZSKIP_LO, _ZSKIP_HI = 100, 200
+
+
+def q_zorder_skipping_stats(spark, sf):
+    """What the Z-order layout BUYS: per-bucket min/max envelopes (the
+    statistics a parquet/Iceberg file footer would carry after a
+    repartitionByRange(zbucket) write) and the exact skip ratio a
+    uid-range predicate achieves against them.  A file can be skipped
+    iff its envelope misses [lo, hi]; because the Morton key preserves
+    uid locality, most buckets' uid envelopes are tight and the scan
+    touches a small fraction of rows.  One row out: total/scanned
+    bucket counts, rows scanned vs rows actually matching, and the
+    scanned-row fraction in permille — all exact integers.  Plan: the
+    zorder computation (envelope broadcast + codegen bit math), ONE
+    zbucket-keyed aggregate, then a bucket-cardinality (<=64 rows)
+    summary."""
+    from mtail_spark.operators.layout import zorder_key
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.col("user_id").cast("long").alias("uid"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    z = zorder_key(ev, ["uid", "ts_us"], bits=16, n_buckets=64)
+    lo, hi = _ZSKIP_LO, _ZSKIP_HI
+    per_bucket = z.groupBy("zbucket").agg(
+        F.min("uid").alias("uid_min"),
+        F.max("uid").alias("uid_max"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.when((F.col("uid") >= lo) & (F.col("uid") <= hi), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_match"),
+    )
+    scanned = (F.col("uid_min") <= hi) & (F.col("uid_max") >= lo)
+    return per_bucket.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.when(scanned, 1).otherwise(0)).cast("long").alias("n_scanned"),
+        F.sum(F.when(scanned, F.col("n_rows")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_scanned"),
+        F.sum("n_match").cast("long").alias("rows_matching"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+    ).select(
+        "n_buckets",
+        "n_scanned",
+        "rows_scanned",
+        "rows_matching",
+        "rows_total",
+        F.expr(
+            "CASE WHEN rows_total > 0 THEN "
+            "CAST(rows_scanned * 1000 DIV rows_total AS BIGINT) END"
+        ).alias("scanned_permille"),
+    )
 
 
 def q_funnel_conversion(spark, sf):
@@ -2852,6 +2918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14_promo_share": q_tpch_q14_promo_share,
         "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
         "zorder_layout": q_zorder_layout,
+        "zorder_skipping_stats": q_zorder_skipping_stats,
         # -- tier 4a: stalest rows displaced by round-9 additions ------------
         "dataset_split": q_dataset_split,
         "hybrid_search": q_hybrid_search,
@@ -4559,9 +4626,10 @@ _SQL_TPCH_Q8 = """
                          THEN vol_cents ELSE 0 END) AS BIGINT)
              AS nation_cents,
            CAST(sum(vol_cents) AS BIGINT) AS total_cents,
-           CAST(sum(CASE WHEN supp_nation = 'NATION_5'
-                         THEN vol_cents ELSE 0 END) * 10000
-                // sum(vol_cents) AS BIGINT) AS share_bp
+           CASE WHEN sum(vol_cents) > 0 THEN
+             CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                           THEN vol_cents ELSE 0 END) * 10000
+                  // sum(vol_cents) AS BIGINT) END AS share_bp
     FROM v GROUP BY 1 ORDER BY 1
 """
 
@@ -4573,11 +4641,13 @@ _SQL_TPCH_Q14 = """
            CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
                                * 100) AS BIGINT)) AS BIGINT)
              AS total_cents,
-           CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN
-                    CAST(round(l_extendedprice * (1.0 - l_discount)
-                               * 100) AS BIGINT) ELSE 0 END) * 10000
-                // sum(CAST(round(l_extendedprice * (1.0 - l_discount)
-                                  * 100) AS BIGINT)) AS BIGINT)
+           CASE WHEN sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                                    * 100) AS BIGINT)) > 0 THEN
+             CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN
+                      CAST(round(l_extendedprice * (1.0 - l_discount)
+                                 * 100) AS BIGINT) ELSE 0 END) * 10000
+                  // sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                                    * 100) AS BIGINT)) AS BIGINT) END
              AS promo_bp
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
@@ -4585,12 +4655,15 @@ _SQL_TPCH_Q14 = """
 """
 
 def _zorder_oracle_sql() -> str:
-    """DuckDB oracle for q_zorder_layout: identical divide-first rank
-    + Morton interleave formula (layout.interleave_sql keeps the two
-    engines' bit expressions literally shared)."""
-    from mtail_spark.operators.layout import interleave_sql
+    """DuckDB oracle for q_zorder_layout: identical two-branch rank +
+    Morton interleave formulas (layout.rank_sql / interleave_sql keep
+    the two engines' expressions literally shared; only the
+    integer-division token differs)."""
+    from mtail_spark.operators.layout import interleave_sql, rank_sql
 
     z = interleave_sql(["r0", "r1"], 16)
+    r0 = rank_sql("uid", "umin", "umax", 16, "//")
+    r1 = rank_sql("ts_us", "tmin", "tmax", 16, "//")
     return f"""
     WITH base AS (
       SELECT event_id, CAST(user_id AS BIGINT) AS uid,
@@ -4601,13 +4674,7 @@ def _zorder_oracle_sql() -> str:
              min(ts_us) AS tmin, max(ts_us) AS tmax
       FROM base
     ), r AS (
-      SELECT event_id,
-             LEAST(CAST(65535 AS BIGINT), (uid - umin) //
-               GREATEST(CAST(1 AS BIGINT), (umax - umin) // 65535))
-               AS r0,
-             LEAST(CAST(65535 AS BIGINT), (ts_us - tmin) //
-               GREATEST(CAST(1 AS BIGINT), (tmax - tmin) // 65535))
-               AS r1
+      SELECT event_id, {r0} AS r0, {r1} AS r1
       FROM base, env
     )
     SELECT event_id, zkey,
@@ -4617,6 +4684,58 @@ def _zorder_oracle_sql() -> str:
 
 
 _SQL_ZORDER = _zorder_oracle_sql()
+
+
+def _zorder_skipping_oracle_sql() -> str:
+    """Oracle for q_zorder_skipping_stats: the zorder pipeline inlined
+    with uid carried through (joining the zorder oracle back on
+    event_id would silently double rows if a generator ever produced
+    duplicate event ids), then the same bucket-envelope / skip
+    arithmetic in SQL."""
+    from mtail_spark.operators.layout import interleave_sql, rank_sql
+
+    z = interleave_sql(["r0", "r1"], 16)
+    r0 = rank_sql("uid", "umin", "umax", 16, "//")
+    r1 = rank_sql("ts_us", "tmin", "tmax", 16, "//")
+    lo, hi = _ZSKIP_LO, _ZSKIP_HI
+    return f"""
+    WITH b0 AS (
+      SELECT CAST(user_id AS BIGINT) AS uid, epoch_us(ts) AS ts_us
+      FROM events
+    ), env AS (
+      SELECT min(uid) AS umin, max(uid) AS umax,
+             min(ts_us) AS tmin, max(ts_us) AS tmax
+      FROM b0
+    ), r AS (
+      SELECT uid, {r0} AS r0, {r1} AS r1
+      FROM b0, env
+    ), base AS (
+      SELECT uid, CAST({z} AS BIGINT) * 64 // 4294967296 AS zbucket
+      FROM r
+    ), pb AS (
+      SELECT zbucket, min(uid) AS uid_min, max(uid) AS uid_max,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN uid BETWEEN {lo} AND {hi}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      FROM base GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN uid_min <= {hi} AND uid_max >= {lo}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+           CAST(sum(CASE WHEN uid_min <= {hi} AND uid_max >= {lo}
+                         THEN n_rows ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           CAST(sum(n_match) AS BIGINT) AS rows_matching,
+           CAST(sum(n_rows) AS BIGINT) AS rows_total,
+           CASE WHEN sum(n_rows) > 0 THEN
+             CAST(sum(CASE WHEN uid_min <= {hi} AND uid_max >= {lo}
+                           THEN n_rows ELSE 0 END) * 1000
+                  // sum(n_rows) AS BIGINT) END AS scanned_permille
+    FROM pb
+    """
+
+
+_SQL_ZORDER_SKIP = _zorder_skipping_oracle_sql()
 
 # the oracle keeps the reference's EXISTS / NOT-EXISTS self-join
 # formulation so it shares no plan shape with the Spark window form
@@ -5019,6 +5138,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q14_promo_share": _SQL_TPCH_Q14,
         "tpch_q21_waiting_suppliers": _SQL_TPCH_Q21,
         "zorder_layout": _SQL_ZORDER,
+        "zorder_skipping_stats": _SQL_ZORDER_SKIP,
         "conversion_lag_quantiles": _SQL_CONVERSION_LAG,
         "funnel_windowed": _sql_funnel(7 * 86400 * 1_000_000),
         "asof_join_stream": _SQL_ASOF_LAST_TOUCH,

@@ -70,9 +70,11 @@ BENCH_QUERIES = [
     "tpch_q13_custdist",
     "tpch_q22_idle_balances",
     # late round-9 TPC-H spine (two-role dimension join; self-join
-    # collapsed into one corpus-wide orderkey window)
+    # collapsed into one corpus-wide orderkey window) + the zorder
+    # layout-key computation (envelope broadcast + pure codegen)
     "tpch_q7_nation_volume",
     "tpch_q21_waiting_suppliers",
+    "zorder_layout",
 ]
 
 

@@ -18,10 +18,13 @@ Catalyst expression tree —
   1. one tiny map-side-combinable aggregate computes each dimension's
      (min, max) envelope and broadcasts it back (a 1-row cross join);
   2. each dimension normalizes to a ``bits``-wide integer rank with
-     pure integer arithmetic, DIVIDE-FIRST so a wide envelope (e.g.
-     epoch micros spanning decades) never overflows a long under
-     ANSI mode: ``least(top, (v - min) DIV greatest(1, span DIV
-     top))`` — exact, engine-portable, no floats;
+     pure integer arithmetic and TWO overflow-free branches: a narrow
+     span (<= top) STRETCHES by an integer multiplier ``(v - min) *
+     (top DIV span)`` so small domains (300 user ids) still fill the
+     high rank bits that drive bucketing, and a wide span (epoch
+     micros across decades — where the textbook multiply-first form
+     overflows int64 and ANSI mode turns that into a query error)
+     divides first: ``least(top, (v - min) DIV (span DIV top))``;
   3. the Morton key ORs together ``(rank_d >> i & 1) << (i*D + d)``
      for every bit i and dimension d — 2·bits·D shift/mask nodes,
      all inside WholeStageCodegen, zero Python, zero shuffle;
@@ -54,6 +57,29 @@ def interleave_bits(ranks: list[Column], bits: int) -> Column:
                 F.shiftleft(F.shiftright(r, i).bitwiseAND(F.lit(1)), i * ndim + d)
             )
     return out
+
+
+def rank_sql(v: str, vmin: str, vmax: str, bits: int, div: str) -> str:
+    """The portable bits-wide integer-rank expression over BIGINT
+    column/alias names — ONE source of truth rendered for either
+    engine (``div='DIV'`` for Spark SQL, ``div='//'`` for DuckDB).
+
+    Narrow branch (span <= top): (v-min) * (top DIV span) stretches a
+    small domain across the rank space; product <= span*(top/span) <=
+    top, no overflow.  Wide branch: divide-first with a top clamp —
+    the multiply-first normalization overflows int64 for spans >
+    2^63/top (real for epoch-microsecond columns) and Spark 4 ANSI
+    mode turns that overflow into a query error.
+    """
+    top = (1 << bits) - 1
+    span = f"({vmax} - {vmin})"
+    one = "CAST(1 AS BIGINT)"
+    narrow = f"({v} - {vmin}) * ({top} {div} GREATEST({one}, {span}))"
+    wide = (
+        f"LEAST(CAST({top} AS BIGINT), "
+        f"({v} - {vmin}) {div} ({span} {div} {top}))"
+    )
+    return f"(CASE WHEN {span} <= {top} THEN {narrow} ELSE {wide} END)"
 
 
 def interleave_sql(rank_names: list[str], bits: int) -> str:
@@ -110,17 +136,11 @@ def zorder_key(
             )
         ]
     )
-    top = (1 << bits) - 1
-    # divide-first: (v-min) DIV bucket_width, clamped to the top rank.
-    # The multiply-first form ((v-min) * top DIV span) is the textbook
-    # normalization but overflows int64 for spans > 2^63/top — real
-    # for epoch-microsecond columns — and Spark 4 ANSI mode turns that
-    # overflow into a query error.
     ranks = [
         F.expr(
-            f"LEAST(CAST({top} AS BIGINT), "
-            f"(CAST({c} AS BIGINT) - __min_{c}) DIV "
-            f"GREATEST(CAST(1 AS BIGINT), (__max_{c} - __min_{c}) DIV {top}))"
+            rank_sql(
+                f"CAST({c} AS BIGINT)", f"__min_{c}", f"__max_{c}", bits, "DIV"
+            )
         )
         for c in cols
     ]

@@ -48,6 +48,7 @@ STAGED_FOR_NEXT_WINDOW = {
     "tpch_q14_promo_share",
     "tpch_q21_waiting_suppliers",
     "zorder_layout",
+    "zorder_skipping_stats",
 }
 
 

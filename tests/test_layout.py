@@ -69,8 +69,10 @@ def test_zorder_constant_column(spark):
     # span 0 -> every rank 0 on that dimension; no divide-by-zero
     df = spark.createDataFrame([(i, 7, i) for i in range(10)], "id long, a long, b long")
     out = zorder_key(df, ["a", "b"], bits=4, n_buckets=4).collect()
-    assert all(r["zkey"] == out[0]["zkey"] or True for r in out)
     assert len(out) == 10
+    # dimension 0 (constant) ranks 0 everywhere, so it contributes no
+    # bits: every even position (0b01010101 for D=2, bits=4) stays 0
+    assert all(r["zkey"] & 0x55 == 0 for r in out)
 
 
 def test_zorder_rejects_bad_args(spark):

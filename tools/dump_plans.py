@@ -301,9 +301,15 @@ SHOW = [
     ("zorder_layout",
      "Z-order layout keys: one 1-row envelope aggregate broadcast "
      "back, then the Morton interleave as pure WholeStageCodegen bit "
-     "math — the corpus never hits an exchange; divide-first integer "
-     "ranks so decade-wide epoch-micros envelopes can't overflow "
-     "under ANSI mode"),
+     "math — the corpus never hits an exchange; two-branch integer "
+     "ranks (stretch narrow domains, divide-first on wide ones so "
+     "epoch-micros envelopes can't overflow under ANSI mode)"),
+    ("zorder_skipping_stats",
+     "what the layout buys: per-zbucket min/max envelopes (the "
+     "file-footer statistics a repartitionByRange write would "
+     "produce) + the exact skip ratio of a uid-range predicate — "
+     "one bucket-keyed aggregate over the zorder plan, then a "
+     "<=64-row summary"),
 ]
 
 INTERESTING = re.compile(

@@ -213,6 +213,18 @@ def gen_tables(seed: int, outdir: str) -> None:
                            for _ in range(npart)]}
     ).astype({"p_size": "int32"}).to_parquet(
         f"{outdir}/part.parquet", index=False)
+    # half the order/line dates land inside the TPC-H query windows
+    # (1996-1997): with the original all-2024 dates every fixed-date
+    # TPC-H predicate (Q4 quarter, Q6/Q15 quarters, Q7 two-year span,
+    # Q10 quarter, Q14 month, Q22 recency) selected ZERO rows, so fuzz
+    # exercised those queries only on the empty path.
+    tpch_base = pd.Timestamp("1996-01-01")
+
+    def _mixed_date(rng_days: int):
+        if rnd.random() < 0.5:
+            return tpch_base + pd.Timedelta(days=rnd.randrange(0, 730))
+        return base + pd.Timedelta(days=rnd.randrange(0, rng_days))
+
     nord = 400
     pd.DataFrame(
         {"o_orderkey": range(1, nord + 1),
@@ -220,12 +232,20 @@ def gen_tables(seed: int, outdir: str) -> None:
          "o_orderstatus": [rnd.choice(["O", "F", "P"]) for _ in range(nord)],
          "o_totalprice": [round(rnd.uniform(0, 300000), 2)
                           for _ in range(nord)],
-         "o_orderdate": [base + pd.Timedelta(days=rnd.randrange(0, 365))
-                         for _ in range(nord)],
+         "o_orderdate": [_mixed_date(365) for _ in range(nord)],
          "o_orderpriority": [rnd.choice(["1-URGENT", "2-HIGH", "3-MEDIUM"])
                              for _ in range(nord)]}
     ).to_parquet(f"{outdir}/orders.parquet", index=False)
     nli = 1500
+    ship = [_mixed_date(400) for _ in range(nli)]
+    # planted hazard: September 1996 (tpch_q14's month) carries rows
+    # whose revenue rounds to ZERO cents — a ratio computed as
+    # num DIV den must yield NULL, never an ANSI divide-by-zero error
+    price = [
+        0.0 if (d.year == 1996 and d.month == 9)
+        else round(rnd.uniform(0, 90000), 2)
+        for d in ship
+    ]
     pd.DataFrame(
         {"l_orderkey": [rnd.randrange(1, nord + 1) for _ in range(nli)],
          "l_partkey": [rnd.randrange(1, npart + 1) for _ in range(nli)],
@@ -233,16 +253,14 @@ def gen_tables(seed: int, outdir: str) -> None:
          "l_linenumber": [rnd.randrange(1, 8) for _ in range(nli)],
          "l_quantity": [float(rnd.choice([0, 1, 25, 50]))
                         for _ in range(nli)],
-         "l_extendedprice": [round(rnd.uniform(0, 90000), 2)
-                             for _ in range(nli)],
+         "l_extendedprice": price,
          "l_discount": [round(rnd.choice([0.0, 0.05, 0.1]), 2)
                         for _ in range(nli)],
          "l_tax": [round(rnd.choice([0.0, 0.04, 0.08]), 2)
                    for _ in range(nli)],
          "l_returnflag": [rnd.choice(["A", "N", "R"]) for _ in range(nli)],
          "l_linestatus": [rnd.choice(["O", "F"]) for _ in range(nli)],
-         "l_shipdate": [base + pd.Timedelta(days=rnd.randrange(0, 400))
-                        for _ in range(nli)]}
+         "l_shipdate": ship}
     ).astype({"l_linenumber": "int32"}).to_parquet(
         f"{outdir}/lineitem.parquet", index=False)
 
