@@ -1337,6 +1337,29 @@ def q_hll_distinct(spark, sf):
     return est.crossJoin(true)
 
 
+def q_hll_distinct_by_type(spark, sf):
+    """Per-group HyperLogLog (sketch.hll_registers_by/estimate_by):
+    distinct users PER EVENT TYPE with m=256 integers of state per
+    group — the "distinct users per day/type/source" shape whose
+    exact form shuffles every distinct pair at 100 TB while the
+    sketch shuffles <= m rows per group.  true_distinct rides along
+    per group (broadcast-joined back; group cardinality is the
+    event-type domain)."""
+    import mtail_spark.operators.sketch as SK
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid_s")
+    )
+    est = SK.hll_estimate_by(
+        SK.hll_registers_by(ev, "event_type", key_col="uid_s"),
+        "event_type",
+    )
+    true = ev.groupBy("event_type").agg(
+        F.countDistinct("uid_s").cast("long").alias("true_distinct")
+    )
+    return est.join(F.broadcast(true), "event_type").orderBy("event_type")
+
+
 def q_bloom_membership(spark, sf):
     """Bloom-filter membership (operators/sketch.py): build an
     m-bit-bounded filter over the base shard's text fingerprints
@@ -2919,6 +2942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
         "zorder_layout": q_zorder_layout,
         "zorder_skipping_stats": q_zorder_skipping_stats,
+        "hll_distinct_by_type": q_hll_distinct_by_type,
         # -- tier 4a: stalest rows displaced by round-9 additions ------------
         "dataset_split": q_dataset_split,
         "hybrid_search": q_hybrid_search,
@@ -4100,6 +4124,61 @@ def _sql_hll_distinct() -> str:
     """
 
 
+def _sql_hll_distinct_by_type() -> str:
+    """DuckDB mirror of the per-group HLL: same lanes, same generated
+    rho comparison tree, same integer harmonic sum — GROUP BY added
+    at both the register and estimate levels."""
+    import mtail_spark.operators.sketch as SK
+
+    m, cap = SK.HLL_BUCKETS, SK.HLL_CAP
+    alpha = 0.7213 / (1 + 1.079 / m)
+    k = float(alpha * m * m * (1 << cap))
+    rho_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN w >= {1 << (48 - r)} THEN {r}"
+            for r in range(1, cap)
+        )
+        + f" ELSE {cap} END"
+    )
+    return f"""
+        WITH tok AS (
+          SELECT event_type, CAST(user_id AS VARCHAR) AS uid_s
+          FROM events
+        ), br AS (
+          SELECT event_type,
+                 CAST(concat('0x', substr(md5(concat('hll-', uid_s)),
+                   1, 8)) AS BIGINT) % {m} AS bucket,
+                 CAST(concat('0x', substr(md5(concat('hll-', uid_s)),
+                   9, 12)) AS BIGINT) AS w
+          FROM tok
+        ), rr AS (
+          SELECT event_type, bucket, max({rho_case}) AS reg
+          FROM br GROUP BY 1, 2
+        ), a AS (
+          SELECT event_type, count(*) AS n_regs,
+                 CAST(sum(CAST(1 AS BIGINT) << ({cap} - reg))
+                      AS BIGINT) AS s_present
+          FROM rr GROUP BY 1
+        )
+        SELECT a.event_type,
+               CAST(n_regs AS BIGINT) AS n_regs,
+               CAST(s_present + ({m} - n_regs)
+                    * (CAST(1 AS BIGINT) << {cap}) AS BIGINT)
+                 AS sum_scaled,
+               CAST(round({k!r} / CAST(s_present + ({m} - n_regs)
+                    * (CAST(1 AS BIGINT) << {cap}) AS DOUBLE))
+                    AS BIGINT) AS est_distinct,
+               t.true_distinct
+        FROM a JOIN (
+          SELECT event_type,
+                 CAST(count(DISTINCT uid_s) AS BIGINT) AS true_distinct
+          FROM tok GROUP BY 1
+        ) t USING (event_type)
+        ORDER BY a.event_type
+    """
+
+
 _SQL_RATE_ANOMALIES = """
     -- widx is FLOOR division (pmod-adjusted: // truncates toward zero
     -- in DuckDB), matching both the batch operator and the floor-aligned
@@ -5139,6 +5218,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q21_waiting_suppliers": _SQL_TPCH_Q21,
         "zorder_layout": _SQL_ZORDER,
         "zorder_skipping_stats": _SQL_ZORDER_SKIP,
+        "hll_distinct_by_type": _sql_hll_distinct_by_type(),
         "conversion_lag_quantiles": _SQL_CONVERSION_LAG,
         "funnel_windowed": _sql_funnel(7 * 86400 * 1_000_000),
         "asof_join_stream": _SQL_ASOF_LAST_TOUCH,

@@ -151,6 +151,66 @@ def hll_registers(
     )
 
 
+def hll_registers_by(
+    keys: DataFrame,
+    group_col: str,
+    key_col: str = "term",
+    m: int = HLL_BUCKETS,
+) -> DataFrame:
+    """Per-group HLL registers: the grouped form of hll_registers —
+    state is m integers PER GROUP VALUE regardless of per-group key
+    cardinality (the "distinct users per day/type/source at 100 TB"
+    shape: the exact count_distinct shuffles every distinct pair;
+    this shuffles at most m rows per group).  Same md5 lanes, same
+    integer rho comparison tree."""
+    h = F.md5(F.concat(F.lit("hll-"), F.col(key_col)))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m
+    w = F.conv(F.substring(h, 9, 12), 16, 10).cast("long")
+    rho = F.lit(HLL_CAP)
+    for r in range(HLL_CAP - 1, 0, -1):
+        rho = F.when(w >= (1 << (48 - r)), F.lit(r)).otherwise(rho)
+    return (
+        keys.select(
+            F.col(group_col),
+            bucket.alias("bucket"),
+            rho.cast("long").alias("rho"),
+        )
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").cast("long").alias("reg"))
+    )
+
+
+def hll_estimate_by(
+    regs: DataFrame, group_col: str, m: int = HLL_BUCKETS
+) -> DataFrame:
+    """Per-group raw HLL estimate over a hll_registers_by table —
+    identical exact-integer harmonic sum and single-double-literal
+    numerator as hll_estimate, grouped."""
+    alpha = 0.7213 / (1 + 1.079 / m)
+    k = float(alpha * m * m * (1 << HLL_CAP))
+    agg = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"{HLL_CAP} - CAST(reg AS INT))"
+            )
+        ).alias("s_present"),
+    )
+    s_total = (
+        F.col("s_present")
+        + (F.lit(m) - F.col("n_regs")) * F.lit(1 << HLL_CAP)
+    ).cast("long")
+    return agg.select(
+        F.col(group_col),
+        F.col("n_regs").cast("long").alias("n_regs"),
+        s_total.alias("sum_scaled"),
+        F.round(F.lit(k) / s_total.cast("double"))
+        .cast("long")
+        .alias("est_distinct"),
+    )
+
+
 def hll_estimate(regs: DataFrame, m: int = HLL_BUCKETS) -> DataFrame:
     """Raw HLL harmonic-mean estimate from the register table, in
     EXACT integer arithmetic until one final double division: each

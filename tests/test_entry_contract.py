@@ -49,6 +49,7 @@ STAGED_FOR_NEXT_WINDOW = {
     "tpch_q21_waiting_suppliers",
     "zorder_layout",
     "zorder_skipping_stats",
+    "hll_distinct_by_type",
 }
 
 

@@ -241,3 +241,26 @@ def test_bloom_probe_tolerates_duplicate_probe_rows(spark):
     out = {r.doc_id: r.bloom_hit
            for r in SK.bloom_probe(bits, probes, "key", m=256, k=3).collect()}
     assert out[1] is True
+
+
+def test_hll_grouped_matches_global_per_subset(spark):
+    """hll_registers_by/estimate_by must equal the PROVEN global
+    kernel run independently on each group's key subset."""
+    import mtail_spark.operators.sketch as SK
+
+    rows = [("g1", f"k{i % 37}") for i in range(300)] + [
+        ("g2", f"k{i % 211}") for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "term"])
+    grouped = {
+        r["grp"]: (r["n_regs"], r["sum_scaled"], r["est_distinct"])
+        for r in SK.hll_estimate_by(
+            SK.hll_registers_by(df, "grp"), "grp"
+        ).collect()
+    }
+    for g in ("g1", "g2"):
+        sub = df.filter(df.grp == g).select("term")
+        glob = SK.hll_estimate(SK.hll_registers(sub)).collect()[0]
+        assert grouped[g] == (
+            glob["n_regs"], glob["sum_scaled"], glob["est_distinct"]
+        ), g

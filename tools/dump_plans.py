@@ -310,6 +310,12 @@ SHOW = [
      "produce) + the exact skip ratio of a uid-range predicate — "
      "one bucket-keyed aggregate over the zorder plan, then a "
      "<=64-row summary"),
+    ("hll_distinct_by_type",
+     "per-group HyperLogLog: distinct users per event type with "
+     "m=256 integers of state per group (exact count_distinct "
+     "shuffles every distinct pair; the sketch shuffles <= m rows "
+     "per group); exact counts broadcast back for the accuracy "
+     "column"),
 ]
 
 INTERESTING = re.compile(
