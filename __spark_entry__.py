@@ -1360,6 +1360,30 @@ def q_hll_distinct_by_type(spark, sf):
     return est.join(F.broadcast(true), "event_type").orderBy("event_type")
 
 
+def q_hll_distinct_stream(spark, sf):
+    """Streaming dual of hll_distinct_by_type — the NINTH stream ≡
+    batch pair: per-(type, bucket) register MAXES accumulate in the
+    Structured Streaming state store (max is commutative/idempotent,
+    so arrival order and micro-batch boundaries cannot change the
+    final registers — the textbook mergeable-sketch property), and
+    the estimate layer runs over the final <=(groups x 256)-row
+    register table.  This is the production 'live distinct users per
+    key' shape: state is m integers per group forever, not a growing
+    distinct set."""
+    import mtail_spark.operators.sketch as SK
+    from mtail_spark.streaming.windows import (
+        run_replay_to_table,
+        stream_table,
+    )
+
+    ev = stream_table(spark, f"{sf}/events.parquet").select(
+        "event_type", F.col("user_id").cast("string").alias("uid_s")
+    )
+    regs = SK.hll_registers_by(ev, "event_type", key_col="uid_s")
+    tbl = run_replay_to_table(regs, "hll_regs_stream")
+    return SK.hll_estimate_by(tbl, "event_type").orderBy("event_type")
+
+
 def q_bloom_membership(spark, sf):
     """Bloom-filter membership (operators/sketch.py): build an
     m-bit-bounded filter over the base shard's text fingerprints
@@ -2943,6 +2967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "zorder_skipping_stats": q_zorder_skipping_stats,
         "hll_distinct_by_type": q_hll_distinct_by_type,
+        "hll_distinct_stream": q_hll_distinct_stream,
         # -- tier 4a: stalest rows displaced by round-9 additions ------------
         "dataset_split": q_dataset_split,
         "hybrid_search": q_hybrid_search,
@@ -4124,10 +4149,13 @@ def _sql_hll_distinct() -> str:
     """
 
 
-def _sql_hll_distinct_by_type() -> str:
+def _sql_hll_distinct_by_type(include_true: bool = True) -> str:
     """DuckDB mirror of the per-group HLL: same lanes, same generated
     rho comparison tree, same integer harmonic sum — GROUP BY added
-    at both the register and estimate levels."""
+    at both the register and estimate levels.  With
+    ``include_true=False`` it is the oracle for the STREAMING dual,
+    which ships only the sketch columns (stream ≡ batch: the same
+    oracle text modulo the exact-count accuracy column)."""
     import mtail_spark.operators.sketch as SK
 
     m, cap = SK.HLL_BUCKETS, SK.HLL_CAP
@@ -4141,6 +4169,16 @@ def _sql_hll_distinct_by_type() -> str:
         )
         + f" ELSE {cap} END"
     )
+    if include_true:
+        true_col = ", t.true_distinct"
+        from_clause = """FROM a JOIN (
+          SELECT event_type,
+                 CAST(count(DISTINCT uid_s) AS BIGINT) AS true_distinct
+          FROM tok GROUP BY 1
+        ) t USING (event_type)"""
+    else:
+        true_col = ""
+        from_clause = "FROM a"
     return f"""
         WITH tok AS (
           SELECT event_type, CAST(user_id AS VARCHAR) AS uid_s
@@ -4168,13 +4206,9 @@ def _sql_hll_distinct_by_type() -> str:
                  AS sum_scaled,
                CAST(round({k!r} / CAST(s_present + ({m} - n_regs)
                     * (CAST(1 AS BIGINT) << {cap}) AS DOUBLE))
-                    AS BIGINT) AS est_distinct,
-               t.true_distinct
-        FROM a JOIN (
-          SELECT event_type,
-                 CAST(count(DISTINCT uid_s) AS BIGINT) AS true_distinct
-          FROM tok GROUP BY 1
-        ) t USING (event_type)
+                    AS BIGINT) AS est_distinct
+               {true_col}
+        {from_clause}
         ORDER BY a.event_type
     """
 
@@ -5219,6 +5253,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": _SQL_ZORDER,
         "zorder_skipping_stats": _SQL_ZORDER_SKIP,
         "hll_distinct_by_type": _sql_hll_distinct_by_type(),
+        "hll_distinct_stream": _sql_hll_distinct_by_type(include_true=False),
         "conversion_lag_quantiles": _SQL_CONVERSION_LAG,
         "funnel_windowed": _sql_funnel(7 * 86400 * 1_000_000),
         "asof_join_stream": _SQL_ASOF_LAST_TOUCH,

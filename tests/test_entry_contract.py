@@ -50,6 +50,7 @@ STAGED_FOR_NEXT_WINDOW = {
     "zorder_layout",
     "zorder_skipping_stats",
     "hll_distinct_by_type",
+    "hll_distinct_stream",
 }
 
 

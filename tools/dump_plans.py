@@ -316,6 +316,12 @@ SHOW = [
      "shuffles every distinct pair; the sketch shuffles <= m rows "
      "per group); exact counts broadcast back for the accuracy "
      "column"),
+    ("hll_distinct_stream",
+     "NINTH stream=batch pair: per-(type,bucket) register maxes in "
+     "the streaming state store (max is commutative/idempotent — "
+     "the mergeable-sketch property makes the final registers "
+     "arrival-order-proof); estimate layer over the final "
+     "register table"),
 ]
 
 INTERESTING = re.compile(
