@@ -2339,6 +2339,102 @@ def q_zorder_layout(spark, sf):
     return out.select("event_id", "zkey", "zbucket")
 
 
+def q_tpch_q5_local_volume(spark, sf):
+    """TPC-H Q5 proper (local supplier volume): revenue from orders
+    where the customer and the line's supplier sit in the SAME
+    ASIA-region nation — the CYCLIC-JOIN shape (the c_nationkey =
+    s_nationkey edge closes a cycle through two different fact
+    paths; join_revenue_by_nation was only ever the acyclic 'Q5-ish'
+    star).  Spark-first: the ASIA nation slice (5 of 25 rows)
+    broadcasts onto supplier AND customer so BOTH fact scans shrink
+    to the region slice before the one orderkey exchange pair; the
+    nation-equality cycle edge is a residual on two small ints.
+    Group by nation name, revenue in integer cents, Q5's
+    revenue-desc ordering with a name tie-break."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    asia = (
+        _t(spark, sf, "nation")
+        .join(
+            F.broadcast(_t(spark, sf, "region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    sup = (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_nationkey").alias("supp_nat"), "n_name")
+    )
+    cust = (
+        _t(spark, sf, "customer")
+        .join(F.broadcast(asia), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_nationkey").alias("cust_nat"))
+    )
+    orders = (
+        _t(spark, sf, "orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nat")
+    )
+    li = (
+        _t(spark, sf, "lineitem")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_orderkey",
+            "supp_nat",
+            "n_name",
+            _cents(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("vol_cents"),
+        )
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("supp_nat") == F.col("cust_nat"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum("vol_cents").cast("long").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("nation").asc())
+    )
+
+
+def q_tpch_q12_priority_class(spark, sf):
+    """TPC-H Q12 (shipping-mode priority classes, adapted:
+    l_linestatus stands in for the absent l_shipmode): per line
+    status, how many of one year's shipped lines belonged to
+    high-priority (URGENT/HIGH) vs lower-priority orders — the
+    CASE-count-over-one-big-join shape.  Spark: both scans prune to
+    two columns + pushed date filter; ONE orderkey exchange pair
+    (orders is unfiltered and fact-sized, so no broadcast — this is
+    the canonical shuffle-join-then-tiny-aggregate plan); the
+    priority CASE folds map-side into a 2-row aggregate."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    li = (
+        _t(spark, sf, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select("l_orderkey", "l_linestatus")
+    )
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
 # the uid-range predicate whose skip ratio zorder_skipping_stats
 # measures; shared by the Spark query and the DuckDB oracle
 _ZSKIP_LO, _ZSKIP_HI = 100, 200
@@ -2968,6 +3064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_skipping_stats": q_zorder_skipping_stats,
         "hll_distinct_by_type": q_hll_distinct_by_type,
         "hll_distinct_stream": q_hll_distinct_stream,
+        "tpch_q5_local_volume": q_tpch_q5_local_volume,
+        "tpch_q12_priority_class": q_tpch_q12_priority_class,
         # -- tier 4a: stalest rows displaced by round-9 additions ------------
         "dataset_split": q_dataset_split,
         "hybrid_search": q_hybrid_search,
@@ -4850,6 +4948,39 @@ def _zorder_skipping_oracle_sql() -> str:
 
 _SQL_ZORDER_SKIP = _zorder_skipping_oracle_sql()
 
+_SQL_TPCH_Q5 = """
+    SELECT n_name AS nation,
+           CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                               * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND s_nationkey = c_nationkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1 ORDER BY revenue_cents DESC, nation ASC
+"""
+
+_SQL_TPCH_Q12 = """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT)
+             AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1 ORDER BY 1
+"""
+
 # the oracle keeps the reference's EXISTS / NOT-EXISTS self-join
 # formulation so it shares no plan shape with the Spark window form
 _SQL_TPCH_Q21 = """
@@ -5254,6 +5385,8 @@ def oracle_sql() -> dict[str, str]:
         "zorder_skipping_stats": _SQL_ZORDER_SKIP,
         "hll_distinct_by_type": _sql_hll_distinct_by_type(),
         "hll_distinct_stream": _sql_hll_distinct_by_type(include_true=False),
+        "tpch_q5_local_volume": _SQL_TPCH_Q5,
+        "tpch_q12_priority_class": _SQL_TPCH_Q12,
         "conversion_lag_quantiles": _SQL_CONVERSION_LAG,
         "funnel_windowed": _sql_funnel(7 * 86400 * 1_000_000),
         "asof_join_stream": _SQL_ASOF_LAST_TOUCH,

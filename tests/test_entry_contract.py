@@ -51,6 +51,8 @@ STAGED_FOR_NEXT_WINDOW = {
     "zorder_skipping_stats",
     "hll_distinct_by_type",
     "hll_distinct_stream",
+    "tpch_q5_local_volume",
+    "tpch_q12_priority_class",
 }
 
 

@@ -322,6 +322,15 @@ SHOW = [
      "the mergeable-sketch property makes the final registers "
      "arrival-order-proof); estimate layer over the final "
      "register table"),
+    ("tpch_q5_local_volume",
+     "Q5's cyclic join: the ASIA nation slice broadcasts onto "
+     "supplier AND customer so both fact scans shrink before the "
+     "one orderkey exchange pair; the c_nationkey=s_nationkey cycle "
+     "edge is a residual on two small ints"),
+    ("tpch_q12_priority_class",
+     "the canonical big-big shuffle join: both scans prune to two "
+     "columns + pushed date filter, one orderkey exchange pair, "
+     "priority CASE folds map-side into a 2-row aggregate"),
 ]
 
 INTERESTING = re.compile(
