@@ -1276,6 +1276,35 @@ def q_cms_counts(spark, sf):
     return SK.cms_token_counts(docs, CMS_TERMS)
 
 
+# fixed probe set for the streaming CMS pair: four present user ids
+# + one absent; shared by the Spark query and the oracle
+CMS_STREAM_USERS = ["1", "7", "42", "99", "123456789"]
+
+
+def q_cms_counts_stream(spark, sf):
+    """Streaming count-min sketch — the TENTH stream ≡ batch pair and
+    the ADD-merge half of the mergeable-sketch story (hll_distinct_
+    stream is the MAX-merge half): per-(row, bucket) cell counts
+    accumulate in the Structured Streaming state store (sums commute
+    across micro-batches), state is the fixed depth x width grid at
+    ANY event-key cardinality, and the point-query layer runs over
+    the final <=4096-row cell table.  Estimates per-user event
+    frequency live — the heavy-hitter pre-screen an ingest pipeline
+    runs before exact counting."""
+    import mtail_spark.operators.sketch as SK
+    from mtail_spark.streaming.windows import (
+        run_replay_to_table,
+        stream_table,
+    )
+
+    ev = stream_table(spark, f"{sf}/events.parquet").select(
+        F.col("user_id").cast("string").alias("term")
+    )
+    cells = SK.cms_build(ev)
+    tbl = run_replay_to_table(cells, "cms_cells_stream")
+    return SK.cms_estimate(tbl, CMS_STREAM_USERS)
+
+
 def q_hybrid_search(spark, sf):
     """Hybrid retrieval (RAG-style two-stage): BM25 keyword top-50
     candidates re-ranked by embedding cosine to a query vector, final
@@ -3066,6 +3095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_stream": q_hll_distinct_stream,
         "tpch_q5_local_volume": q_tpch_q5_local_volume,
         "tpch_q12_priority_class": q_tpch_q12_priority_class,
+        "cms_counts_stream": q_cms_counts_stream,
         # -- tier 4a: stalest rows displaced by round-9 additions ------------
         "dataset_split": q_dataset_split,
         "hybrid_search": q_hybrid_search,
@@ -3739,6 +3769,38 @@ def _sql_cms_counts() -> str:
           FROM documents
         ), tok AS (
           SELECT term FROM raw WHERE term <> ''
+        ), cells AS (
+          SELECT r, b, count(*) AS c FROM ({rows}) GROUP BY r, b
+        ), q(term, r, b) AS (
+          VALUES {lookups}
+        )
+        SELECT q.term, CAST(min(COALESCE(cells.c, 0)) AS BIGINT)
+                 AS est_count
+        FROM q LEFT JOIN cells ON q.r = cells.r AND q.b = cells.b
+        GROUP BY q.term
+    """
+
+
+def _sql_cms_counts_stream() -> str:
+    """DuckDB mirror of q_cms_counts_stream: identical cell/lookup
+    construction as _sql_cms_counts over the event user-id stream
+    (stream ≡ batch — the oracle is necessarily the batch form)."""
+    import mtail_spark.operators.sketch as SK
+
+    d, w = SK.DEPTH, SK.WIDTH
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS r, CAST(concat('0x', substr(md5(concat("
+        f"'cms{i}-', term)), 1, 15)) AS BIGINT) % {w} AS b FROM tok"
+        for i in range(d)
+    )
+    lookups = ", ".join(
+        f"('{t}', {i}, {SK.bucket_py(t, i, w)})"
+        for t in CMS_STREAM_USERS
+        for i in range(d)
+    )
+    return f"""
+        WITH tok AS (
+          SELECT CAST(user_id AS VARCHAR) AS term FROM events
         ), cells AS (
           SELECT r, b, count(*) AS c FROM ({rows}) GROUP BY r, b
         ), q(term, r, b) AS (
@@ -5387,6 +5449,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_stream": _sql_hll_distinct_by_type(include_true=False),
         "tpch_q5_local_volume": _SQL_TPCH_Q5,
         "tpch_q12_priority_class": _SQL_TPCH_Q12,
+        "cms_counts_stream": _sql_cms_counts_stream(),
         "conversion_lag_quantiles": _SQL_CONVERSION_LAG,
         "funnel_windowed": _sql_funnel(7 * 86400 * 1_000_000),
         "asof_join_stream": _SQL_ASOF_LAST_TOUCH,

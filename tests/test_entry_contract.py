@@ -53,6 +53,7 @@ STAGED_FOR_NEXT_WINDOW = {
     "hll_distinct_stream",
     "tpch_q5_local_volume",
     "tpch_q12_priority_class",
+    "cms_counts_stream",
 }
 
 

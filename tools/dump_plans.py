@@ -331,6 +331,11 @@ SHOW = [
      "the canonical big-big shuffle join: both scans prune to two "
      "columns + pushed date filter, one orderkey exchange pair, "
      "priority CASE folds map-side into a 2-row aggregate"),
+    ("cms_counts_stream",
+     "TENTH stream=batch pair, the ADD-merge half of the mergeable-"
+     "sketch story: count-min cells sum in the state store (fixed "
+     "depth x width state at any key cardinality); point-query layer "
+     "over the final cell table"),
 ]
 
 INTERESTING = re.compile(
