@@ -101,3 +101,45 @@ def test_zorder_plan_is_shuffle_free(spark):
     # the only join is the broadcast of the 1-row envelope
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_rank_sql_bounds_and_monotonicity_property(spark):
+    """Property: for ANY envelope (including negative mins and
+    epoch-micros-wide spans) the rank stays in [0, top], maps min->0,
+    is monotone in v, and never overflows under ANSI mode."""
+    from hypothesis import given, settings, strategies as st
+
+    from mtail_spark.operators.layout import rank_sql
+
+    # bounds chosen so hi = lo + span stays inside int64 even at the
+    # extremes hypothesis probes first: |lo| <= 2^61, span <= 2^61
+    LONG = 2**61
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        lo=st.integers(min_value=-LONG, max_value=LONG),
+        span=st.integers(min_value=0, max_value=LONG),
+        bits=st.sampled_from([4, 8, 16]),
+        data=st.data(),
+    )
+    def check(lo, span, bits, data):
+        hi = lo + span
+        v1 = data.draw(st.integers(min_value=lo, max_value=hi))
+        v2 = data.draw(st.integers(min_value=lo, max_value=hi))
+        top = (1 << bits) - 1
+        df = spark.createDataFrame(
+            [(v1, v2, lo, hi)], "v1 long, v2 long, vmin long, vmax long"
+        )
+        r = df.selectExpr(
+            rank_sql("v1", "vmin", "vmax", bits, "DIV") + " AS r1",
+            rank_sql("v2", "vmin", "vmax", bits, "DIV") + " AS r2",
+            rank_sql("vmin", "vmin", "vmax", bits, "DIV") + " AS rmin",
+        ).collect()[0]
+        assert 0 <= r["r1"] <= top and 0 <= r["r2"] <= top
+        assert r["rmin"] == 0
+        if v1 <= v2:
+            assert r["r1"] <= r["r2"]
+        else:
+            assert r["r2"] <= r["r1"]
+
+    check()
