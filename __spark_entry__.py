@@ -3083,8 +3083,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50; tests/test_entry_contract.py pins the required contents;
         # dataset_split + the r7 singles rotate back next round)
         # -- tier 4s: STAGED for the round-10 window (added late in round 9,
-        # parity-green locally via tools/check_parity.py; rotate these into
-        # positions 1-4 next round per the NOTES_r9 handoff) ----------------
+        # parity-green locally via tools/check_parity.py; rotate ALL of
+        # these to the window top next round — the authoritative list is
+        # STAGED_FOR_NEXT_WINDOW in tests/test_entry_contract.py) -----------
         "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
         "tpch_q8_market_share": q_tpch_q8_market_share,
         "tpch_q14_promo_share": q_tpch_q14_promo_share,
@@ -3743,12 +3744,14 @@ def _sql_cluster_profile() -> str:
     """
 
 
-def _sql_cms_counts() -> str:
-    """DuckDB mirror of sketch.cms_token_counts: same md5-lane bucket
-    construction per sketch row (UNION ALL of depth bucket selects),
-    same cell counts, and the SAME Python-computed lookup literals —
-    consistent with the Spark side by construction (both call
-    sketch.bucket_py)."""
+def _sql_cms_core(tok_ctes: str, terms: list) -> str:
+    """Shared CMS oracle body: same md5-lane bucket construction per
+    sketch row (UNION ALL of depth bucket selects), same cell counts,
+    and the SAME Python-computed lookup literals as the Spark side
+    (both call sketch.bucket_py).  ``tok_ctes`` must define a `tok`
+    CTE with one `term` row per key occurrence.  ONE source for the
+    batch and streaming oracles — the cell construction cannot
+    silently diverge."""
     import mtail_spark.operators.sketch as SK
 
     d, w = SK.DEPTH, SK.WIDTH
@@ -3759,58 +3762,47 @@ def _sql_cms_counts() -> str:
     )
     lookups = ", ".join(
         f"('{t}', {i}, {SK.bucket_py(t, i, w)})"
-        for t in CMS_TERMS
+        for t in terms
         for i in range(d)
     )
     return f"""
-        WITH raw AS (
+        WITH {tok_ctes}, cells AS (
+          SELECT r, b, count(*) AS c FROM ({rows}) GROUP BY r, b
+        ), q(term, r, b) AS (
+          VALUES {lookups}
+        )
+        SELECT q.term, CAST(min(COALESCE(cells.c, 0)) AS BIGINT)
+                 AS est_count
+        FROM q LEFT JOIN cells ON q.r = cells.r AND q.b = cells.b
+        GROUP BY q.term
+    """
+
+
+def _sql_cms_counts() -> str:
+    """DuckDB mirror of sketch.cms_token_counts (shared body:
+    _sql_cms_core)."""
+    return _sql_cms_core(
+        """raw AS (
           SELECT unnest(regexp_split_to_array(trim(lower(text)),
                                               '\\s+')) AS term
           FROM documents
         ), tok AS (
           SELECT term FROM raw WHERE term <> ''
-        ), cells AS (
-          SELECT r, b, count(*) AS c FROM ({rows}) GROUP BY r, b
-        ), q(term, r, b) AS (
-          VALUES {lookups}
-        )
-        SELECT q.term, CAST(min(COALESCE(cells.c, 0)) AS BIGINT)
-                 AS est_count
-        FROM q LEFT JOIN cells ON q.r = cells.r AND q.b = cells.b
-        GROUP BY q.term
-    """
+        )""",
+        CMS_TERMS,
+    )
 
 
 def _sql_cms_counts_stream() -> str:
-    """DuckDB mirror of q_cms_counts_stream: identical cell/lookup
-    construction as _sql_cms_counts over the event user-id stream
-    (stream ≡ batch — the oracle is necessarily the batch form)."""
-    import mtail_spark.operators.sketch as SK
-
-    d, w = SK.DEPTH, SK.WIDTH
-    rows = "\nUNION ALL\n".join(
-        f"SELECT {i} AS r, CAST(concat('0x', substr(md5(concat("
-        f"'cms{i}-', term)), 1, 15)) AS BIGINT) % {w} AS b FROM tok"
-        for i in range(d)
-    )
-    lookups = ", ".join(
-        f"('{t}', {i}, {SK.bucket_py(t, i, w)})"
-        for t in CMS_STREAM_USERS
-        for i in range(d)
-    )
-    return f"""
-        WITH tok AS (
+    """DuckDB mirror of q_cms_counts_stream over the event user-id
+    stream (stream ≡ batch — the oracle is necessarily the batch
+    form; shared body: _sql_cms_core)."""
+    return _sql_cms_core(
+        """tok AS (
           SELECT CAST(user_id AS VARCHAR) AS term FROM events
-        ), cells AS (
-          SELECT r, b, count(*) AS c FROM ({rows}) GROUP BY r, b
-        ), q(term, r, b) AS (
-          VALUES {lookups}
-        )
-        SELECT q.term, CAST(min(COALESCE(cells.c, 0)) AS BIGINT)
-                 AS est_count
-        FROM q LEFT JOIN cells ON q.r = cells.r AND q.b = cells.b
-        GROUP BY q.term
-    """
+        )""",
+        CMS_STREAM_USERS,
+    )
 
 
 def _sql_multimodal_frames() -> str:

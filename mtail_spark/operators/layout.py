@@ -107,9 +107,15 @@ def zorder_key(
 
     ``cols`` must already be integral (cast timestamps to epoch
     micros first — a raw timestamp→long cast truncates differently
-    across engines).  ``bits * len(cols)`` must fit a long (<= 62).
-    The bucket id splits the z-range into ``n_buckets`` contiguous
-    spans — the natural ``repartitionByRange`` / file-split target.
+    across engines).  ``bits * len(cols)`` must fit a long (<= 62),
+    and each column's envelope width (max - min) must itself fit a
+    long — i.e. a column may not span MORE than 2^63, which only a
+    contrived mixed-sign domain wider than ±2^62 violates (every
+    real id/timestamp domain is single-signed or far narrower; the
+    subtraction would raise an ANSI overflow error, never a wrong
+    key).  The bucket id splits the z-range into ``n_buckets``
+    contiguous spans — the natural ``repartitionByRange`` /
+    file-split target.
 
     Deterministic: the envelope comes from the data itself, so the
     same frame always produces the same keys.  Growth caveat: a new
@@ -121,6 +127,21 @@ def zorder_key(
         raise ValueError("zorder_key needs >= 2 columns")
     if bits * ndim > 62:
         raise ValueError(f"bits*ndim = {bits * ndim} overflows a long")
+    zspace = 1 << (bits * ndim)
+    # bucket id: when n_buckets divides the key space (any power of
+    # two), zkey * n DIV zspace == zkey DIV (zspace DIV n) exactly —
+    # the divide form never multiplies, so a full-width key cannot
+    # overflow.  The multiply form is kept only for a non-dividing
+    # n_buckets and must then fit: zkey*n < 2^63.
+    if zspace % n_buckets == 0:
+        bucket_expr = f"{key_col} DIV {zspace // n_buckets}"
+    elif bits * ndim + (n_buckets - 1).bit_length() <= 63:
+        bucket_expr = f"{key_col} * {n_buckets} DIV {zspace}"
+    else:
+        raise ValueError(
+            f"zkey * {n_buckets} overflows a long for bits*ndim = "
+            f"{bits * ndim}; use a power-of-two n_buckets"
+        )
     for c in cols:
         kind = dict(df.dtypes)[c]
         if kind not in ("int", "bigint", "smallint", "tinyint"):
@@ -144,9 +165,8 @@ def zorder_key(
         )
         for c in cols
     ]
-    zspace = 1 << (bits * ndim)
     return (
         df.crossJoin(F.broadcast(env))
         .select(*df.columns, interleave_bits(ranks, bits).alias(key_col))
-        .withColumn(bucket_col, F.expr(f"{key_col} * {n_buckets} DIV {zspace}"))
+        .withColumn(bucket_col, F.expr(bucket_expr))
     )

@@ -116,28 +116,24 @@ HLL_BUCKETS = 256  # 2^8 registers; standard error ~1.04/sqrt(m) ~ 6.5%
 HLL_CAP = 40
 
 
-def hll_registers(
-    keys: DataFrame,
-    key_col: str = "term",
-    m: int = HLL_BUCKETS,
+def _hll_registers(
+    keys: DataFrame, group_cols: list, key_col: str, m: int
 ) -> DataFrame:
-    """HyperLogLog registers for a key stream: bucket = one md5 lane
-    mod m, rho = position of the first 1-bit (from the MSB) of a
-    second, independent 48-bit lane, capped at HLL_CAP; register =
-    max(rho) per bucket (Flajolet et al. 2007).  max() is
-    associative, so the aggregation state is m integers with full
-    map-side combine — the distinct-count analog of the count-min
-    grid.
+    """Shared register builder: bucket = one md5 lane mod m, rho =
+    position of the first 1-bit (from the MSB) of a second,
+    independent 48-bit lane, capped at HLL_CAP; register = max(rho)
+    per (groups, bucket) (Flajolet et al. 2007).  max() is
+    associative, so the aggregation state is m integers per group
+    with full map-side combine.
 
     rho comes from an exact integer comparison tree, NOT
     floor(log2(w)): log2 is a transcendental with no cross-engine
     rounding guarantee and can misplace exact powers of two; the
     comparisons make every step integer-deterministic and
-    bit-reproducible by the SQL oracle."""
+    bit-reproducible by the SQL oracle.  ONE source for the global
+    and grouped forms — the lane layout cannot silently diverge."""
     h = F.md5(F.concat(F.lit("hll-"), F.col(key_col)))
-    bucket = (
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m
-    )
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m
     w = F.conv(F.substring(h, 9, 12), 16, 10).cast("long")
     # rho = 49 - bit_length(w) for w > 0, capped: anything below
     # 2^(48 - HLL_CAP + 1) — including w = 0 — lands on the cap
@@ -145,10 +141,62 @@ def hll_registers(
     for r in range(HLL_CAP - 1, 0, -1):  # r = rho value
         rho = F.when(w >= (1 << (48 - r)), F.lit(r)).otherwise(rho)
     return (
-        keys.select(bucket.alias("bucket"), rho.cast("long").alias("rho"))
-        .groupBy("bucket")
+        keys.select(
+            *[F.col(g) for g in group_cols],
+            bucket.alias("bucket"),
+            rho.cast("long").alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").cast("long").alias("reg"))
     )
+
+
+def _hll_estimate(regs: DataFrame, group_cols: list, m: int) -> DataFrame:
+    """Shared estimate layer: EXACT integer arithmetic until one
+    final double division — each register contributes 2^(HLL_CAP -
+    reg) (an exact integer, shift not pow(): libm pow has no
+    exactness guarantee even at integer exponents), absent buckets
+    contribute 2^HLL_CAP, the sum is a plain BIGINT (order-
+    independent, unlike a float harmonic sum), and est =
+    round(alpha_m * m^2 * 2^HLL_CAP / S) with the numerator folded
+    into ONE Python-computed double literal.  The small-range
+    linear-counting correction is deliberately omitted — it needs
+    ln(), which is not bit-portable; the raw estimate is the
+    demonstrated kernel."""
+    alpha = 0.7213 / (1 + 1.079 / m)
+    k = float(alpha * m * m * (1 << HLL_CAP))
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"{HLL_CAP} - CAST(reg AS INT))"
+            )
+        ).alias("s_present"),
+    )
+    s_total = (
+        F.col("s_present")
+        + (F.lit(m) - F.col("n_regs")) * F.lit(1 << HLL_CAP)
+    ).cast("long")
+    return agg.select(
+        *[F.col(g) for g in group_cols],
+        F.col("n_regs").cast("long").alias("n_regs"),
+        s_total.alias("sum_scaled"),
+        F.round(F.lit(k) / s_total.cast("double"))
+        .cast("long")
+        .alias("est_distinct"),
+    )
+
+
+def hll_registers(
+    keys: DataFrame,
+    key_col: str = "term",
+    m: int = HLL_BUCKETS,
+) -> DataFrame:
+    """HyperLogLog registers for a key stream — the distinct-count
+    analog of the count-min grid (see _hll_registers for the lane
+    construction)."""
+    return _hll_registers(keys, [], key_col, m)
 
 
 def hll_registers_by(
@@ -157,95 +205,24 @@ def hll_registers_by(
     key_col: str = "term",
     m: int = HLL_BUCKETS,
 ) -> DataFrame:
-    """Per-group HLL registers: the grouped form of hll_registers —
-    state is m integers PER GROUP VALUE regardless of per-group key
-    cardinality (the "distinct users per day/type/source at 100 TB"
-    shape: the exact count_distinct shuffles every distinct pair;
-    this shuffles at most m rows per group).  Same md5 lanes, same
-    integer rho comparison tree."""
-    h = F.md5(F.concat(F.lit("hll-"), F.col(key_col)))
-    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m
-    w = F.conv(F.substring(h, 9, 12), 16, 10).cast("long")
-    rho = F.lit(HLL_CAP)
-    for r in range(HLL_CAP - 1, 0, -1):
-        rho = F.when(w >= (1 << (48 - r)), F.lit(r)).otherwise(rho)
-    return (
-        keys.select(
-            F.col(group_col),
-            bucket.alias("bucket"),
-            rho.cast("long").alias("rho"),
-        )
-        .groupBy(group_col, "bucket")
-        .agg(F.max("rho").cast("long").alias("reg"))
-    )
+    """Per-group HLL registers: state is m integers PER GROUP VALUE
+    regardless of per-group key cardinality (the "distinct users per
+    day/type/source at 100 TB" shape: exact count_distinct shuffles
+    every distinct pair; this shuffles at most m rows per group)."""
+    return _hll_registers(keys, [group_col], key_col, m)
 
 
 def hll_estimate_by(
     regs: DataFrame, group_col: str, m: int = HLL_BUCKETS
 ) -> DataFrame:
-    """Per-group raw HLL estimate over a hll_registers_by table —
-    identical exact-integer harmonic sum and single-double-literal
-    numerator as hll_estimate, grouped."""
-    alpha = 0.7213 / (1 + 1.079 / m)
-    k = float(alpha * m * m * (1 << HLL_CAP))
-    agg = regs.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n_regs"),
-        F.sum(
-            F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), "
-                f"{HLL_CAP} - CAST(reg AS INT))"
-            )
-        ).alias("s_present"),
-    )
-    s_total = (
-        F.col("s_present")
-        + (F.lit(m) - F.col("n_regs")) * F.lit(1 << HLL_CAP)
-    ).cast("long")
-    return agg.select(
-        F.col(group_col),
-        F.col("n_regs").cast("long").alias("n_regs"),
-        s_total.alias("sum_scaled"),
-        F.round(F.lit(k) / s_total.cast("double"))
-        .cast("long")
-        .alias("est_distinct"),
-    )
+    """Per-group raw HLL estimate over a hll_registers_by table."""
+    return _hll_estimate(regs, [group_col], m)
 
 
 def hll_estimate(regs: DataFrame, m: int = HLL_BUCKETS) -> DataFrame:
-    """Raw HLL harmonic-mean estimate from the register table, in
-    EXACT integer arithmetic until one final double division: each
-    register contributes 2^(HLL_CAP - reg) (an exact integer), absent
-    buckets contribute 2^HLL_CAP, the sum is a plain BIGINT (order-
-    independent, unlike a float harmonic sum), and
-    est = round(alpha_m * m^2 * 2^HLL_CAP / S) with the numerator
-    folded into ONE Python-computed double literal.  The small-range
-    linear-counting correction is deliberately omitted — it needs
-    ln(), which is not bit-portable; the raw estimate is the
-    demonstrated kernel."""
-    alpha = 0.7213 / (1 + 1.079 / m)
-    k = float(alpha * m * m * (1 << HLL_CAP))
-    agg = regs.agg(
-        F.count(F.lit(1)).alias("n_regs"),
-        F.sum(
-            # integer shift, never pow(): libm pow has no exactness
-            # guarantee even at integer exponents
-            F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), "
-                f"{HLL_CAP} - CAST(reg AS INT))"
-            )
-        ).alias("s_present"),
-    )
-    s_total = (
-        F.col("s_present")
-        + (F.lit(m) - F.col("n_regs")) * F.lit(1 << HLL_CAP)
-    ).cast("long")
-    return agg.select(
-        F.col("n_regs").cast("long").alias("n_regs"),
-        s_total.alias("sum_scaled"),
-        F.round(F.lit(k) / s_total.cast("double"))
-        .cast("long")
-        .alias("est_distinct"),
-    )
+    """Raw HLL harmonic-mean estimate from the register table (see
+    _hll_estimate for the exact-integer arithmetic)."""
+    return _hll_estimate(regs, [], m)
 
 
 def cms_token_counts(

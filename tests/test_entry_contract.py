@@ -40,8 +40,10 @@ MUST_BE_IN_WINDOW = {
 
 # Added late in round 9 and STAGED past position 50 (tier 4s in
 # queries()); they are parity-green locally but have no driver row.
-# Round-10 rotation duty: move these four into MUST_BE_IN_WINDOW and
-# the window top along with the r9-green rotation.
+# Round-10 rotation duty: move EVERY member of this set into
+# MUST_BE_IN_WINDOW and the window top along with the r9-green
+# rotation (the set, not any count mentioned elsewhere, is the
+# authoritative list).
 STAGED_FOR_NEXT_WINDOW = {
     "tpch_q7_nation_volume",
     "tpch_q8_market_share",

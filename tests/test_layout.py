@@ -143,3 +143,34 @@ def test_rank_sql_bounds_and_monotonicity_property(spark):
             assert r["r2"] <= r["r1"]
 
     check()
+
+
+def test_zorder_full_width_keys_no_bucket_overflow(spark):
+    """Regression: bits*ndim = 62 with power-of-two n_buckets used to
+    overflow in the bucket multiply (zkey * 64 > 2^63); the divide
+    form must handle full-width keys."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, 0), (2**61, 2**61)], "a long, b long"
+    )
+    out = (
+        zorder_key(df, ["a", "b"], bits=31, n_buckets=64)
+        .orderBy("a")
+        .collect()
+    )
+    assert out[0]["zbucket"] == 0
+    assert 0 <= out[1]["zbucket"] < 64
+
+
+def test_zorder_rejects_overflowing_non_pow2_buckets(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    # 31*2 = 62 key bits + 6 more for *63 would pass 63 only via the
+    # divide form; 63 is not a divisor of 2^62, so this must raise
+    with _pytest.raises(ValueError, match="overflows a long"):
+        zorder_key(df, ["a", "b"], bits=31, n_buckets=63)
+    # but a small non-pow2 bucket count within headroom is fine
+    out = zorder_key(df, ["a", "b"], bits=8, n_buckets=10).collect()
+    assert len(out) == 1

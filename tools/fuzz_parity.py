@@ -177,9 +177,13 @@ def gen_tables(seed: int, outdir: str) -> None:
          "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]}
     ).astype({"r_regionkey": "int32"}).to_parquet(
         f"{outdir}/region.parquet", index=False)
+    # underscored names matching the testdata domain: the TPC-H
+    # queries filter on NATION_3/NATION_5/NATION_7 literally, so a
+    # NATION3-style name made Q7/Q8's nation slices empty under fuzz
+    # and their non-empty paths were never exercised
     pd.DataFrame(
         {"n_nationkey": range(10),
-         "n_name": [f"NATION{i}" for i in range(10)],
+         "n_name": [f"NATION_{i}" for i in range(10)],
          "n_regionkey": [i % 5 for i in range(10)]}
     ).astype({"n_nationkey": "int32", "n_regionkey": "int32"}).to_parquet(
         f"{outdir}/nation.parquet", index=False)
@@ -205,8 +209,16 @@ def gen_tables(seed: int, outdir: str) -> None:
     pd.DataFrame(
         {"p_partkey": range(1, npart + 1),
          "p_name": [f"part {i}" for i in range(1, npart + 1)],
-         "p_brand": [f"Brand#{rnd.randrange(1, 6)}" for _ in range(npart)],
-         "p_type": [rnd.choice(["SMALL PLATED", "LARGE BRUSHED", "STANDARD"])
+         # include the literal brands/types the TPC-H queries filter
+         # on (Brand#12/23/34 for Q17/Q19, ECONOMY%/PROMO% for
+         # Q8/Q14) so their non-empty paths fuzz for real
+         "p_brand": [rnd.choice(["Brand#12", "Brand#23", "Brand#34",
+                                 "Brand#1", "Brand#5"])
+                     for _ in range(npart)],
+         "p_type": [rnd.choice(["SMALL PLATED", "LARGE BRUSHED",
+                                "STANDARD TWISTED",
+                                "ECONOMY ANODIZED STEEL",
+                                "PROMO BURNISHED COPPER"])
                     for _ in range(npart)],
          "p_size": [rnd.randrange(1, 50) for _ in range(npart)],
          "p_retailprice": [round(rnd.uniform(900, 2000), 2)
