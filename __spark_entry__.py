@@ -1276,6 +1276,25 @@ def q_cms_counts(spark, sf):
     return SK.cms_token_counts(docs, CMS_TERMS)
 
 
+def q_cms_counts_by_lang(spark, sf):
+    """Per-group count-min sketch (sketch.cms_build_by/estimate_by):
+    token frequencies PER LANGUAGE with one fixed 4x1024 grid of
+    state per language — the "term stats per language/source" shape
+    whose exact form shuffles every distinct (lang, token) pair at
+    100 TB while the sketch shuffles <= depth*width rows per group.
+    Point-queries the same five terms as the global cms_counts; the
+    grouped sketch broadcasts for the lookup join."""
+    import mtail_spark.operators.sketch as SK
+
+    docs = _t(spark, sf, "documents")
+    tok = docs.select(
+        "lang",
+        F.explode_outer(D.words(F.lower(F.col("text")))).alias("term"),
+    ).filter(F.col("term").isNotNull() & (F.col("term") != ""))
+    sk = SK.cms_build_by(tok, "lang")
+    return SK.cms_estimate_by(sk, "lang", CMS_TERMS)
+
+
 # fixed probe set for the streaming CMS pair: four present user ids
 # + one absent; shared by the Spark query and the oracle
 CMS_STREAM_USERS = ["1", "7", "42", "99", "123456789"]
@@ -3097,6 +3116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_local_volume": q_tpch_q5_local_volume,
         "tpch_q12_priority_class": q_tpch_q12_priority_class,
         "cms_counts_stream": q_cms_counts_stream,
+        "cms_counts_by_lang": q_cms_counts_by_lang,
         # -- tier 4a: stalest rows displaced by round-9 additions ------------
         "dataset_split": q_dataset_split,
         "hybrid_search": q_hybrid_search,
@@ -3791,6 +3811,48 @@ def _sql_cms_counts() -> str:
         )""",
         CMS_TERMS,
     )
+
+
+def _sql_cms_counts_by_lang() -> str:
+    """DuckDB mirror of q_cms_counts_by_lang: the _sql_cms_core lane
+    construction with the group column carried through the cells and
+    the lookup VALUES fanned across the distinct groups."""
+    import mtail_spark.operators.sketch as SK
+
+    d, w = SK.DEPTH, SK.WIDTH
+    rows = "\nUNION ALL\n".join(
+        f"SELECT lang, {i} AS r, CAST(concat('0x', substr(md5(concat("
+        f"'cms{i}-', term)), 1, 15)) AS BIGINT) % {w} AS b FROM tok"
+        for i in range(d)
+    )
+    lookups = ", ".join(
+        f"('{t}', {i}, {SK.bucket_py(t, i, w)})"
+        for t in CMS_TERMS
+        for i in range(d)
+    )
+    return f"""
+        WITH raw AS (
+          SELECT lang,
+                 unnest(regexp_split_to_array(trim(lower(text)),
+                                              '\\s+')) AS term
+          FROM documents
+        ), tok AS (
+          SELECT lang, term FROM raw WHERE term <> ''
+        ), cells AS (
+          SELECT lang, r, b, count(*) AS c FROM ({rows})
+          GROUP BY 1, 2, 3
+        ), q(term, r, b) AS (
+          VALUES {lookups}
+        ), gs AS (
+          SELECT DISTINCT lang FROM tok
+        )
+        SELECT gs.lang, q.term,
+               CAST(min(COALESCE(cells.c, 0)) AS BIGINT) AS est_count
+        FROM q CROSS JOIN gs
+        LEFT JOIN cells ON cells.lang = gs.lang
+                       AND q.r = cells.r AND q.b = cells.b
+        GROUP BY 1, 2
+    """
 
 
 def _sql_cms_counts_stream() -> str:
@@ -5442,6 +5504,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5_local_volume": _SQL_TPCH_Q5,
         "tpch_q12_priority_class": _SQL_TPCH_Q12,
         "cms_counts_stream": _sql_cms_counts_stream(),
+        "cms_counts_by_lang": _sql_cms_counts_by_lang(),
         "conversion_lag_quantiles": _SQL_CONVERSION_LAG,
         "funnel_windowed": _sql_funnel(7 * 86400 * 1_000_000),
         "asof_join_stream": _SQL_ASOF_LAST_TOUCH,

@@ -45,14 +45,15 @@ def bucket_py(term: str, i: int, width: int) -> int:
     return int(h[:15], 16) % width
 
 
-def cms_build(
+def _cms_cells(
     keys: DataFrame,
-    key_col: str = "term",
-    depth: int = DEPTH,
-    width: int = WIDTH,
+    group_cols: list,
+    key_col: str,
+    depth: int,
+    width: int,
 ) -> DataFrame:
-    """Sketch a key stream (one row per occurrence) into (row, bucket,
-    c) cells — at most depth*width rows no matter the cardinality.
+    """Shared cell builder for the global and grouped sketches — one
+    source for the lane construction, like the HLL kernels.
 
     explode_outer on purpose: codegen Generate would re-evaluate the
     computed md5-struct array once per OUTPUT row (depth x the digest
@@ -68,11 +69,39 @@ def cms_build(
         ]
     )
     return (
-        keys.select(F.explode_outer(cells).alias("cell"))
-        .select("cell.row", "cell.bucket")
-        .groupBy("row", "bucket")
+        keys.select(
+            *[F.col(g) for g in group_cols], F.explode_outer(cells).alias("cell")
+        )
+        .select(*group_cols, "cell.row", "cell.bucket")
+        .groupBy(*group_cols, "row", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def cms_build(
+    keys: DataFrame,
+    key_col: str = "term",
+    depth: int = DEPTH,
+    width: int = WIDTH,
+) -> DataFrame:
+    """Sketch a key stream (one row per occurrence) into (row, bucket,
+    c) cells — at most depth*width rows no matter the cardinality."""
+    return _cms_cells(keys, [], key_col, depth, width)
+
+
+def cms_build_by(
+    keys: DataFrame,
+    group_col: str,
+    key_col: str = "term",
+    depth: int = DEPTH,
+    width: int = WIDTH,
+) -> DataFrame:
+    """Per-group CMS cells: one depth x width grid PER GROUP VALUE
+    (the "term frequencies per language/source at 100 TB" shape —
+    an exact per-group count table shuffles every distinct
+    (group, key) pair; this shuffles at most depth*width rows per
+    group)."""
+    return _cms_cells(keys, [group_col], key_col, depth, width)
 
 
 def cms_estimate(
@@ -99,6 +128,41 @@ def cms_estimate(
     return (
         lookups.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy("term")
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0)))
+            .cast("long")
+            .alias("est_count")
+        )
+    )
+
+
+def cms_estimate_by(
+    sketch: DataFrame,
+    group_col: str,
+    terms: list,
+    depth: int = DEPTH,
+    width: int = WIDTH,
+) -> DataFrame:
+    """Per-group point queries over a cms_build_by table: the lookup
+    rows fan out across the sketch's distinct groups (group
+    cardinality x terms x depth — tiny), left-join the per-group
+    cells, and take the per-(group, term) min with absent cells = 0.
+    The grouped sketch is (groups x depth x width)-bounded and
+    broadcasts; nothing scales with the corpus."""
+    spark = sketch.sparkSession
+    lookups = spark.createDataFrame(
+        [
+            (t, i, bucket_py(t, i, width))
+            for t in terms
+            for i in range(depth)
+        ],
+        ["term", "row", "bucket"],
+    )
+    groups = sketch.select(group_col).distinct()
+    return (
+        lookups.crossJoin(F.broadcast(groups))
+        .join(F.broadcast(sketch), [group_col, "row", "bucket"], "left")
+        .groupBy(group_col, "term")
         .agg(
             F.min(F.coalesce(F.col("c"), F.lit(0)))
             .cast("long")

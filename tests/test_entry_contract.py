@@ -56,6 +56,7 @@ STAGED_FOR_NEXT_WINDOW = {
     "tpch_q5_local_volume",
     "tpch_q12_priority_class",
     "cms_counts_stream",
+    "cms_counts_by_lang",
 }
 
 

@@ -264,3 +264,29 @@ def test_hll_grouped_matches_global_per_subset(spark):
         assert grouped[g] == (
             glob["n_regs"], glob["sum_scaled"], glob["est_distinct"]
         ), g
+
+
+def test_cms_grouped_matches_global_per_subset(spark):
+    """cms_build_by/estimate_by must equal the PROVEN global kernel
+    run independently on each group's key subset."""
+    import mtail_spark.operators.sketch as SK
+
+    rows = [("g1", f"k{i % 7}") for i in range(100)] + [
+        ("g2", f"k{i % 13}") for i in range(160)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "term"])
+    terms = ["k0", "k5", "k12", "zz_absent"]
+    grouped = {
+        (r["grp"], r["term"]): r["est_count"]
+        for r in SK.cms_estimate_by(
+            SK.cms_build_by(df, "grp"), "grp", terms
+        ).collect()
+    }
+    for g in ("g1", "g2"):
+        sub = df.filter(df.grp == g).select("term")
+        glob = {
+            r["term"]: r["est_count"]
+            for r in SK.cms_estimate(SK.cms_build(sub), terms).collect()
+        }
+        for t in terms:
+            assert grouped[(g, t)] == glob[t], (g, t)

@@ -336,6 +336,11 @@ SHOW = [
      "sketch story: count-min cells sum in the state store (fixed "
      "depth x width state at any key cardinality); point-query layer "
      "over the final cell table"),
+    ("cms_counts_by_lang",
+     "per-group count-min: one 4x1024 grid per language (exact "
+     "per-group term counts shuffle every distinct (lang, token) "
+     "pair; the sketch shuffles <= depth*width rows per group); "
+     "grouped sketch broadcasts for the lookup join"),
 ]
 
 INTERESTING = re.compile(
