@@ -2383,7 +2383,9 @@ def q_zorder_layout(spark, sf):
         F.col("user_id").cast("long").alias("uid"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
     )
-    out = zorder_key(ev, ["uid", "ts_us"], bits=16, n_buckets=64)
+    out = zorder_key(
+        ev, ["uid", "ts_us"], bits=ZORDER_BITS, n_buckets=ZORDER_BUCKETS
+    )
     return out.select("event_id", "zkey", "zbucket")
 
 
@@ -2487,6 +2489,13 @@ def q_tpch_q12_priority_class(spark, sf):
 # measures; shared by the Spark query and the DuckDB oracle
 _ZSKIP_LO, _ZSKIP_HI = 100, 200
 
+# z-order parameters shared by BOTH zorder queries and their oracle
+# builders (r9 ADVICE: the oracle used to hardcode `* 64 //
+# 4294967296`, so changing the query's arguments would silently
+# desynchronize the two engines instead of failing loudly)
+ZORDER_BITS = 16
+ZORDER_BUCKETS = 64
+
 
 def q_zorder_skipping_stats(spark, sf):
     """What the Z-order layout BUYS: per-bucket min/max envelopes (the
@@ -2508,7 +2517,9 @@ def q_zorder_skipping_stats(spark, sf):
         F.col("user_id").cast("long").alias("uid"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
     )
-    z = zorder_key(ev, ["uid", "ts_us"], bits=16, n_buckets=64)
+    z = zorder_key(
+        ev, ["uid", "ts_us"], bits=ZORDER_BITS, n_buckets=ZORDER_BUCKETS
+    )
     lo, hi = _ZSKIP_LO, _ZSKIP_HI
     per_bucket = z.groupBy("zbucket").agg(
         F.min("uid").alias("uid_min"),
@@ -4985,12 +4996,17 @@ def _zorder_oracle_sql() -> str:
     """DuckDB oracle for q_zorder_layout: identical two-branch rank +
     Morton interleave formulas (layout.rank_sql / interleave_sql keep
     the two engines' expressions literally shared; only the
-    integer-division token differs)."""
+    integer-division token differs).  Bucket constants derive from
+    the same ZORDER_BITS / ZORDER_BUCKETS the Spark query passes to
+    zorder_key, so a parameter change desynchronizes NOTHING (r9
+    ADVICE)."""
     from mtail_spark.operators.layout import interleave_sql, rank_sql
 
-    z = interleave_sql(["r0", "r1"], 16)
-    r0 = rank_sql("uid", "umin", "umax", 16, "//")
-    r1 = rank_sql("ts_us", "tmin", "tmax", 16, "//")
+    z = interleave_sql(["r0", "r1"], ZORDER_BITS)
+    r0 = rank_sql("uid", "umin", "umax", ZORDER_BITS, "//")
+    r1 = rank_sql("ts_us", "tmin", "tmax", ZORDER_BITS, "//")
+    zspace = 1 << (2 * ZORDER_BITS)
+    assert zspace % ZORDER_BUCKETS == 0  # mirrors zorder_key's divide form
     return f"""
     WITH base AS (
       SELECT event_id, CAST(user_id AS BIGINT) AS uid,
@@ -5005,7 +5021,7 @@ def _zorder_oracle_sql() -> str:
       FROM base, env
     )
     SELECT event_id, zkey,
-           CAST(zkey * 64 // 4294967296 AS BIGINT) AS zbucket
+           CAST(zkey // {zspace // ZORDER_BUCKETS} AS BIGINT) AS zbucket
     FROM (SELECT event_id, CAST({z} AS BIGINT) AS zkey FROM r)
     """
 
@@ -5018,12 +5034,14 @@ def _zorder_skipping_oracle_sql() -> str:
     with uid carried through (joining the zorder oracle back on
     event_id would silently double rows if a generator ever produced
     duplicate event ids), then the same bucket-envelope / skip
-    arithmetic in SQL."""
+    arithmetic in SQL.  Constants shared with the Spark query via
+    ZORDER_BITS / ZORDER_BUCKETS (r9 ADVICE)."""
     from mtail_spark.operators.layout import interleave_sql, rank_sql
 
-    z = interleave_sql(["r0", "r1"], 16)
-    r0 = rank_sql("uid", "umin", "umax", 16, "//")
-    r1 = rank_sql("ts_us", "tmin", "tmax", 16, "//")
+    z = interleave_sql(["r0", "r1"], ZORDER_BITS)
+    r0 = rank_sql("uid", "umin", "umax", ZORDER_BITS, "//")
+    r1 = rank_sql("ts_us", "tmin", "tmax", ZORDER_BITS, "//")
+    zdiv = (1 << (2 * ZORDER_BITS)) // ZORDER_BUCKETS
     lo, hi = _ZSKIP_LO, _ZSKIP_HI
     return f"""
     WITH b0 AS (
@@ -5037,7 +5055,7 @@ def _zorder_skipping_oracle_sql() -> str:
       SELECT uid, {r0} AS r0, {r1} AS r1
       FROM b0, env
     ), base AS (
-      SELECT uid, CAST({z} AS BIGINT) * 64 // 4294967296 AS zbucket
+      SELECT uid, CAST({z} AS BIGINT) // {zdiv} AS zbucket
       FROM r
     ), pb AS (
       SELECT zbucket, min(uid) AS uid_min, max(uid) AS uid_max,

@@ -24,7 +24,8 @@ Catalyst expression tree —
      high rank bits that drive bucketing, and a wide span (epoch
      micros across decades — where the textbook multiply-first form
      overflows int64 and ANSI mode turns that into a query error)
-     divides first: ``least(top, (v - min) DIV (span DIV top))``;
+     divides first with a ceiling divisor:
+     ``(v - min) DIV ((span DIV top) + 1)``;
   3. the Morton key ORs together ``(rank_d >> i & 1) << (i*D + d)``
      for every bit i and dimension d — 2·bits·D shift/mask nodes,
      all inside WholeStageCodegen, zero Python, zero shuffle;
@@ -66,19 +67,25 @@ def rank_sql(v: str, vmin: str, vmax: str, bits: int, div: str) -> str:
 
     Narrow branch (span <= top): (v-min) * (top DIV span) stretches a
     small domain across the rank space; product <= span*(top/span) <=
-    top, no overflow.  Wide branch: divide-first with a top clamp —
-    the multiply-first normalization overflows int64 for spans >
-    2^63/top (real for epoch-microsecond columns) and Spark 4 ANSI
-    mode turns that overflow into a query error.
+    top, no overflow.  Wide branch: divide-first with a CEILING
+    divisor, (v-min) DIV ((span DIV top) + 1) — the multiply-first
+    normalization overflows int64 for spans > 2^63/top (real for
+    epoch-microsecond columns) and Spark 4 ANSI mode turns that
+    overflow into a query error.  The +1 keeps the result in
+    [0, top] with no clamp AND quantizes near-uniformly: the earlier
+    LEAST(top, (v-min) DIV (span DIV top)) form collapsed up to half
+    the domain onto the max rank whenever span sat just under a
+    multiple of top (span ~ 1.9*top -> divisor 1 -> every v past
+    min+top clamped), which weakened min/max skipping on that
+    dimension.  Bound proof: span < (span DIV top + 1) * top by
+    definition of integer division, so (v-min) DIV (divisor) <=
+    span DIV divisor < top.
     """
     top = (1 << bits) - 1
     span = f"({vmax} - {vmin})"
     one = "CAST(1 AS BIGINT)"
     narrow = f"({v} - {vmin}) * ({top} {div} GREATEST({one}, {span}))"
-    wide = (
-        f"LEAST(CAST({top} AS BIGINT), "
-        f"({v} - {vmin}) {div} ({span} {div} {top}))"
-    )
+    wide = f"({v} - {vmin}) {div} (({span} {div} {top}) + 1)"
     return f"(CASE WHEN {span} <= {top} THEN {narrow} ELSE {wide} END)"
 
 

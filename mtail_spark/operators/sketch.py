@@ -145,10 +145,19 @@ def cms_estimate_by(
 ) -> DataFrame:
     """Per-group point queries over a cms_build_by table: the lookup
     rows fan out across the sketch's distinct groups (group
-    cardinality x terms x depth — tiny), left-join the per-group
-    cells, and take the per-(group, term) min with absent cells = 0.
-    The grouped sketch is (groups x depth x width)-bounded and
-    broadcasts; nothing scales with the corpus."""
+    cardinality x terms x depth), left-join the per-group cells, and
+    take the per-(group, term) min with absent cells = 0.
+
+    Size bound: the grouped sketch is (groups x depth x width) cells
+    — BOUNDED PER GROUP, not globally.  For the shape this operator
+    targets (language/source/day groups: tens to thousands of
+    values) the whole sketch fits a broadcast; for a high-cardinality
+    group column (user-level grouping) it does not, so the sketch
+    side carries NO forced F.broadcast — the planner (with AQE) picks
+    broadcast when the measured size allows and falls back to a
+    shuffle join keyed on (group, row, bucket) otherwise.  Only the
+    lookup fan-out (groups x terms x depth rows on the PRESERVED side
+    of the left join) is explicitly broadcast-built."""
     spark = sketch.sparkSession
     lookups = spark.createDataFrame(
         [
@@ -160,8 +169,8 @@ def cms_estimate_by(
     )
     groups = sketch.select(group_col).distinct()
     return (
-        lookups.crossJoin(F.broadcast(groups))
-        .join(F.broadcast(sketch), [group_col, "row", "bucket"], "left")
+        lookups.crossJoin(groups)
+        .join(sketch, [group_col, "row", "bucket"], "left")
         .groupBy(group_col, "term")
         .agg(
             F.min(F.coalesce(F.col("c"), F.lit(0)))

@@ -61,7 +61,7 @@ def test_zorder_wide_envelope_no_overflow(spark):
         .collect()
     )
     assert out[0]["zkey"] >= 0 and out[1]["zkey"] >= 0
-    # min maps to rank 0, max clamps to the top rank
+    # min maps to rank 0; max lands strictly above (ceiling divisor)
     assert out[0]["zkey"] < out[1]["zkey"]
 
 
@@ -145,7 +145,33 @@ def test_rank_sql_bounds_and_monotonicity_property(spark):
     check()
 
 
-def test_zorder_full_width_keys_no_bucket_overflow(spark):
+def test_rank_sql_near_multiple_span_quantizes_uniformly(spark):
+    """Regression (r9 ADVICE): with span just under a multiple of top
+    (span ~ 1.9x top), the old LEAST-clamped divide collapsed almost
+    half the domain onto the max rank.  The ceiling divisor must keep
+    every rank's preimage within 1 of the ideal bucket width."""
+    from collections import Counter
+
+    from mtail_spark.operators.layout import rank_sql
+
+    bits = 4
+    top = (1 << bits) - 1  # 15
+    span = 2 * top - 2  # 28 ~ 1.9x top, the worst case for the clamp
+    df = spark.createDataFrame(
+        [(v, 0, span) for v in range(span + 1)], "v long, vmin long, vmax long"
+    )
+    ranks = [
+        r["r"]
+        for r in df.selectExpr(
+            rank_sql("v", "vmin", "vmax", bits, "DIV") + " AS r"
+        ).collect()
+    ]
+    widths = Counter(ranks)
+    assert min(ranks) == 0 and max(ranks) <= top
+    # divisor = (28 DIV 15) + 1 = 2 -> every rank covers exactly 2
+    # values except the last partial bucket; the clamped form put 14
+    # of the 29 values on rank 15
+    assert max(widths.values()) <= 2
     """Regression: bits*ndim = 62 with power-of-two n_buckets used to
     overflow in the bucket multiply (zkey * 64 > 2^63); the divide
     form must handle full-width keys."""
