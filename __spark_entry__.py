@@ -3053,7 +3053,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window contents.
     """
     return {
-        # -- tier 0: new round 9 ---------------------------------------------
+        # -- tier 0: new round 10 (never driver-verified) --------------------
+        # (empty at rotation time; r10 additions land here, displacing
+        # the NEWEST tier-2b pulls below back past the boundary)
+        # -- tier 1: staged in r9 past position 50, never driver-verified ---
+        # (the authoritative STAGED_FOR_NEXT_WINDOW set from round 9,
+        # rotated to the window top per the r9 handoff)
+        "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q14_promo_share": q_tpch_q14_promo_share,
+        "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
+        "zorder_layout": q_zorder_layout,
+        "zorder_skipping_stats": q_zorder_skipping_stats,
+        "hll_distinct_by_type": q_hll_distinct_by_type,
+        "hll_distinct_stream": q_hll_distinct_stream,
+        "tpch_q5_local_volume": q_tpch_q5_local_volume,
+        "tpch_q12_priority_class": q_tpch_q12_priority_class,
+        "cms_counts_stream": q_cms_counts_stream,
+        "cms_counts_by_lang": q_cms_counts_by_lang,
+        # -- tier 2: single-green rows (hybrid_search has exactly one
+        # driver row, from r7 — the r9 notes miscounted it into the r9
+        # window; VERDICT r9 'what's wrong' item 2) -------------------------
+        "hybrid_search": q_hybrid_search,
+        # -- tier 2b: stalest displaced rows pulled back oldest-first
+        # (last green row r7; parked in tier 4a through rounds 8-9) ---------
+        "dataset_split": q_dataset_split,
+        "grep_index_reuse": q_grep_index_reuse,
+        "bloom_membership": q_bloom_membership,
+        "cms_counts": q_cms_counts,
+        "hll_distinct": q_hll_distinct,
+        "vocab_head": q_vocab_head,
+        "substring_search": q_substring_search,
+        "cluster_profile": q_cluster_profile,
+        "dedup_incremental": q_dedup_incremental,
+        "perplexity_buckets": q_perplexity_buckets,
+        "dedup_exact_stream": q_dedup_exact_stream,
+        "sim_topk_pq": q_sim_topk_pq,
+        "sim_pq_rerank": q_sim_pq_rerank,
+        "quality_classifier": q_quality_classifier,
+        "training_data_pipeline": q_training_data_pipeline,
+        "curation_pipeline": q_curation_pipeline,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "rate_anomalies": q_rate_anomalies,
+        "rate_anomalies_stream": q_rate_anomalies_stream,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "dedup_keep_best": q_dedup_keep_best,
+        # -- tier 3: mtail_* reference-parity core (always in-window) -------
+        "mtail_linecount": q_mtail_linecount,
+        "mtail_counter_by": q_mtail_counter_by,
+        "mtail_bytes_sum": q_mtail_bytes_sum,
+        "mtail_gauge_lww": q_mtail_gauge_lww,
+        "mtail_histogram": q_mtail_histogram,
+        "mtail_strptime_hour": q_mtail_strptime_hour,
+        "mtail_getfilename": q_mtail_getfilename,
+        "mtail_prog_counters": q_mtail_prog_counters,
+        "mtail_prog_dhcpd": q_mtail_prog_dhcpd,
+        "mtail_prog_dhcpd_core": q_mtail_prog_dhcpd_core,
+        "mtail_prog_gauge": q_mtail_prog_gauge,
+        "mtail_prog_histogram": q_mtail_prog_histogram,
+        "mtail_prog_stateful": q_mtail_prog_stateful,
+        "mtail_prog_txn": q_mtail_prog_txn,
+        # ---------------- position 50 boundary is ABOVE this line ----------
+        # (12 staged-r9 + 1 r7-single (hybrid_search) + 23 r7-stale
+        # pulls + 14 mtail_* = exactly 50;
+        # tests/test_entry_contract.py pins the required contents)
+        # -- tier 4a: next-oldest displaced rows (rotate back when the
+        # window frees up; oldest-first order) -------------------------------
+        "epoch_shuffle": q_epoch_shuffle,
+        "mixture_sample": q_mixture_sample,
+        "chunk_windows": q_chunk_windows,
+        "search_topk": q_search_topk,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "source_cap": q_source_cap,
+        "length_quantiles": q_length_quantiles,
+        "semantic_dedup": q_semantic_dedup,
+        "text_lm_xent": q_text_lm_xent,
+        "dsir_weights": q_dsir_weights,
+        "span_dedup": q_span_dedup,
+        "sample_stratified": q_sample_stratified,
+        "session_window_stream": q_session_window_stream,
+        # -- tier 4c: freshly proven in CORRECTNESS_r09 (green last round) --
         "tpch_q18_big_orders": q_tpch_q18_big_orders,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q13_custdist": q_tpch_q13_custdist,
@@ -3063,12 +3144,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17_small_qty": q_tpch_q17_small_qty,
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
-        # -- tier 1: staged past the window in r8, never driver-verified ----
         "tpch_q6_forecast": q_tpch_q6_forecast,
         "tpch_q10_returns": q_tpch_q10_returns,
         "conversion_lag_quantiles": q_conversion_lag_quantiles,
         "funnel_windowed": q_funnel_windowed,
-        # -- tier 2: stalest driver rows (last green row is r6) --------------
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_topk_orders": q_window_topk_orders,
         "sessionize_events": q_sessionize_events,
@@ -3092,81 +3171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
         "sample_documents": q_sample_documents,
-        # -- tier 2b: single-green r7 rows next-stalest (VERDICT r8 item 5) -
-        # -- tier 3: mtail_* reference-parity core (always in-window) -------
-        "mtail_linecount": q_mtail_linecount,
-        "mtail_counter_by": q_mtail_counter_by,
-        "mtail_bytes_sum": q_mtail_bytes_sum,
-        "mtail_gauge_lww": q_mtail_gauge_lww,
-        "mtail_histogram": q_mtail_histogram,
-        "mtail_strptime_hour": q_mtail_strptime_hour,
-        "mtail_getfilename": q_mtail_getfilename,
-        "mtail_prog_counters": q_mtail_prog_counters,
-        "mtail_prog_dhcpd": q_mtail_prog_dhcpd,
-        "mtail_prog_dhcpd_core": q_mtail_prog_dhcpd_core,
-        "mtail_prog_gauge": q_mtail_prog_gauge,
-        "mtail_prog_histogram": q_mtail_prog_histogram,
-        "mtail_prog_stateful": q_mtail_prog_stateful,
-        "mtail_prog_txn": q_mtail_prog_txn,
-        # ---------------- position 50 boundary is ABOVE this line ----------
-        # (9 new + 4 staged-r8 + 23 r6-stale + 14 mtail_* = exactly
-        # 50; tests/test_entry_contract.py pins the required contents;
-        # dataset_split + the r7 singles rotate back next round)
-        # -- tier 4s: STAGED for the round-10 window (added late in round 9,
-        # parity-green locally via tools/check_parity.py; rotate ALL of
-        # these to the window top next round — the authoritative list is
-        # STAGED_FOR_NEXT_WINDOW in tests/test_entry_contract.py) -----------
-        "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
-        "tpch_q8_market_share": q_tpch_q8_market_share,
-        "tpch_q14_promo_share": q_tpch_q14_promo_share,
-        "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
-        "zorder_layout": q_zorder_layout,
-        "zorder_skipping_stats": q_zorder_skipping_stats,
-        "hll_distinct_by_type": q_hll_distinct_by_type,
-        "hll_distinct_stream": q_hll_distinct_stream,
-        "tpch_q5_local_volume": q_tpch_q5_local_volume,
-        "tpch_q12_priority_class": q_tpch_q12_priority_class,
-        "cms_counts_stream": q_cms_counts_stream,
-        "cms_counts_by_lang": q_cms_counts_by_lang,
-        # -- tier 4a: stalest rows displaced by round-9 additions ------------
-        "dataset_split": q_dataset_split,
-        "hybrid_search": q_hybrid_search,
-        "grep_index_reuse": q_grep_index_reuse,
-        "bloom_membership": q_bloom_membership,
-        "cms_counts": q_cms_counts,
-        "hll_distinct": q_hll_distinct,
-        "vocab_head": q_vocab_head,
-        "substring_search": q_substring_search,
-        "cluster_profile": q_cluster_profile,
-        "dedup_incremental": q_dedup_incremental,
-        "perplexity_buckets": q_perplexity_buckets,
-        "dedup_exact_stream": q_dedup_exact_stream,
-        "sim_topk_pq": q_sim_topk_pq,
-        "sim_pq_rerank": q_sim_pq_rerank,
-        "quality_classifier": q_quality_classifier,
-        "training_data_pipeline": q_training_data_pipeline,
-        "curation_pipeline": q_curation_pipeline,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "rate_anomalies": q_rate_anomalies,
-        "rate_anomalies_stream": q_rate_anomalies_stream,
-        "boilerplate_ngrams": q_boilerplate_ngrams,
-        "dedup_keep_best": q_dedup_keep_best,
-        "epoch_shuffle": q_epoch_shuffle,
-        "mixture_sample": q_mixture_sample,
-        "chunk_windows": q_chunk_windows,
-        "search_topk": q_search_topk,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "source_cap": q_source_cap,
-        "length_quantiles": q_length_quantiles,
-        "semantic_dedup": q_semantic_dedup,
-        "text_lm_xent": q_text_lm_xent,
-        "dsir_weights": q_dsir_weights,
-        "span_dedup": q_span_dedup,
-        "sample_stratified": q_sample_stratified,
-        "session_window_stream": q_session_window_stream,
-        # -- tier 4b: freshly proven in CORRECTNESS_r08 (green last round) --
+        # -- tier 4b: freshly proven in CORRECTNESS_r08 (green two rounds ago)
         "asof_join_last_touch": q_asof_join_last_touch,
         "funnel_conversion": q_funnel_conversion,
         "retention_cohorts": q_retention_cohorts,

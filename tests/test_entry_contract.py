@@ -13,38 +13,16 @@ import __spark_entry__ as entrymod
 
 WINDOW = 50
 
-# Queries with NO green driver CORRECTNESS row yet (CORRECTNESS_r08
-# went 50/50 green, clearing the round-8 window; what remains
-# unverified is the round-9 tier 0 plus the four queries staged past
-# position 50 in round 8).  Every one of these must sit inside the
-# first-50 window until it accumulates at least one green driver row;
-# drop a name from this set only after the corresponding
-# CORRECTNESS_r{N}.json row lands green.
+# Queries with NO green driver CORRECTNESS row yet (CORRECTNESS_r09
+# went 50/50 green, clearing the round-9 window; what remains
+# unverified is exactly the r9 staged set, rotated to the window top
+# in round 10 per the r9 handoff, plus any new round-10 queries).
+# Every one of these must sit inside the first-50 window until it
+# accumulates at least one green driver row; drop a name from this
+# set only after the corresponding CORRECTNESS_r{N}.json row lands
+# green.
 MUST_BE_IN_WINDOW = {
-    # new round 9
-    "tpch_q18_big_orders",
-    "tpch_q4_priority",
-    "tpch_q13_custdist",
-    "tpch_q22_idle_balances",
-    "multimodal_codec_roundtrip",
-    "multimodal_audio_metrics",
-    "tpch_q17_small_qty",
-    "tpch_q15_top_supplier",
-    "tpch_q19_disjunctive",
-    # staged past position 50 in round 8, never driver-verified
-    "tpch_q6_forecast",
-    "tpch_q10_returns",
-    "conversion_lag_quantiles",
-    "funnel_windowed",
-}
-
-# Added late in round 9 and STAGED past position 50 (tier 4s in
-# queries()); they are parity-green locally but have no driver row.
-# Round-10 rotation duty: move EVERY member of this set into
-# MUST_BE_IN_WINDOW and the window top along with the r9-green
-# rotation (the set, not any count mentioned elsewhere, is the
-# authoritative list).
-STAGED_FOR_NEXT_WINDOW = {
+    # staged past position 50 in round 9, never driver-verified
     "tpch_q7_nation_volume",
     "tpch_q8_market_share",
     "tpch_q14_promo_share",
@@ -57,7 +35,17 @@ STAGED_FOR_NEXT_WINDOW = {
     "tpch_q12_priority_class",
     "cms_counts_stream",
     "cms_counts_by_lang",
+    # single driver row (r7); the r9 notes miscounted it into the r9
+    # window — give it its second row this round (VERDICT r9)
+    "hybrid_search",
 }
+
+# Queries added in the CURRENT round and STAGED past position 50
+# because the window was already full; rotate ALL of these to the
+# window top next round (the set, not any count mentioned elsewhere,
+# is the authoritative list).  Empty after the r10 rotation: every
+# round-10 addition fit inside the window.
+STAGED_FOR_NEXT_WINDOW: set = set()
 
 
 def test_staged_queries_registered():
