@@ -1432,6 +1432,83 @@ def q_hll_distinct_stream(spark, sf):
     return SK.hll_estimate_by(tbl, "event_type").orderBy("event_type")
 
 
+# percentiles the quantile-sketch family estimates; shared by the
+# Spark queries and the oracle builder
+HDR_QUANTILES = [50, 90, 99]
+
+
+def q_quantile_sketch_prices(spark, sf):
+    """Mergeable quantile sketch, GLOBAL form (sketch.hdr_cells /
+    hdr_quantiles): p50/p90/p99 of order totals in integer cents via
+    an HDR-histogram-style log2-octave bucket table — the RANK leg of
+    the sketch triad (CMS = frequency/add-merge, HLL = cardinality/
+    max-merge, this = rank/add-merge).  Chosen over KLL because KLL's
+    randomized compaction is merge-order-dependent, which would break
+    the bit-equality oracle gate and the stream ≡ batch proof; the
+    bucket table is deterministic, <= ~1950 rows at ANY cardinality,
+    and the estimate's relative error is <= 2^-5 (~3%).  Plan: one
+    corpus scan folds map-side into bucket counts; everything after
+    the single exchange is bucket-bounded; the cumulative window
+    partitions by the quantile tag (never empty)."""
+    import mtail_spark.operators.sketch as SK
+
+    vals = _t(spark, sf, "orders").select(
+        _cents(F.col("o_totalprice")).alias("v")
+    )
+    return SK.hdr_quantiles(SK.hdr_cells(vals), HDR_QUANTILES).orderBy("q")
+
+
+def q_quantile_sketch_by_type(spark, sf):
+    """Per-group quantile sketch (grouped form of
+    quantile_sketch_prices): payload-size percentiles PER EVENT TYPE
+    — one <= ~1950-row bucket table of state per group vs an exact
+    per-group sort/percentile pass over every row at 100 TB.  Shares
+    the cell builder and estimate layer with the global kernel (unit
+    test pins grouped == global-per-subset, like the HLL/CMS
+    pairs)."""
+    import mtail_spark.operators.sketch as SK
+
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        F.coalesce(F.length(F.col("props")), F.lit(0))
+        .cast("long")
+        .alias("v"),
+    )
+    cells = SK.hdr_cells(ev, ["event_type"])
+    return SK.hdr_quantiles(cells, HDR_QUANTILES, ["event_type"]).orderBy(
+        "event_type", "q"
+    )
+
+
+def q_quantile_sketch_stream(spark, sf):
+    """Streaming dual of quantile_sketch_by_type — the ELEVENTH
+    stream ≡ batch pair: per-(type, bucket) counts ADD-merge in the
+    Structured Streaming state store (the same mergeable-cell
+    discipline as cms_counts_stream; sums commute across micro-
+    batches, so arrival order and batch boundaries cannot change the
+    final bucket table), and the deterministic quantile selection
+    runs over the final bounded cell table.  This is the production
+    'live latency/size percentiles per key' shape: fixed state per
+    group forever, no growing reservoir, no re-sort."""
+    import mtail_spark.operators.sketch as SK
+    from mtail_spark.streaming.windows import (
+        run_replay_to_table,
+        stream_table,
+    )
+
+    ev = stream_table(spark, f"{sf}/events.parquet").select(
+        "event_type",
+        F.coalesce(F.length(F.col("props")), F.lit(0))
+        .cast("long")
+        .alias("v"),
+    )
+    cells = SK.hdr_cells(ev, ["event_type"])
+    tbl = run_replay_to_table(cells, "hdr_cells_stream")
+    return SK.hdr_quantiles(tbl, HDR_QUANTILES, ["event_type"]).orderBy(
+        "event_type", "q"
+    )
+
+
 def q_bloom_membership(spark, sf):
     """Bloom-filter membership (operators/sketch.py): build an
     m-bit-bounded filter over the base shard's text fingerprints
@@ -3054,8 +3131,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- tier 0: new round 10 (never driver-verified) --------------------
-        # (empty at rotation time; r10 additions land here, displacing
-        # the NEWEST tier-2b pulls below back past the boundary)
+        # the mergeable quantile-sketch triad (rank leg of the sketch
+        # family; the eleventh stream ≡ batch pair)
+        "quantile_sketch_prices": q_quantile_sketch_prices,
+        "quantile_sketch_by_type": q_quantile_sketch_by_type,
+        "quantile_sketch_stream": q_quantile_sketch_stream,
         # -- tier 1: staged in r9 past position 50, never driver-verified ---
         # (the authoritative STAGED_FOR_NEXT_WINDOW set from round 9,
         # rotated to the window top per the r9 handoff)
@@ -3097,9 +3177,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "rate_anomalies": q_rate_anomalies,
-        "rate_anomalies_stream": q_rate_anomalies_stream,
-        "boilerplate_ngrams": q_boilerplate_ngrams,
-        "dedup_keep_best": q_dedup_keep_best,
         # -- tier 3: mtail_* reference-parity core (always in-window) -------
         "mtail_linecount": q_mtail_linecount,
         "mtail_counter_by": q_mtail_counter_by,
@@ -3116,11 +3193,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtail_prog_stateful": q_mtail_prog_stateful,
         "mtail_prog_txn": q_mtail_prog_txn,
         # ---------------- position 50 boundary is ABOVE this line ----------
-        # (12 staged-r9 + 1 r7-single (hybrid_search) + 23 r7-stale
-        # pulls + 14 mtail_* = exactly 50;
+        # (3 new-r10 + 12 staged-r9 + 1 r7-single (hybrid_search) + 20
+        # r7-stale pulls + 14 mtail_* = exactly 50;
         # tests/test_entry_contract.py pins the required contents)
         # -- tier 4a: next-oldest displaced rows (rotate back when the
         # window frees up; oldest-first order) -------------------------------
+        "rate_anomalies_stream": q_rate_anomalies_stream,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "dedup_keep_best": q_dedup_keep_best,
         "epoch_shuffle": q_epoch_shuffle,
         "mixture_sample": q_mixture_sample,
         "chunk_windows": q_chunk_windows,
@@ -4997,6 +5077,56 @@ _SQL_TPCH_Q14 = """
       AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
 """
 
+def _hdr_oracle_sql(source: str, group: str | None) -> str:
+    """DuckDB oracle for the quantile-sketch family: the bucket and
+    lower-bound formulas come from sketch.hdr_bucket_sql /
+    hdr_value_sql — literally the same strings Spark executes (no
+    integer-division token appears, so not even a dialect swap) —
+    followed by the same BIGINT type-1 selection.  `source` must
+    yield ({group,} v)."""
+    from mtail_spark.operators.sketch import hdr_bucket_sql, hdr_value_sql
+
+    bucket = hdr_bucket_sql("v")
+    val = hdr_value_sql("idx")
+    qlist = ", ".join(str(int(q)) for q in HDR_QUANTILES)
+    g = f"{group}, " if group else ""
+    join_tot = f"JOIN tot USING ({group})" if group else "CROSS JOIN tot"
+    return f"""
+    WITH vals AS ({source}),
+    cells AS (
+      SELECT {g}CAST({bucket} AS BIGINT) AS idx,
+             CAST(count(*) AS BIGINT) AS c
+      FROM vals GROUP BY {g}idx
+    ), tot AS (
+      SELECT {g}CAST(sum(c) AS BIGINT) AS n_rows
+      FROM cells {('GROUP BY ' + group) if group else ''}
+    ), qf AS (
+      SELECT CAST(unnest([{qlist}]) AS BIGINT) AS q
+    ), cum AS (
+      SELECT {g}q, idx, n_rows,
+             sum(c) OVER (PARTITION BY {g}q ORDER BY idx) AS cum
+      FROM cells {join_tot} CROSS JOIN qf
+    ), sel AS (
+      SELECT {g}q, n_rows, min(idx) AS idx
+      FROM cum WHERE cum >= (n_rows * q + 99) // 100
+      GROUP BY {g}q, n_rows
+    )
+    SELECT {g}q, CAST({val} AS BIGINT) AS est_value, n_rows FROM sel
+    """
+
+
+_SQL_HDR_PRICES = _hdr_oracle_sql(
+    "SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders",
+    None,
+)
+
+_SQL_HDR_BY_TYPE = _hdr_oracle_sql(
+    "SELECT event_type, CAST(coalesce(length(props), 0) AS BIGINT) AS v"
+    " FROM events",
+    "event_type",
+)
+
+
 def _zorder_oracle_sql() -> str:
     """DuckDB oracle for q_zorder_layout: identical two-branch rank +
     Morton interleave formulas (layout.rank_sql / interleave_sql keep
@@ -5522,6 +5652,11 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q21_waiting_suppliers": _SQL_TPCH_Q21,
         "zorder_layout": _SQL_ZORDER,
         "zorder_skipping_stats": _SQL_ZORDER_SKIP,
+        "quantile_sketch_prices": _SQL_HDR_PRICES,
+        "quantile_sketch_by_type": _SQL_HDR_BY_TYPE,
+        # the streaming dual is checked against the SAME oracle as its
+        # batch form — that equality IS the stream ≡ batch claim
+        "quantile_sketch_stream": _SQL_HDR_BY_TYPE,
         "hll_distinct_by_type": _sql_hll_distinct_by_type(),
         "hll_distinct_stream": _sql_hll_distinct_by_type(include_true=False),
         "tpch_q5_local_volume": _SQL_TPCH_Q5,

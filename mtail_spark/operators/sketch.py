@@ -319,6 +319,145 @@ def cms_token_counts(
     )
 
 
+# --------------------------------------------------------------- quantiles
+#
+# Mergeable RANK sketch — the third leg of the sketch triad next to
+# frequency (CMS, add-merge) and cardinality (HLL, max-merge).  KLL
+# (Karnin/Lang/Liberty 2016) is the textbook choice, but its
+# compactors discard odd/even survivors by a COIN FLIP, and any
+# deterministic derivation of that coin makes the result depend on
+# merge order — which would break both this repo's bit-equality
+# oracle gate and the stream ≡ batch proof (state-store merges see
+# arbitrary micro-batch boundaries).  So the rank sketch here is the
+# HDR-histogram / DDSketch family instead: values land in log2
+# octaves split into 2^HDR_SUB_BITS linear sub-buckets, counts
+# add-merge exactly like count-min cells (associative + commutative
+# -> merge-order-proof by construction), and the quantile estimate
+# is a deterministic type-1 selection over the bucket table with the
+# bucket's LOWER BOUND as the representative value.  Relative error
+# <= 2^-HDR_SUB_BITS (~3%); state <= ~(64 - HDR_SUB_BITS) * 2^
+# HDR_SUB_BITS + 2^(HDR_SUB_BITS+1) buckets (~1950 for full-range
+# int64) per group, at ANY value cardinality.
+#
+# Everything is integer bit math — bucket index from the bin()
+# bit-length (both engines print BIGINTs unpadded) plus shifts, so
+# the DuckDB oracle reproduces every bucket and every estimate
+# bit-for-bit; no transcendental log appears anywhere (the DDSketch
+# paper's log_gamma bucketing is NOT bit-portable at bucket
+# boundaries).
+
+HDR_SUB_BITS = 5  # 32 linear sub-buckets per octave
+
+
+def hdr_bucket_sql(v: str, sub_bits: int = HDR_SUB_BITS) -> str:
+    """Portable SQL bucket index over a BIGINT expression — ONE
+    source of truth rendered for both engines (Spark SQL and DuckDB
+    agree on BIN/LENGTH/GREATEST and << >> for BIGINT; no integer-
+    division token needed, so the string is literally shared).
+
+    idx = shift * 2^s + (v >> shift),  shift = max(bitlen(v)-1-s, 0)
+
+    Values < 2^(s+1) map EXACTLY (idx = v); above that, each power-
+    of-two octave splits into 2^s linear sub-buckets.  The index is
+    monotone in v and contiguous across the exact/log boundary.
+    Negative inputs clamp to 0 (the sketch domain is nonnegative;
+    bin() of a negative renders 64 two's-complement chars and the
+    engines' >> differ on sign extension, so the clamp is part of
+    the portable formula, not a convenience)."""
+    s = sub_bits
+    nn = f"GREATEST(CAST({v} AS BIGINT), CAST(0 AS BIGINT))"
+    shift = f"GREATEST(LENGTH(BIN({nn})) - {1 + s}, 0)"
+    return f"(({shift}) * {1 << s} + (({nn}) >> ({shift})))"
+
+
+def hdr_value_sql(idx: str, sub_bits: int = HDR_SUB_BITS) -> str:
+    """Bucket lower bound (the deterministic representative value):
+    k = max((idx >> s) - 1, 0); lo = (idx - k * 2^s) << k."""
+    s = sub_bits
+    k = f"GREATEST((({idx}) >> {s}) - 1, 0)"
+    return f"((({idx}) - ({k}) * {1 << s}) << ({k}))"
+
+
+def hdr_bucket_py(v: int, sub_bits: int = HDR_SUB_BITS) -> int:
+    """Driver-side mirror of hdr_bucket_sql (unit-test pin)."""
+    v = max(int(v), 0)
+    shift = max(v.bit_length() - 1 - sub_bits, 0)
+    return shift * (1 << sub_bits) + (v >> shift)
+
+
+def hdr_value_py(idx: int, sub_bits: int = HDR_SUB_BITS) -> int:
+    """Driver-side mirror of hdr_value_sql (unit-test pin)."""
+    k = max((idx >> sub_bits) - 1, 0)
+    return (idx - k * (1 << sub_bits)) << k
+
+
+def hdr_cells(
+    values: DataFrame,
+    group_cols: list | None = None,
+    value_col: str = "v",
+    sub_bits: int = HDR_SUB_BITS,
+) -> DataFrame:
+    """Sketch a nonnegative BIGINT value stream into (groups..., idx,
+    c) bucket counts — the bounded, ADD-MERGEABLE state.  Map-side
+    combine collapses every partition to <= bucket-count rows before
+    the one exchange, exactly like the count-min cells; the same
+    groupBy runs unchanged as a Structured Streaming stateful
+    aggregation (sums commute across micro-batches), which is how the
+    streaming dual reuses this builder verbatim."""
+    group_cols = group_cols or []
+    idx = F.expr(hdr_bucket_sql(value_col, sub_bits))
+    return (
+        values.select(*group_cols, idx.cast("long").alias("idx"))
+        .groupBy(*group_cols, "idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def hdr_quantiles(
+    cells: DataFrame,
+    quantiles: list,
+    group_cols: list | None = None,
+    sub_bits: int = HDR_SUB_BITS,
+) -> DataFrame:
+    """Deterministic type-1 quantile estimates over a (merged) cell
+    table: for each percentile q, rank = ceil(n*q/100) and the
+    estimate is the lower bound of the first bucket whose cumulative
+    count reaches it — all BIGINT arithmetic.
+
+    Plan shape: everything downstream of `cells` is bucket-count-
+    bounded (<= groups x ~1950 rows).  The per-group total is a
+    whole-partition window sum over the SAME partitioning as the
+    cumulative sum — one partitioned pass, no self-join (a
+    cells-with-aggregate-of-cells join also trips Spark's
+    conflicting-attribute resolution when `cells` is a streaming
+    memory-sink view, which the streaming dual feeds in).  The
+    window partitions by (groups..., q) — the quantile TAG keeps the
+    partition spec non-empty even in the global case (the
+    conversion_lag_quantiles pattern), so no Exchange
+    SinglePartition appears at any scale."""
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    spark = cells.sparkSession
+    qdf = spark.createDataFrame([(int(q),) for q in quantiles], "q long")
+    j = cells.crossJoin(F.broadcast(qdf))
+    w_cum = Window.partitionBy(*group_cols, "q").orderBy("idx")
+    w_all = Window.partitionBy(*group_cols, "q")
+    hit = (
+        j.withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("n_rows", F.sum("c").over(w_all).cast("long"))
+        .filter(F.col("cum") >= F.expr("(n_rows * q + 99) DIV 100"))
+        .groupBy(*group_cols, "q", "n_rows")
+        .agg(F.min("idx").alias("idx"))
+    )
+    return hit.select(
+        *group_cols,
+        "q",
+        F.expr(hdr_value_sql("idx", sub_bits)).cast("long").alias("est_value"),
+        "n_rows",
+    )
+
+
 BLOOM_BITS = 4096
 BLOOM_K = 3
 

@@ -22,6 +22,14 @@ STREAMING_REPLAY: dict[str, str] = {
     "band_join_stream": "band_join_counts",
     "asof_join_stream": "asof_join_last_touch",
     "sliding_window_stream": "sliding_window_stats",
+    # the mergeable-sketch pairs (r9 VERDICT item 4): their returned
+    # plan is only the estimate layer over the replayed state table,
+    # so the stateful-aggregation shape itself is audited via the
+    # batch dual that builds the same cells/registers from the same
+    # source
+    "hll_distinct_stream": "hll_distinct_by_type",
+    "cms_counts_stream": "cms_counts",
+    "quantile_sketch_stream": "quantile_sketch_by_type",
 }
 
 

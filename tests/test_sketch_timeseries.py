@@ -290,3 +290,107 @@ def test_cms_grouped_matches_global_per_subset(spark):
         }
         for t in terms:
             assert grouped[(g, t)] == glob[t], (g, t)
+
+
+# --------------------------------------------------- quantile sketch (HDR)
+
+
+def test_hdr_bucket_sql_matches_python_mirror(spark):
+    """The portable SQL bucket/value formulas must equal the
+    driver-side mirrors over exact-region, octave-boundary, and
+    wide values — including the negative clamp."""
+    vals = (
+        list(range(0, 130))
+        + [2**k + d for k in range(5, 62) for d in (-1, 0, 1)]
+        + [-5, -1, 10**12, (1 << 62) - 1]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = df.selectExpr(
+        "v",
+        SK.hdr_bucket_sql("v") + " AS idx",
+        SK.hdr_value_sql(SK.hdr_bucket_sql("v")) + " AS lo",
+    ).collect()
+    for r in got:
+        assert r["idx"] == SK.hdr_bucket_py(r["v"]), r["v"]
+        assert r["lo"] == SK.hdr_value_py(r["idx"]), r["v"]
+        if r["v"] >= 0:
+            # lower bound <= v, and relative error <= 2^-SUB_BITS
+            assert r["lo"] <= r["v"]
+            assert r["v"] - r["lo"] <= max(r["lo"] >> SK.HDR_SUB_BITS, 0)
+        else:
+            assert r["idx"] == 0  # clamp
+
+
+def test_hdr_bucket_exact_and_monotone():
+    s = SK.HDR_SUB_BITS
+    # exact region: idx == v below 2^(s+1)
+    for v in range(1 << (s + 1)):
+        assert SK.hdr_bucket_py(v) == v
+    # monotone over a dense range spanning several octaves
+    prev = -1
+    for v in range(0, 1 << (s + 4)):
+        idx = SK.hdr_bucket_py(v)
+        assert idx >= prev
+        prev = idx
+
+
+def test_hdr_merge_order_independence(spark):
+    """Cells are ADD-mergeable: sketching the union equals cellwise
+    addition of per-shard sketches (the property that makes the
+    streaming dual batch-boundary-proof)."""
+    a = spark.createDataFrame([(v % 97,) for v in range(500)], "v long")
+    b = spark.createDataFrame([(v * 13 % 401,) for v in range(400)], "v long")
+    whole = {
+        (r["idx"]): r["c"] for r in SK.hdr_cells(a.union(b)).collect()
+    }
+    merged: dict = {}
+    for shard in (a, b):
+        for r in SK.hdr_cells(shard).collect():
+            merged[r["idx"]] = merged.get(r["idx"], 0) + r["c"]
+    assert whole == merged
+
+
+def test_hdr_grouped_equals_global_per_subset(spark):
+    """hdr_cells/hdr_quantiles with a group column must equal the
+    global kernel run on each subset (the HLL/CMS discipline)."""
+    rows = [("a", v * 7 % 1009) for v in range(300)] + [
+        ("b", v * v % 5003) for v in range(200)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    grouped = {
+        (r["grp"], r["q"]): (r["est_value"], r["n_rows"])
+        for r in SK.hdr_quantiles(
+            SK.hdr_cells(df, ["grp"]), [50, 90, 99], ["grp"]
+        ).collect()
+    }
+    for g in ("a", "b"):
+        sub = df.filter(F.col("grp") == g)
+        for r in SK.hdr_quantiles(SK.hdr_cells(sub), [50, 90, 99]).collect():
+            assert grouped[(g, r["q"])] == (r["est_value"], r["n_rows"]), g
+
+
+def test_hdr_quantiles_known_values(spark):
+    """Type-1 selection over 1..100: p50 sits in the exact region
+    (== 50); p90/p99 land on their bucket lower bounds, computed
+    independently with the python mirror."""
+    df = spark.createDataFrame([(v,) for v in range(1, 101)], "v long")
+    got = {
+        r["q"]: (r["est_value"], r["n_rows"])
+        for r in SK.hdr_quantiles(SK.hdr_cells(df), [50, 90, 99]).collect()
+    }
+    vals = sorted(range(1, 101))
+    for q in (50, 90, 99):
+        rank = (len(vals) * q + 99) // 100
+        expect = SK.hdr_value_py(SK.hdr_bucket_py(vals[rank - 1]))
+        assert got[q] == (expect, 100), q
+    assert got[50][0] == 50  # exact region
+
+
+def test_hdr_state_is_bounded(spark):
+    # 50k distinct values over the full int64 range -> bucket count
+    # stays under the documented ~1950 ceiling
+    df = spark.range(50000).selectExpr("id * 184467440737095 AS v")
+    n = SK.hdr_cells(df).count()
+    assert n <= (64 - SK.HDR_SUB_BITS) * (1 << SK.HDR_SUB_BITS) + (
+        1 << (SK.HDR_SUB_BITS + 1)
+    )
