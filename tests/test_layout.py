@@ -172,11 +172,12 @@ def test_rank_sql_near_multiple_span_quantizes_uniformly(spark):
     # values except the last partial bucket; the clamped form put 14
     # of the 29 values on rank 15
     assert max(widths.values()) <= 2
+
+
+def test_zorder_full_width_keys_no_bucket_overflow(spark):
     """Regression: bits*ndim = 62 with power-of-two n_buckets used to
     overflow in the bucket multiply (zkey * 64 > 2^63); the divide
     form must handle full-width keys."""
-    from pyspark.sql import functions as F
-
     df = spark.createDataFrame(
         [(0, 0), (2**61, 2**61)], "a long, b long"
     )
@@ -200,3 +201,91 @@ def test_zorder_rejects_overflowing_non_pow2_buckets(spark):
     # but a small non-pow2 bucket count within headroom is fine
     out = zorder_key(df, ["a", "b"], bits=8, n_buckets=10).collect()
     assert len(out) == 1
+
+
+def test_zorder_write_prune_end_to_end(spark, sf_smoke, tmp_path):
+    """Close the loop between zorder_skipping_stats' SIMULATED
+    envelopes and a real layout write (r9 VERDICT item 3): write the
+    z-ordered frame to parquet with one file per zbucket, read the
+    ACTUAL per-file min/max from the parquet FOOTERS (pyarrow
+    row-group statistics — the exact metadata a scan pruner consults),
+    assert they equal the per-bucket envelopes the query predicts,
+    then prune on the footers alone and reproduce the query's skip
+    accounting against the on-disk files.
+
+    The write uses hash-repartition on zbucket + partitionBy(zbucket)
+    so bucket <-> file is exactly 1:1 (a repartitionByRange write is
+    the production pattern but its sampled boundaries can merge
+    buckets at test scale, which would only coarsen — not falsify —
+    the envelopes and make exact equality unassertable)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry
+
+    ev = entry._t(spark, sf_smoke, "events").select(
+        "event_id",
+        F.col("user_id").cast("long").alias("uid"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    z = zorder_key(
+        ev,
+        ["uid", "ts_us"],
+        bits=entry.ZORDER_BITS,
+        n_buckets=entry.ZORDER_BUCKETS,
+    )
+    out = str(tmp_path / "zlayout")
+    (
+        z.repartition(entry.ZORDER_BUCKETS, F.col("zbucket"))
+        .sortWithinPartitions("zkey")
+        .write.partitionBy("zbucket")
+        .parquet(out)
+    )
+
+    # ---- real footer statistics, one file per bucket --------------------
+    disk = {}
+    for path in glob.glob(os.path.join(out, "zbucket=*", "*.parquet")):
+        bucket = int(path.split("zbucket=")[1].split(os.sep)[0])
+        assert bucket not in disk, "bucket split across files"
+        md = pq.ParquetFile(path).metadata
+        uid_i = md.schema.names.index("uid")
+        mins, maxs, n = [], [], 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(uid_i).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+            n += md.row_group(rg).num_rows
+        disk[bucket] = (min(mins), max(maxs), n)
+
+    # ---- the simulated envelopes (what the query predicts) --------------
+    pred = {
+        r["zbucket"]: (r["uid_min"], r["uid_max"], r["n_rows"])
+        for r in z.groupBy("zbucket")
+        .agg(
+            F.min("uid").alias("uid_min"),
+            F.max("uid").alias("uid_max"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    }
+    assert disk == pred
+
+    # ---- prune on footers alone, scan survivors, reproduce the query ----
+    lo, hi = entry._ZSKIP_LO, entry._ZSKIP_HI
+    scanned = {b for b, (mn, mx, _) in disk.items() if mn <= hi and mx >= lo}
+    rows_scanned = sum(disk[b][2] for b in scanned)
+    survivors = spark.read.parquet(out).filter(F.col("zbucket").isin(scanned))
+    rows_matching = survivors.filter(
+        (F.col("uid") >= lo) & (F.col("uid") <= hi)
+    ).count()
+
+    stats = entry.queries()["zorder_skipping_stats"](spark, sf_smoke).collect()[0]
+    assert stats["n_buckets"] == len(disk)
+    assert stats["n_scanned"] == len(scanned)
+    assert stats["rows_scanned"] == rows_scanned
+    assert stats["rows_total"] == sum(v[2] for v in disk.values())
+    # envelopes are TRUE min/max, so pruning loses no matches: the
+    # survivor-only scan finds every matching row the query counted
+    assert stats["rows_matching"] == rows_matching
