@@ -61,7 +61,13 @@ GLOBAL_WINDOW_OK = {
 @pytest.fixture(scope="module")
 def all_plans(spark, sf_smoke):
     plans = {}
-    for name, fn in entrymod.queries().items():
+    todo = dict(entrymod.queries())
+    # the production-shape variants (exact demo columns off) are what
+    # SCALE.md audits for those queries — hold them to the same
+    # invariants under a distinct key
+    for name, fn in entrymod.PRODUCTION_VARIANTS.items():
+        todo[f"{name}@prod"] = fn
+    for name, fn in todo.items():
         if name in STREAMING_REPLAY:
             continue
         df = fn(spark, sf_smoke)
@@ -128,6 +134,16 @@ def test_no_unpartitioned_corpus_windows(all_plans):
         f"Window with empty partitionBy outside the documented k-row "
         f"allowlist (one-task global sort at scale): {offenders}"
     )
+
+
+def test_production_variants_drop_exact_demo_columns(spark, sf_smoke):
+    # every production variant must be the registered query minus its
+    # exact demo column(s) — same core schema, no exact subplan
+    for name, fn in entrymod.PRODUCTION_VARIANTS.items():
+        prod = set(fn(spark, sf_smoke).columns)
+        demo = set(entrymod.queries()[name](spark, sf_smoke).columns)
+        assert prod < demo, name
+        assert not ({"true_distinct", "exact_dup"} & prod), name
 
 
 def test_global_window_allowlist_is_tight(all_plans):
