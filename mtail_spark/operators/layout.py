@@ -109,6 +109,7 @@ def zorder_key(
     n_buckets: int = 64,
     key_col: str = "zkey",
     bucket_col: str = "zbucket",
+    envelope: dict[str, tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Append a Z-order key and a contiguous bucket id over ``cols``.
 
@@ -124,10 +125,17 @@ def zorder_key(
     contiguous spans — the natural ``repartitionByRange`` /
     file-split target.
 
-    Deterministic: the envelope comes from the data itself, so the
-    same frame always produces the same keys.  Growth caveat: a new
-    increment with a wider envelope re-ranks; for incremental layout
-    pin the envelope explicitly like any production table property.
+    Deterministic: by default the envelope comes from the data
+    itself, so the same frame always produces the same keys.  Growth
+    caveat: a new increment with a wider data envelope re-ranks —
+    for INCREMENTAL layout pass ``envelope={col: (min, max), ...}``
+    (the production table-property pattern): keys become a pure
+    function of the row, every batch ranks consistently, and the
+    plan loses even the 1-row aggregate + broadcast (nothing but
+    WholeStageCodegen bit math remains).  Out-of-range values clamp
+    into [min, max] first — a clamped row lands in the nearest edge
+    bucket (still a correct, if loose, envelope for skipping) rather
+    than producing a negative or overflowing rank.
     """
     ndim = len(cols)
     if ndim < 2:
@@ -153,6 +161,36 @@ def zorder_key(
         kind = dict(df.dtypes)[c]
         if kind not in ("int", "bigint", "smallint", "tinyint"):
             raise ValueError(f"zorder column {c} must be integral, got {kind}")
+
+    if envelope is not None:
+        missing = [c for c in cols if c not in envelope]
+        if missing:
+            raise ValueError(f"envelope missing columns: {missing}")
+        for c in cols:
+            mn, mx = envelope[c]
+            if not (
+                isinstance(mn, int) and isinstance(mx, int) and mn <= mx
+            ):
+                raise ValueError(f"bad envelope for {c}: {envelope[c]}")
+        # pinned envelope: min/max are LITERALS, the value clamps into
+        # them, and no aggregate/broadcast appears in the plan at all
+        ranks = [
+            F.expr(
+                rank_sql(
+                    f"LEAST(CAST({envelope[c][1]} AS BIGINT), "
+                    f"GREATEST(CAST({envelope[c][0]} AS BIGINT), "
+                    f"CAST({c} AS BIGINT)))",
+                    f"CAST({envelope[c][0]} AS BIGINT)",
+                    f"CAST({envelope[c][1]} AS BIGINT)",
+                    bits,
+                    "DIV",
+                )
+            )
+            for c in cols
+        ]
+        return df.select(
+            *df.columns, interleave_bits(ranks, bits).alias(key_col)
+        ).withColumn(bucket_col, F.expr(bucket_expr))
 
     env = df.agg(
         *[

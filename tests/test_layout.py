@@ -289,3 +289,66 @@ def test_zorder_write_prune_end_to_end(spark, sf_smoke, tmp_path):
     # envelopes are TRUE min/max, so pruning loses no matches: the
     # survivor-only scan finds every matching row the query counted
     assert stats["rows_matching"] == rows_matching
+
+
+def test_zorder_pinned_envelope_incremental(spark):
+    """Pinned envelopes (the incremental-layout API): keys equal the
+    data-derived ones when the envelope matches the data exactly,
+    stay CONSISTENT across increments (the whole point — a re-derived
+    envelope re-ranks), clamp out-of-range values into the edge
+    buckets, and drop even the 1-row aggregate from the plan."""
+    import io
+    import contextlib
+
+    rows = [(i, i % 50, i * 7 % 1000) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    env = {"a": (0, 49), "b": (0, 999)}  # == the data envelope
+
+    derived = {
+        r["id"]: (r["zkey"], r["zbucket"])
+        for r in zorder_key(df, ["a", "b"], bits=8, n_buckets=16).collect()
+    }
+    pinned = {
+        r["id"]: (r["zkey"], r["zbucket"])
+        for r in zorder_key(
+            df, ["a", "b"], bits=8, n_buckets=16, envelope=env
+        ).collect()
+    }
+    assert pinned == derived
+
+    # incremental consistency: a NARROW second batch ranks its rows
+    # identically under the pinned envelope (a data-derived envelope
+    # would re-stretch and disagree)
+    half = spark.createDataFrame(rows[:60], "id long, a long, b long")
+    inc = {
+        r["id"]: (r["zkey"], r["zbucket"])
+        for r in zorder_key(
+            half, ["a", "b"], bits=8, n_buckets=16, envelope=env
+        ).collect()
+    }
+    assert all(inc[i] == pinned[i] for i in inc)
+
+    # out-of-range values clamp to the edge ranks, never error
+    oob = spark.createDataFrame([(0, -5, 2000)], "id long, a long, b long")
+    r = zorder_key(
+        oob, ["a", "b"], bits=8, n_buckets=16, envelope=env
+    ).collect()[0]
+    lo = zorder_key(
+        spark.createDataFrame([(0, 0, 999)], "id long, a long, b long"),
+        ["a", "b"], bits=8, n_buckets=16, envelope=env,
+    ).collect()[0]
+    assert (r["zkey"], r["zbucket"]) == (lo["zkey"], lo["zbucket"])
+
+    # plan: no join, no aggregate — pure codegen over the scan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        zorder_key(df, ["a", "b"], bits=8, envelope=env).explain("formatted")
+    plan = buf.getvalue()
+    for node in ("Join", "Exchange", "HashAggregate"):
+        assert node not in plan, node
+
+    # bad envelopes fail loudly
+    with pytest.raises(ValueError, match="envelope missing"):
+        zorder_key(df, ["a", "b"], envelope={"a": (0, 49)})
+    with pytest.raises(ValueError, match="bad envelope"):
+        zorder_key(df, ["a", "b"], envelope={"a": (49, 0), "b": (0, 999)})

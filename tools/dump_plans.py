@@ -340,7 +340,27 @@ SHOW = [
      "per-group count-min: one 4x1024 grid per language (exact "
      "per-group term counts shuffle every distinct (lang, token) "
      "pair; the sketch shuffles <= depth*width rows per group); "
-     "grouped sketch broadcasts for the lookup join"),
+     "lookup-join strategy left to the planner (the grouped sketch "
+     "is groups-scaled, so no forced broadcast — r9 ADVICE)"),
+    ("quantile_sketch_prices",
+     "mergeable rank sketch (HDR-histogram family; KLL's randomized "
+     "compaction would be merge-order-dependent): one corpus scan "
+     "folds map-side into <= ~1950 integer bucket counts before the "
+     "single exchange; quantile selection is a (q)-partitioned "
+     "window + tiny aggregate over the bucket table — all BIGINT "
+     "bit math, no transcendental anywhere"),
+    ("quantile_sketch_by_type",
+     "grouped rank sketch: one bucket table per event type (an "
+     "exact percentile pass sorts every row per group at 100 TB; "
+     "this shuffles <= ~1950 rows per group); cumulative + total "
+     "via two window functions over ONE (group, q) partitioning — "
+     "no self-join"),
+    ("quantile_sketch_stream",
+     "ELEVENTH stream=batch pair: HDR bucket counts ADD-merge in "
+     "the streaming state store exactly like count-min cells (sums "
+     "commute across micro-batches), deterministic type-1 selection "
+     "over the final bounded cell table; checked against the SAME "
+     "oracle as the batch form"),
 ]
 
 INTERESTING = re.compile(
