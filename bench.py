@@ -113,6 +113,9 @@ SF1_QUERIES = [
     # heaviest new shape: 6M lineitem rows through ONE orderkey
     # window at sf1)
     "tpch_q21_waiting_suppliers",
+    # round-10 (1.5M orders fold into <= ~1950 bucket counts before
+    # the one exchange — the marginal cost should be scan-dominated)
+    "quantile_sketch_prices",
 ]
 
 
@@ -211,6 +214,18 @@ def compact_line(result: dict, limit: int = COMPACT_LIMIT) -> str:
 CANARY_ITERS = 600_000
 
 
+def _canary_spin(iters: int) -> float:
+    """One fixed md5 spin; module-level so the multi-core leg can
+    pickle it into worker processes."""
+    import hashlib
+
+    h = b"canary"
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        h = hashlib.md5(h).digest()
+    return time.perf_counter() - t0
+
+
 def host_canary(repeats: int = 3) -> float:
     """Fixed pure-CPU spin timed at bench start (r9 VERDICT item 2):
     CANARY_ITERS chained md5 digests, best of `repeats`.  The shared
@@ -221,16 +236,27 @@ def host_canary(repeats: int = 3) -> float:
     host_canary_sec across rounds before comparing query times.
     Single-threaded on purpose (the swing is per-core contention);
     min-of-N matches the suite's cross_round_basis."""
-    import hashlib
+    return round(min(_canary_spin(CANARY_ITERS) for _ in range(repeats)), 3)
 
-    best = float("inf")
-    for _ in range(repeats):
-        h = b"canary"
+
+def host_canary_mt(workers: int = 8) -> float:
+    """Multi-core canary leg: the SAME spin on `workers` processes at
+    once (processes, not threads — the 16-byte md5 loop holds the
+    GIL); reports the wall time for all to finish.  Catches the host
+    state the single-core canary cannot: a VM can deliver full
+    single-core turbo while its core COUNT is throttled, which slows
+    the parallel-stage-heavy queries (32-thread scans/shuffles) but
+    leaves host_canary_sec looking idle.  Ratio mt/st ~ 1 means full
+    parallel capacity; >> 1 means core-count throttling — read the
+    parallel-heavy rows accordingly."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    with ProcessPoolExecutor(max_workers=workers) as ex:
+        # warm the pool so process spawn cost stays out of the timing
+        list(ex.map(_canary_spin, [1000] * workers))
         t0 = time.perf_counter()
-        for _ in range(CANARY_ITERS):
-            h = hashlib.md5(h).digest()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 3)
+        list(ex.map(_canary_spin, [CANARY_ITERS] * workers))
+        return round(time.perf_counter() - t0, 3)
 
 
 def _sf1_dir() -> str | None:
@@ -260,6 +286,7 @@ def main():
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     canary = host_canary()
+    canary_mt = host_canary_mt()
     spark = get_spark("mtail-spark-bench")
     qs = entrymod.queries()
 
@@ -282,10 +309,13 @@ def main():
         "metric": "headline_suite_wall_sec",
         "value": round(total, 3),
         "unit": "sec",
-        # host-state calibration: NOT in _COMPACT_DROP_ORDER, so it
-        # always survives into the driver's recorded line.  BENCH.md
-        # maps canary values to the expected timing band.
+        # host-state calibration: NOT in _COMPACT_DROP_ORDER, so both
+        # legs always survive into the driver's recorded line.
+        # BENCH.md maps canary values to the expected timing band;
+        # mt/st >> 1 flags core-count throttling that the single-core
+        # leg cannot see.
         "host_canary_sec": canary,
+        "host_canary_mt_sec": canary_mt,
         "queries": timings,
         "queries_min": timings_min,
         "queries_cold": timings_cold,

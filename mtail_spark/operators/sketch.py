@@ -363,7 +363,11 @@ def hdr_bucket_sql(v: str, sub_bits: int = HDR_SUB_BITS) -> str:
     Negative inputs clamp to 0 (the sketch domain is nonnegative;
     bin() of a negative renders 64 two's-complement chars and the
     engines' >> differ on sign extension, so the clamp is part of
-    the portable formula, not a convenience)."""
+    the portable formula, not a convenience).  NULLs also land on
+    bucket 0: both engines' GREATEST skips nulls (verified on Spark
+    4 and DuckDB 1.0), so GREATEST(NULL, 0) = 0 — still, prefer an
+    explicit coalesce upstream so the intent is visible (the
+    registered queries do)."""
     s = sub_bits
     nn = f"GREATEST(CAST({v} AS BIGINT), CAST(0 AS BIGINT))"
     shift = f"GREATEST(LENGTH(BIN({nn})) - {1 + s}, 0)"

@@ -29,6 +29,7 @@ def _fake_result(n_queries=25, with_sf1=True):
         "dhcpd_klines_per_sec": 51.4,
         "cross_round_basis": "min",
         "host_canary_sec": 0.31,
+        "host_canary_mt_sec": 0.52,
         "dhcpd_klines_per_sec_best": 57.4,
         "compiled_program_klines_per_sec_best": 108.0,
         "mtail_parity_klines_per_sec_best": 289.2,
@@ -58,6 +59,7 @@ def test_compact_line_fits_tail_buffer():
     # the host-state calibration must always survive compaction — it
     # is what makes cross-round comparison of the record possible
     assert parsed["host_canary_sec"] == 0.31
+    assert parsed["host_canary_mt_sec"] == 0.52
 
 
 def test_compact_line_drops_detail_first():
