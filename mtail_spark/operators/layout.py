@@ -201,7 +201,7 @@ def zorder_key(
                 F.max(F.col(c).cast("long")).alias(f"__max_{c}"),
             )
         ]
-    )
+    )  # 1-row; broadcast below
     ranks = [
         F.expr(
             rank_sql(
@@ -215,3 +215,61 @@ def zorder_key(
         .select(*df.columns, interleave_bits(ranks, bits).alias(key_col))
         .withColumn(bucket_col, F.expr(bucket_expr))
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_buckets: int = 64,
+    envelope: dict[str, tuple[int, int]] | None = None,
+    keep_key_cols: bool = False,
+) -> None:
+    """The full OPTIMIZE ZORDER BY write path: compute the keys, route
+    each zbucket to exactly one output file, sort rows inside each
+    file by zkey, write parquet partitioned by zbucket.
+
+    Every file then carries a tight min/max footer envelope on ALL
+    the clustered dimensions at once — tests/test_layout.py's
+    end-to-end test proves the on-disk footer statistics equal the
+    envelopes `zorder_skipping_stats` simulates, and that pruning on
+    them loses no matching rows.
+
+    Layout choices, spelled out:
+    - hash-repartition on zbucket (not repartitionByRange): range
+      boundaries are SAMPLED and can split or merge buckets, which
+      loosens per-file envelopes; the hash route gives bucket<->file
+      exactly 1:1 (collisions co-locate whole buckets in one task,
+      and partitionBy still splits them into separate files).
+    - partitionBy(zbucket) puts the bucket id in the directory name,
+      so readers prune directories BEFORE opening footers.
+    - sortWithinPartitions(zbucket, zkey), NOT plain zkey: the
+      dynamic-partition writer requires its input ordered on the
+      partition columns and inserts its own UNSTABLE sort when the
+      plan's ordering doesn't already satisfy that — which destroys
+      zkey order within each bucket (observed; the end-to-end test
+      asserts per-file sortedness).  Leading with zbucket makes the
+      plan's outputOrdering satisfy the writer's requirement, so no
+      extra sort appears and per-file zkey locality survives for
+      within-file page-index skipping.  (zbucket is monotone in
+      zkey, so the pair sort IS the zkey sort.)
+    - pass `envelope` for INCREMENTAL writes (new data appended as
+      new files under the same layout): pinned envelopes keep bucket
+      boundaries identical across increments.
+
+    At 100 TB this is one shuffle of the table (the repartition) —
+    the unavoidable cost of physical clustering — with no other
+    exchange (pinned envelope) or one extra 1-row aggregate
+    (derived envelope)."""
+    z = zorder_key(
+        df, cols, bits=bits, n_buckets=n_buckets, envelope=envelope
+    )
+    laid = z.repartition(n_buckets, F.col("zbucket")).sortWithinPartitions(
+        "zbucket", "zkey"
+    )
+    if not keep_key_cols:
+        # a projection after the sort keeps intra-partition row order
+        # (no exchange); only the directory column zbucket survives
+        laid = laid.drop("zkey")
+    laid.write.partitionBy("zbucket").mode("overwrite").parquet(path)

@@ -213,17 +213,18 @@ def test_zorder_write_prune_end_to_end(spark, sf_smoke, tmp_path):
     then prune on the footers alone and reproduce the query's skip
     accounting against the on-disk files.
 
-    The write uses hash-repartition on zbucket + partitionBy(zbucket)
-    so bucket <-> file is exactly 1:1 (a repartitionByRange write is
-    the production pattern but its sampled boundaries can merge
-    buckets at test scale, which would only coarsen — not falsify —
-    the envelopes and make exact equality unassertable)."""
+    Drives layout.write_zordered — the user-facing OPTIMIZE ZORDER BY
+    write path (hash-repartition on zbucket + partitionBy so
+    bucket <-> file is exactly 1:1; its docstring explains why not
+    repartitionByRange) — and also asserts the within-file zkey sort
+    survived the writer."""
     import glob
     import os
 
     import pyarrow.parquet as pq
 
     import __spark_entry__ as entry
+    from mtail_spark.operators.layout import write_zordered
 
     ev = entry._t(spark, sf_smoke, "events").select(
         "event_id",
@@ -237,11 +238,13 @@ def test_zorder_write_prune_end_to_end(spark, sf_smoke, tmp_path):
         n_buckets=entry.ZORDER_BUCKETS,
     )
     out = str(tmp_path / "zlayout")
-    (
-        z.repartition(entry.ZORDER_BUCKETS, F.col("zbucket"))
-        .sortWithinPartitions("zkey")
-        .write.partitionBy("zbucket")
-        .parquet(out)
+    write_zordered(
+        ev,
+        out,
+        ["uid", "ts_us"],
+        bits=entry.ZORDER_BITS,
+        n_buckets=entry.ZORDER_BUCKETS,
+        keep_key_cols=True,
     )
 
     # ---- real footer statistics, one file per bucket --------------------
@@ -249,7 +252,8 @@ def test_zorder_write_prune_end_to_end(spark, sf_smoke, tmp_path):
     for path in glob.glob(os.path.join(out, "zbucket=*", "*.parquet")):
         bucket = int(path.split("zbucket=")[1].split(os.sep)[0])
         assert bucket not in disk, "bucket split across files"
-        md = pq.ParquetFile(path).metadata
+        pf = pq.ParquetFile(path)
+        md = pf.metadata
         uid_i = md.schema.names.index("uid")
         mins, maxs, n = [], [], 0
         for rg in range(md.num_row_groups):
@@ -258,6 +262,9 @@ def test_zorder_write_prune_end_to_end(spark, sf_smoke, tmp_path):
             maxs.append(st.max)
             n += md.row_group(rg).num_rows
         disk[bucket] = (min(mins), max(maxs), n)
+        # the within-file zkey sort survived the writer
+        zkeys = pf.read(columns=["zkey"]).column("zkey").to_pylist()
+        assert zkeys == sorted(zkeys), f"zkey order lost in {path}"
 
     # ---- the simulated envelopes (what the query predicts) --------------
     pred = {
