@@ -192,6 +192,12 @@ def ab(query: str, sf: str, n: int) -> None:
         print(f"iter {i:2d}: wall={wall:6.3f}s gc={gc1 - gc0:5d}ms",
               file=sys.stderr)
     walls = sorted(s["wall_s"] for s in samples)
+    # host-state calibration alongside the samples (same legs as
+    # bench.py): st = single-core turbo, mt = 8-process wall.  A
+    # cross-round wall delta under ~the canary ratios is host state,
+    # not code — see BENCH.md round-10 "canary" sections.
+    import bench
+
     out = {
         "query": query,
         "sf": sf,
@@ -200,6 +206,8 @@ def ab(query: str, sf: str, n: int) -> None:
         "median": walls[n // 2],
         "max": walls[-1],
         "max_over_min": round(walls[-1] / walls[0], 2),
+        "host_canary_sec": bench.host_canary(),
+        "host_canary_mt_sec": bench.host_canary_mt(),
         "samples": samples,
     }
     print(json.dumps(out))
