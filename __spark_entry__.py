@@ -1453,6 +1453,56 @@ def q_hll_distinct_stream(spark, sf):
     return SK.hll_estimate_by(tbl, "event_type").orderBy("event_type")
 
 
+def q_hll_set_algebra(spark, sf):
+    """HLL SET ALGEBRA across shards — the property that makes
+    register sketches a distributed-system primitive rather than a
+    one-table trick: per-shard register tables MAX-merge into the
+    union's registers WITHOUT rescanning either shard, and
+    inclusion-exclusion over the three estimates yields the overlap.
+    Here: distinct text fingerprints in the base shard (doc_id%3==0,
+    the dedup_incremental split), in the delta shard, in their union
+    (registers max-merged, <= 256 rows through the merge), and the
+    estimated overlap est_a + est_b - est_union (raw
+    inclusion-exclusion; can go slightly negative at small
+    cardinalities — kept signed so the estimator's true behavior is
+    visible and oracle-checkable).  At 100 TB the per-shard register
+    tables are WRITTEN once (the stored-index pattern, like
+    grep_index_reuse) and this whole query touches 512 register rows
+    — no corpus scan at all; at this SF the registers are computed
+    inline, so the plan shows the shard scans feeding bounded
+    register aggregates."""
+    import mtail_spark.operators.sketch as SK
+
+    docs = _t(spark, sf, "documents")
+    key = F.md5(F.substring(F.col("text"), 1, 40)).alias("key")
+    ra = SK.hll_registers(
+        docs.filter(F.col("doc_id") % 3 == 0).select(key), "key"
+    )
+    rb = SK.hll_registers(
+        docs.filter(F.col("doc_id") % 3 != 0).select(key), "key"
+    )
+    ru = (
+        ra.unionByName(rb)
+        .groupBy("bucket")
+        .agg(F.max("reg").cast("long").alias("reg"))
+    )
+    ea = SK.hll_estimate(ra).select(F.col("est_distinct").alias("est_a"))
+    eb = SK.hll_estimate(rb).select(F.col("est_distinct").alias("est_b"))
+    eu = SK.hll_estimate(ru).select(F.col("est_distinct").alias("est_union"))
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+            .cast("long")
+            .alias("est_overlap"),
+        )
+    )
+
+
 # percentiles the quantile-sketch family estimates; shared by the
 # Spark queries and the oracle builder
 HDR_QUANTILES = [50, 90, 99]
@@ -3171,6 +3221,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch_prices": q_quantile_sketch_prices,
         "quantile_sketch_by_type": q_quantile_sketch_by_type,
         "quantile_sketch_stream": q_quantile_sketch_stream,
+        # cross-shard sketch algebra (register max-merge union +
+        # inclusion-exclusion overlap)
+        "hll_set_algebra": q_hll_set_algebra,
         # -- tier 1: staged in r9 past position 50, never driver-verified ---
         # (the authoritative STAGED_FOR_NEXT_WINDOW set from round 9,
         # rotated to the window top per the r9 handoff)
@@ -3211,7 +3264,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
-        "rate_anomalies": q_rate_anomalies,
         # -- tier 3: mtail_* reference-parity core (always in-window) -------
         "mtail_linecount": q_mtail_linecount,
         "mtail_counter_by": q_mtail_counter_by,
@@ -3228,11 +3280,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtail_prog_stateful": q_mtail_prog_stateful,
         "mtail_prog_txn": q_mtail_prog_txn,
         # ---------------- position 50 boundary is ABOVE this line ----------
-        # (3 new-r10 + 12 staged-r9 + 1 r7-single (hybrid_search) + 20
+        # (4 new-r10 + 12 staged-r9 + 1 r7-single (hybrid_search) + 19
         # r7-stale pulls + 14 mtail_* = exactly 50;
         # tests/test_entry_contract.py pins the required contents)
         # -- tier 4a: next-oldest displaced rows (rotate back when the
         # window frees up; oldest-first order) -------------------------------
+        "rate_anomalies": q_rate_anomalies,
         "rate_anomalies_stream": q_rate_anomalies_stream,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "dedup_keep_best": q_dedup_keep_best,
@@ -4513,6 +4566,68 @@ def _sql_hll_distinct() -> str:
     """
 
 
+def _sql_hll_set_algebra() -> str:
+    """DuckDB mirror of q_hll_set_algebra: per-shard registers with
+    the same md5 lanes + generated rho tree, union registers via
+    max over the stacked shard registers, three estimates from one
+    shared formula, inclusion-exclusion overlap."""
+    import mtail_spark.operators.sketch as SK
+
+    m, cap = SK.HLL_BUCKETS, SK.HLL_CAP
+    alpha = 0.7213 / (1 + 1.079 / m)
+    k = float(alpha * m * m * (1 << cap))
+    rho_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN w >= {1 << (48 - r)} THEN {r}" for r in range(1, cap)
+        )
+        + f" ELSE {cap} END"
+    )
+
+    def est(regs: str) -> str:
+        # the estimate sub-select over a (bucket, reg) CTE — shared
+        # formula text, three instantiations
+        return f"""(
+          SELECT CAST(round({k!r} / CAST(s_present + ({m} - n_regs)
+                 * (CAST(1 AS BIGINT) << {cap}) AS DOUBLE)) AS BIGINT)
+          FROM (SELECT count(*) AS n_regs,
+                       CAST(sum(CAST(1 AS BIGINT) << ({cap} - reg))
+                            AS BIGINT) AS s_present
+                FROM {regs})
+        )"""
+
+    return f"""
+        WITH keyed AS (
+          SELECT doc_id, md5(substr(text, 1, 40)) AS key FROM documents
+        ), br_a AS (
+          SELECT CAST(concat('0x', substr(md5(concat('hll-', key)),
+                   1, 8)) AS BIGINT) % {m} AS bucket,
+                 CAST(concat('0x', substr(md5(concat('hll-', key)),
+                   9, 12)) AS BIGINT) AS w
+          FROM keyed WHERE doc_id % 3 = 0
+        ), br_b AS (
+          SELECT CAST(concat('0x', substr(md5(concat('hll-', key)),
+                   1, 8)) AS BIGINT) % {m} AS bucket,
+                 CAST(concat('0x', substr(md5(concat('hll-', key)),
+                   9, 12)) AS BIGINT) AS w
+          FROM keyed WHERE doc_id % 3 <> 0
+        ), rr_a AS (
+          SELECT bucket, max({rho_case}) AS reg FROM br_a GROUP BY 1
+        ), rr_b AS (
+          SELECT bucket, max({rho_case}) AS reg FROM br_b GROUP BY 1
+        ), rr_u AS (
+          SELECT bucket, max(reg) AS reg
+          FROM (SELECT * FROM rr_a UNION ALL SELECT * FROM rr_b)
+          GROUP BY 1
+        )
+        SELECT est_a, est_b, est_union,
+               CAST(est_a + est_b - est_union AS BIGINT) AS est_overlap
+        FROM (SELECT {est('rr_a')} AS est_a,
+                     {est('rr_b')} AS est_b,
+                     {est('rr_u')} AS est_union)
+    """
+
+
 def _sql_hll_distinct_by_type(include_true: bool = True) -> str:
     """DuckDB mirror of the per-group HLL: same lanes, same generated
     rho comparison tree, same integer harmonic sum — GROUP BY added
@@ -5708,6 +5823,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_skipping_stats": _SQL_ZORDER_SKIP,
         "quantile_sketch_prices": _SQL_HDR_PRICES,
         "quantile_sketch_by_type": _SQL_HDR_BY_TYPE,
+        "hll_set_algebra": _sql_hll_set_algebra(),
         # the streaming dual is checked against the SAME oracle as its
         # batch form — that equality IS the stream ≡ batch claim
         "quantile_sketch_stream": _SQL_HDR_BY_TYPE,

@@ -22,10 +22,12 @@ WINDOW = 50
 # set only after the corresponding CORRECTNESS_r{N}.json row lands
 # green.
 MUST_BE_IN_WINDOW = {
-    # new round 10 (the mergeable quantile-sketch triad)
+    # new round 10 (the mergeable quantile-sketch triad + cross-shard
+    # sketch algebra)
     "quantile_sketch_prices",
     "quantile_sketch_by_type",
     "quantile_sketch_stream",
+    "hll_set_algebra",
     # staged past position 50 in round 9, never driver-verified
     "tpch_q7_nation_volume",
     "tpch_q8_market_share",

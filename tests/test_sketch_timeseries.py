@@ -394,3 +394,38 @@ def test_hdr_state_is_bounded(spark):
     assert n <= (64 - SK.HDR_SUB_BITS) * (1 << SK.HDR_SUB_BITS) + (
         1 << (SK.HDR_SUB_BITS + 1)
     )
+
+
+def test_hll_register_union_is_max_merge(spark):
+    """Sketch algebra: max-merging two shards' register tables must
+    equal the registers of the concatenated input — the property
+    q_hll_set_algebra builds on (and why stored per-shard registers
+    can answer union cardinalities without rescanning)."""
+    a = spark.createDataFrame(
+        [(f"k{i}",) for i in range(400)], "key string"
+    )
+    b = spark.createDataFrame(
+        [(f"k{i}",) for i in range(200, 700)], "key string"
+    )
+    ra = SK.hll_registers(a, "key")
+    rb = SK.hll_registers(b, "key")
+    merged = {
+        r["bucket"]: r["reg"]
+        for r in ra.unionByName(rb)
+        .groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+        .collect()
+    }
+    whole = {
+        r["bucket"]: r["reg"]
+        for r in SK.hll_registers(a.union(b), "key").collect()
+    }
+    assert merged == whole
+    # and the union estimate sits in the HLL error band around the
+    # true union cardinality (700 distinct keys, ~6.5% std error)
+    est = SK.hll_estimate(
+        ra.unionByName(rb).groupBy("bucket").agg(
+            F.max("reg").cast("long").alias("reg")
+        )
+    ).collect()[0]["est_distinct"]
+    assert abs(est - 700) < 700 * 0.25

@@ -361,6 +361,12 @@ SHOW = [
      "commute across micro-batches), deterministic type-1 selection "
      "over the final bounded cell table; checked against the SAME "
      "oracle as the batch form"),
+    ("hll_set_algebra",
+     "cross-shard sketch algebra: per-shard register tables (each a "
+     "bounded aggregate over its filtered scan) MAX-merge into the "
+     "union registers — <= 512 rows through the merge, no rescan; "
+     "three estimate layers + inclusion-exclusion are 1-row "
+     "broadcast joins"),
 ]
 
 INTERESTING = re.compile(
