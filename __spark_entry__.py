@@ -1453,6 +1453,52 @@ def q_hll_distinct_stream(spark, sf):
     return SK.hll_estimate_by(tbl, "event_type").orderBy("event_type")
 
 
+def _cms_join_size(spark, sf, demo_exact: bool):
+    """Shared builder for cms_join_size; the exact join count rides
+    along only in the demo/oracle shape — estimating it WITHOUT that
+    join is the operator's entire point, so the production shape
+    (PRODUCTION_VARIANTS) is sketch-only."""
+    import mtail_spark.operators.sketch as SK
+
+    ev = (
+        _t(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id").cast("string").alias("term"))
+    )
+    od = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_custkey").isNotNull())
+        .select(F.col("o_custkey").cast("string").alias("term"))
+    )
+    est = SK.cms_inner_product(SK.cms_build(ev), SK.cms_build(od))
+    if not demo_exact:
+        return est
+    ta = _t(spark, sf, "events").select(
+        F.col("user_id").cast("long").alias("k")
+    )
+    tb = _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("long").alias("k")
+    )
+    true = ta.join(tb, "k").agg(
+        F.count(F.lit(1)).cast("long").alias("true_join_size")
+    )
+    return est.crossJoin(true)
+
+
+def q_cms_join_size(spark, sf):
+    """Equi-join cardinality estimation by count-min inner product
+    (sketch.cms_inner_product): how many rows would
+    events JOIN orders ON user_id = o_custkey produce?  Each side
+    sketches its key stream into the shared-lane 4x1024 grid; the
+    per-row cell dot products over-count only by collision mass, so
+    min over rows never under-estimates — the cost-based-planner
+    primitive that prices a prospective corpus join from kilobytes
+    of sketch state.  true_join_size rides along to make the
+    estimator's accuracy visible (the production shape drops it —
+    not running that join is the point)."""
+    return _cms_join_size(spark, sf, demo_exact=True)
+
+
 def q_hll_set_algebra(spark, sf):
     """HLL SET ALGEBRA across shards — the property that makes
     register sketches a distributed-system primitive rather than a
@@ -3222,8 +3268,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch_by_type": q_quantile_sketch_by_type,
         "quantile_sketch_stream": q_quantile_sketch_stream,
         # cross-shard sketch algebra (register max-merge union +
-        # inclusion-exclusion overlap)
+        # inclusion-exclusion overlap; join-size-by-inner-product)
         "hll_set_algebra": q_hll_set_algebra,
+        "cms_join_size": q_cms_join_size,
         # -- tier 1: staged in r9 past position 50, never driver-verified ---
         # (the authoritative STAGED_FOR_NEXT_WINDOW set from round 9,
         # rotated to the window top per the r9 handoff)
@@ -3263,7 +3310,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
         # -- tier 3: mtail_* reference-parity core (always in-window) -------
         "mtail_linecount": q_mtail_linecount,
         "mtail_counter_by": q_mtail_counter_by,
@@ -3280,11 +3326,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtail_prog_stateful": q_mtail_prog_stateful,
         "mtail_prog_txn": q_mtail_prog_txn,
         # ---------------- position 50 boundary is ABOVE this line ----------
-        # (4 new-r10 + 12 staged-r9 + 1 r7-single (hybrid_search) + 19
+        # (5 new-r10 + 12 staged-r9 + 1 r7-single (hybrid_search) + 18
         # r7-stale pulls + 14 mtail_* = exactly 50;
         # tests/test_entry_contract.py pins the required contents)
         # -- tier 4a: next-oldest displaced rows (rotate back when the
         # window frees up; oldest-first order) -------------------------------
+        "multimodal_frames": q_multimodal_frames,
         "rate_anomalies": q_rate_anomalies,
         "rate_anomalies_stream": q_rate_anomalies_stream,
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -3392,6 +3439,7 @@ PRODUCTION_VARIANTS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         s, sf, demo_exact=False
     ),
     "hll_distinct": lambda s, sf: _hll_distinct(s, sf, demo_exact=False),
+    "cms_join_size": lambda s, sf: _cms_join_size(s, sf, demo_exact=False),
     "hll_distinct_by_type": lambda s, sf: _hll_distinct_by_type(
         s, sf, demo_exact=False
     ),
@@ -4563,6 +4611,55 @@ def _sql_hll_distinct() -> str:
                     AS BIGINT) AS est_distinct,
                (SELECT count(DISTINCT term) FROM tok) AS true_distinct
         FROM a
+    """
+
+
+def _sql_cms_join_size(include_true: bool = True) -> str:
+    """DuckDB mirror of q_cms_join_size: both sides' cells from the
+    shared md5 lanes (the _sql_cms_core row construction, one per
+    side), per-row dot products, absent rows coalesced to 0 via the
+    range(depth) domain, min over rows."""
+    import mtail_spark.operators.sketch as SK
+
+    d, w = SK.DEPTH, SK.WIDTH
+
+    def rows_union(tok: str) -> str:
+        return "\nUNION ALL\n".join(
+            f"SELECT {i} AS r, CAST(concat('0x', substr(md5(concat("
+            f"'cms{i}-', term)), 1, 15)) AS BIGINT) % {w} AS b"
+            f" FROM {tok}"
+            for i in range(d)
+        )
+
+    true_col = (
+        """,
+           (SELECT CAST(count(*) AS BIGINT) FROM events e
+            JOIN orders o ON e.user_id = o.o_custkey)
+             AS true_join_size"""
+        if include_true
+        else ""
+    )
+    return f"""
+        WITH toka AS (
+          SELECT CAST(user_id AS VARCHAR) AS term FROM events
+          WHERE user_id IS NOT NULL
+        ), tokb AS (
+          SELECT CAST(o_custkey AS VARCHAR) AS term FROM orders
+          WHERE o_custkey IS NOT NULL
+        ), ca AS (
+          SELECT r, b, CAST(count(*) AS BIGINT) AS c
+          FROM ({rows_union('toka')}) GROUP BY r, b
+        ), cb AS (
+          SELECT r, b, CAST(count(*) AS BIGINT) AS c
+          FROM ({rows_union('tokb')}) GROUP BY r, b
+        ), dots AS (
+          SELECT ca.r, CAST(sum(ca.c * cb.c) AS BIGINT) AS dot
+          FROM ca JOIN cb ON ca.r = cb.r AND ca.b = cb.b
+          GROUP BY ca.r
+        )
+        SELECT (SELECT CAST(min(COALESCE(dot, 0)) AS BIGINT)
+                FROM range({d}) t(r) LEFT JOIN dots ON t.r = dots.r)
+                 AS est_join_size{true_col}
     """
 
 
@@ -5824,6 +5921,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_sketch_prices": _SQL_HDR_PRICES,
         "quantile_sketch_by_type": _SQL_HDR_BY_TYPE,
         "hll_set_algebra": _sql_hll_set_algebra(),
+        "cms_join_size": _sql_cms_join_size(),
         # the streaming dual is checked against the SAME oracle as its
         # batch form — that equality IS the stream ≡ batch claim
         "quantile_sketch_stream": _SQL_HDR_BY_TYPE,

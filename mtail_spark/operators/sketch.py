@@ -319,6 +319,42 @@ def cms_token_counts(
     )
 
 
+def cms_inner_product(
+    sa: DataFrame, sb: DataFrame, depth: int = DEPTH
+) -> DataFrame:
+    """JOIN-SIZE ESTIMATION by sketch inner product — the second
+    classic count-min application (Cormode & Muthukrishnan 2005,
+    §4.2): for two key streams A and B sketched with the SAME lanes,
+    dot_r = sum_b cellA[r][b] * cellB[r][b] equals |A join B| plus
+    nonnegative collision mass, so est = min over rows r of dot_r
+    never under-estimates the equi-join cardinality.  This is the
+    planner primitive: size a prospective join (or a self-join /
+    skew statistic, B = A) from two depth*width cell tables WITHOUT
+    executing it — at 100 TB the sketches are kilobytes where the
+    join is a corpus shuffle.
+
+    A hash row whose cells never collide across the two sketches has
+    dot_r = 0; an inner-join-only min would silently skip such rows
+    and over-estimate, so the row domain is materialized and absent
+    dots count as 0.  Everything here is sketch-sized."""
+    spark = sa.sparkSession
+    rows = spark.range(depth).select(F.col("id").cast("int").alias("row"))
+    dots = (
+        sa.select("row", "bucket", F.col("c").alias("ca"))
+        .join(
+            sb.select("row", "bucket", F.col("c").alias("cb")),
+            ["row", "bucket"],
+        )
+        .groupBy("row")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
+    )
+    return rows.join(dots, "row", "left").agg(
+        F.min(F.coalesce(F.col("dot"), F.lit(0)))
+        .cast("long")
+        .alias("est_join_size")
+    )
+
+
 # --------------------------------------------------------------- quantiles
 #
 # Mergeable RANK sketch — the third leg of the sketch triad next to

@@ -28,6 +28,7 @@ MUST_BE_IN_WINDOW = {
     "quantile_sketch_by_type",
     "quantile_sketch_stream",
     "hll_set_algebra",
+    "cms_join_size",
     # staged past position 50 in round 9, never driver-verified
     "tpch_q7_nation_volume",
     "tpch_q8_market_share",

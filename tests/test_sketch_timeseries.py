@@ -429,3 +429,38 @@ def test_hll_register_union_is_max_merge(spark):
         )
     ).collect()[0]["est_distinct"]
     assert abs(est - 700) < 700 * 0.25
+
+
+def test_cms_inner_product_never_underestimates_join_size(spark):
+    """Join-size estimation: est = min-row dot product never
+    under-counts the true equi-join cardinality and stays within the
+    collision-mass band at this scale."""
+    a = spark.createDataFrame(
+        [(str(k),) for k in range(1, 101)], "term string"
+    )
+    b = spark.createDataFrame(
+        [(str(k),) for k in range(50, 151) for _ in (0, 1)], "term string"
+    )
+    true = 51 * 2  # keys 50..100 from A, each twice in B
+    est = SK.cms_inner_product(SK.cms_build(a), SK.cms_build(b)).collect()[
+        0
+    ]["est_join_size"]
+    assert est >= true
+    assert est <= true + 200  # ~100x202/1024 expected collision mass/row
+
+
+def test_cms_inner_product_counts_absent_rows_as_zero(spark):
+    """A hash row with NO colliding cells must contribute dot 0 (the
+    row-domain left join); an inner-join-only min would skip it and
+    overestimate.  Construct cell tables that collide in row 0 only."""
+    sa = spark.createDataFrame(
+        [(0, 7, 5), (1, 3, 4)], "row int, bucket long, c long"
+    )
+    sb = spark.createDataFrame(
+        [(0, 7, 2), (1, 9, 6)], "row int, bucket long, c long"
+    )
+    est = SK.cms_inner_product(sa, sb, depth=4).collect()[0][
+        "est_join_size"
+    ]
+    # rows 1 (disjoint buckets), 2 and 3 (no cells at all) all dot 0
+    assert est == 0

@@ -361,6 +361,12 @@ SHOW = [
      "commute across micro-batches), deterministic type-1 selection "
      "over the final bounded cell table; checked against the SAME "
      "oracle as the batch form"),
+    ("cms_join_size",
+     "join-size estimation by sketch inner product: two shared-lane "
+     "cell builds (each one bounded exchange over its scan), a "
+     "sketch-sized (row,bucket) join, per-row dots with the row "
+     "domain coalesced to 0, min over <= depth rows — the corpus "
+     "join it prices never executes in the production shape"),
     ("hll_set_algebra",
      "cross-shard sketch algebra: per-shard register tables (each a "
      "bounded aggregate over its filtered scan) MAX-merge into the "
