@@ -1499,6 +1499,85 @@ def q_cms_join_size(spark, sf):
     return _cms_join_size(spark, sf, demo_exact=True)
 
 
+def _cms_self_join_size(spark, sf, demo_exact: bool):
+    """Shared builder for cms_self_join_size (see _cms_join_size for
+    the demo_exact discipline)."""
+    import mtail_spark.operators.sketch as SK
+
+    ev = (
+        _t(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id").cast("string").alias("term"))
+    )
+    est = SK.cms_inner_product(
+        SK.cms_build(ev), SK.cms_build(ev)
+    ).select(F.col("est_join_size").alias("est_f2"))
+    if not demo_exact:
+        return est
+    true = (
+        _t(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("ck"))
+        .agg(
+            F.sum(F.col("ck") * F.col("ck")).cast("long").alias("true_f2")
+        )
+    )
+    return est.crossJoin(true)
+
+
+def q_cms_self_join_size(spark, sf):
+    """Second frequency moment F2 = sum_k count(k)^2 of the events
+    user_id stream, estimated by the count-min inner product of the
+    sketch WITH ITSELF — the SELF-join-size / skew statistic a
+    planner reads before keying a shuffle on this column (F2 >> n
+    means hot keys; see skew_key_profile for the exact diagnosis and
+    skew_salted_agg for the mitigation this decision feeds).  Same
+    never-under-estimates guarantee as cms_join_size; true_f2 rides
+    along in the oracle shape only (one exact groupBy — cheap here,
+    but the sketch answers from fixed state on a stream where the
+    exact pass would re-aggregate per decision)."""
+    return _cms_self_join_size(spark, sf, demo_exact=True)
+
+
+def q_skew_key_profile(spark, sf):
+    """EXACT join-key skew profile of events.user_id — the planner
+    diagnostic that decides between a plain shuffle, AQE skew
+    handling, or explicit salting (skew_salted_agg): total rows n,
+    distinct keys d, the heaviest key's count and integer-permille
+    share, exact F2, and avg_multiplicity_x1000 = floor(F2*1000/n) —
+    the expected number of rows sharing a random row's key, x1000
+    (uniform key: (n/d)*1000; a hot key drives it toward
+    max_key_rows*1000).  The x1000 scaling is the exact TWO-TERM
+    form (f2 DIV n)*1000 + (f2 % n)*1000 DIV n: the naive f2*1000
+    multiply overflows int64 once f2 > ~9e15 (real for a skewed
+    1e8-row key column) and ANSI mode makes that a query error, while
+    the split form is exact for any f2 < 2^63 with both terms
+    bounded.  One map-side-combinable groupBy(user_id) count, then a
+    d-row aggregate; all BIGINT arithmetic."""
+    ev = _t(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    per_key = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("ck")
+    )
+    return per_key.agg(
+        F.sum("ck").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("ck").cast("long").alias("max_key_rows"),
+        F.sum(F.col("ck") * F.col("ck")).cast("long").alias("f2"),
+    ).select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        "f2",
+        F.expr("max_key_rows * 1000 DIV n_rows").alias(
+            "max_share_permille"
+        ),
+        F.expr(
+            "(f2 DIV n_rows) * 1000 + (f2 % n_rows) * 1000 DIV n_rows"
+        ).alias("avg_multiplicity_x1000"),
+    )
+
+
 def q_hll_set_algebra(spark, sf):
     """HLL SET ALGEBRA across shards — the property that makes
     register sketches a distributed-system primitive rather than a
@@ -3329,6 +3408,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (5 new-r10 + 12 staged-r9 + 1 r7-single (hybrid_search) + 18
         # r7-stale pulls + 14 mtail_* = exactly 50;
         # tests/test_entry_contract.py pins the required contents)
+        # -- tier 4s: STAGED for the round-11 window (added after the
+        # r10 window froze at 50; parity-green locally — the
+        # authoritative list is STAGED_FOR_NEXT_WINDOW in
+        # tests/test_entry_contract.py) --------------------------------------
+        "cms_self_join_size": q_cms_self_join_size,
+        "skew_key_profile": q_skew_key_profile,
         # -- tier 4a: next-oldest displaced rows (rotate back when the
         # window frees up; oldest-first order) -------------------------------
         "multimodal_frames": q_multimodal_frames,
@@ -3440,6 +3525,9 @@ PRODUCTION_VARIANTS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "hll_distinct": lambda s, sf: _hll_distinct(s, sf, demo_exact=False),
     "cms_join_size": lambda s, sf: _cms_join_size(s, sf, demo_exact=False),
+    "cms_self_join_size": lambda s, sf: _cms_self_join_size(
+        s, sf, demo_exact=False
+    ),
     "hll_distinct_by_type": lambda s, sf: _hll_distinct_by_type(
         s, sf, demo_exact=False
     ),
@@ -4661,6 +4749,63 @@ def _sql_cms_join_size(include_true: bool = True) -> str:
                 FROM range({d}) t(r) LEFT JOIN dots ON t.r = dots.r)
                  AS est_join_size{true_col}
     """
+
+
+def _sql_cms_self_join_size(include_true: bool = True) -> str:
+    """DuckDB mirror of q_cms_self_join_size: one cell table, dotted
+    with itself per row, same range(depth) row-domain coalesce."""
+    import mtail_spark.operators.sketch as SK
+
+    d, w = SK.DEPTH, SK.WIDTH
+    rows_union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS r, CAST(concat('0x', substr(md5(concat("
+        f"'cms{i}-', term)), 1, 15)) AS BIGINT) % {w} AS b FROM tok"
+        for i in range(d)
+    )
+    true_col = (
+        """,
+           (SELECT CAST(sum(ck * ck) AS BIGINT) FROM
+            (SELECT count(*) AS ck FROM events
+             WHERE user_id IS NOT NULL GROUP BY user_id))
+             AS true_f2"""
+        if include_true
+        else ""
+    )
+    return f"""
+        WITH tok AS (
+          SELECT CAST(user_id AS VARCHAR) AS term FROM events
+          WHERE user_id IS NOT NULL
+        ), cells AS (
+          SELECT r, b, CAST(count(*) AS BIGINT) AS c
+          FROM ({rows_union}) GROUP BY r, b
+        ), dots AS (
+          SELECT r, CAST(sum(c * c) AS BIGINT) AS dot
+          FROM cells GROUP BY r
+        )
+        SELECT (SELECT CAST(min(COALESCE(dot, 0)) AS BIGINT)
+                FROM range({d}) t(r) LEFT JOIN dots ON t.r = dots.r)
+                 AS est_f2{true_col}
+    """
+
+
+_SQL_SKEW_KEY_PROFILE = """
+    WITH pk AS (
+      SELECT CAST(count(*) AS BIGINT) AS ck FROM events
+      WHERE user_id IS NOT NULL GROUP BY user_id
+    ), a AS (
+      SELECT CAST(sum(ck) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(ck) AS BIGINT) AS max_key_rows,
+             CAST(sum(ck * ck) AS BIGINT) AS f2
+      FROM pk
+    )
+    SELECT n_rows, n_keys, max_key_rows, f2,
+           CAST(max_key_rows * 1000 // n_rows AS BIGINT)
+             AS max_share_permille,
+           CAST((f2 // n_rows) * 1000 + (f2 % n_rows) * 1000 // n_rows
+                AS BIGINT) AS avg_multiplicity_x1000
+    FROM a
+"""
 
 
 def _sql_hll_set_algebra() -> str:
@@ -5922,6 +6067,8 @@ def oracle_sql() -> dict[str, str]:
         "quantile_sketch_by_type": _SQL_HDR_BY_TYPE,
         "hll_set_algebra": _sql_hll_set_algebra(),
         "cms_join_size": _sql_cms_join_size(),
+        "cms_self_join_size": _sql_cms_self_join_size(),
+        "skew_key_profile": _SQL_SKEW_KEY_PROFILE,
         # the streaming dual is checked against the SAME oracle as its
         # batch form — that equality IS the stream ≡ batch claim
         "quantile_sketch_stream": _SQL_HDR_BY_TYPE,

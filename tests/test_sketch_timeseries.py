@@ -464,3 +464,22 @@ def test_cms_inner_product_counts_absent_rows_as_zero(spark):
     ]
     # rows 1 (disjoint buckets), 2 and 3 (no cells at all) all dot 0
     assert est == 0
+
+
+def test_two_term_permille_scaling_is_exact():
+    """skew_key_profile's overflow-safe x1000 scaling identity:
+    (f2 DIV n)*1000 + (f2 % n)*1000 DIV n == floor(f2*1000/n),
+    exactly, for any magnitudes (python ints are unbounded, so the
+    right side is the ground truth the int64 engines cannot compute
+    directly past f2 ~ 9e15)."""
+    cases = [
+        (7, 3),
+        (1, 1),
+        (999, 1000),
+        (10**18, 10**9),
+        (2**62, 3),
+        (10**18 + 7, 999_999_937),
+    ]
+    for f2, n in cases:
+        two_term = (f2 // n) * 1000 + (f2 % n) * 1000 // n
+        assert two_term == f2 * 1000 // n, (f2, n)

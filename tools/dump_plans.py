@@ -367,6 +367,16 @@ SHOW = [
      "sketch-sized (row,bucket) join, per-row dots with the row "
      "domain coalesced to 0, min over <= depth rows — the corpus "
      "join it prices never executes in the production shape"),
+    ("cms_self_join_size",
+     "F2/self-join-size by sketch self-inner-product: one key scan "
+     "per cell build, sketch-sized dot, min over <= depth rows; the "
+     "skew signal that feeds the salting decision without a groupBy "
+     "over the hot column"),
+    ("skew_key_profile",
+     "exact skew diagnostic: ONE map-side-combinable groupBy(key) "
+     "count then a d-row aggregate; the x1000 multiplicity uses the "
+     "two-term integer scaling so a skewed 1e8-row column cannot "
+     "overflow int64 under ANSI"),
     ("hll_set_algebra",
      "cross-shard sketch algebra: per-shard register tables (each a "
      "bounded aggregate over its filtered scan) MAX-merge into the "
