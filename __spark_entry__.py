@@ -1732,6 +1732,70 @@ def _bloom_membership(spark, sf, demo_exact: bool):
     )
 
 
+def q_hll_distinct_windowed(spark, sf):
+    """WINDOWED grouped HyperLogLog — event-time windows composed
+    with mergeable sketch state: distinct users PER (1-hour window,
+    event type), m=256 integers of state per cell regardless of
+    traffic.  This is the live-dashboard shape ('unique users per
+    hour right now'): the exact form shuffles every distinct
+    (window, type, user) triple and its state grows with uniques;
+    the register form's state is fixed per cell and the registers
+    MAX-merge — which is exactly why the streaming dual below can
+    fold micro-batches into the state store without ever seeing two
+    batches at once.  Sketch-only columns (the accuracy claim is
+    already oracle-pinned by hll_distinct_by_type's exact rider)."""
+    import mtail_spark.operators.sketch as SK
+
+    ev = _t(spark, sf, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+        F.col("user_id").cast("string").alias("uid_s"),
+    )
+    regs = SK.hll_registers_by(
+        ev, ["window_start", "event_type"], key_col="uid_s"
+    )
+    return SK.hll_estimate_by(
+        regs, ["window_start", "event_type"]
+    ).orderBy("window_start", "event_type")
+
+
+def q_hll_distinct_windowed_stream(spark, sf):
+    """Streaming dual of hll_distinct_windowed — the TWELFTH stream ≡
+    batch pair, composing the two stateful disciplines this engine
+    proves separately: event-time windowing (tumbling pair) and
+    mergeable sketch registers (HLL pairs).  Per-(window, type,
+    bucket) register MAXES accumulate in the Structured Streaming
+    state store; max is commutative and idempotent, so micro-batch
+    boundaries and arrival order cannot change the final registers,
+    and the estimate layer runs over the final bounded table.
+    Checked against the SAME oracle as the batch form.  A production
+    unbounded stream adds a watermark so closed windows age out of
+    the store (run_replay_to_table's docstring); the finite-replay
+    complete mode here is what makes the batch oracle exact."""
+    import mtail_spark.operators.sketch as SK
+    from mtail_spark.streaming.windows import (
+        run_replay_to_table,
+        stream_table,
+    )
+
+    ev = stream_table(spark, f"{sf}/events.parquet")
+    ts = F.col("ts").cast("timestamp")
+    keyed = ev.select(
+        F.window(ts, "1 hour").alias("w"),
+        "event_type",
+        F.col("user_id").cast("string").alias("uid_s"),
+    ).select(
+        F.col("w.start").alias("window_start"), "event_type", "uid_s"
+    )
+    regs = SK.hll_registers_by(
+        keyed, ["window_start", "event_type"], key_col="uid_s"
+    )
+    tbl = run_replay_to_table(regs, "hll_windowed_stream")
+    return SK.hll_estimate_by(
+        tbl, ["window_start", "event_type"]
+    ).orderBy("window_start", "event_type")
+
+
 def q_bloom_membership(spark, sf):
     """Bloom-filter membership (operators/sketch.py): build an
     m-bit-bounded filter over the base shard's text fingerprints
@@ -3414,6 +3478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_entry_contract.py) --------------------------------------
         "cms_self_join_size": q_cms_self_join_size,
         "skew_key_profile": q_skew_key_profile,
+        "hll_distinct_windowed": q_hll_distinct_windowed,
+        "hll_distinct_windowed_stream": q_hll_distinct_windowed_stream,
         # -- tier 4a: next-oldest displaced rows (rotate back when the
         # window frees up; oldest-first order) -------------------------------
         "multimodal_frames": q_multimodal_frames,
@@ -4698,6 +4764,59 @@ def _sql_hll_distinct() -> str:
                     * (CAST(1 AS BIGINT) << {cap}) AS DOUBLE))
                     AS BIGINT) AS est_distinct,
                (SELECT count(DISTINCT term) FROM tok) AS true_distinct
+        FROM a
+    """
+
+
+def _sql_hll_windowed() -> str:
+    """DuckDB mirror of the WINDOWED grouped HLL (shared by the batch
+    and streaming forms — that identity IS the twelfth stream ≡ batch
+    claim): date_trunc('hour') reproduces the 1-hour F.window starts
+    (UTC-aligned, the tumbling pair's proven equivalence), then the
+    same lanes / rho tree / integer harmonic sum as
+    _sql_hll_distinct_by_type with the window column added to both
+    grouping levels."""
+    import mtail_spark.operators.sketch as SK
+
+    m, cap = SK.HLL_BUCKETS, SK.HLL_CAP
+    alpha = 0.7213 / (1 + 1.079 / m)
+    k = float(alpha * m * m * (1 << cap))
+    rho_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN w >= {1 << (48 - r)} THEN {r}" for r in range(1, cap)
+        )
+        + f" ELSE {cap} END"
+    )
+    return f"""
+        WITH tok AS (
+          SELECT date_trunc('hour', ts) AS window_start, event_type,
+                 CAST(user_id AS VARCHAR) AS uid_s
+          FROM events
+        ), br AS (
+          SELECT window_start, event_type,
+                 CAST(concat('0x', substr(md5(concat('hll-', uid_s)),
+                   1, 8)) AS BIGINT) % {m} AS bucket,
+                 CAST(concat('0x', substr(md5(concat('hll-', uid_s)),
+                   9, 12)) AS BIGINT) AS w
+          FROM tok
+        ), rr AS (
+          SELECT window_start, event_type, bucket, max({rho_case}) AS reg
+          FROM br GROUP BY 1, 2, 3
+        ), a AS (
+          SELECT window_start, event_type, count(*) AS n_regs,
+                 CAST(sum(CAST(1 AS BIGINT) << ({cap} - reg))
+                      AS BIGINT) AS s_present
+          FROM rr GROUP BY 1, 2
+        )
+        SELECT window_start, event_type,
+               CAST(n_regs AS BIGINT) AS n_regs,
+               CAST(s_present + ({m} - n_regs)
+                    * (CAST(1 AS BIGINT) << {cap}) AS BIGINT)
+                 AS sum_scaled,
+               CAST(round({k!r} / CAST(s_present + ({m} - n_regs)
+                    * (CAST(1 AS BIGINT) << {cap}) AS DOUBLE))
+                    AS BIGINT) AS est_distinct
         FROM a
     """
 
@@ -6069,6 +6188,10 @@ def oracle_sql() -> dict[str, str]:
         "cms_join_size": _sql_cms_join_size(),
         "cms_self_join_size": _sql_cms_self_join_size(),
         "skew_key_profile": _SQL_SKEW_KEY_PROFILE,
+        "hll_distinct_windowed": _sql_hll_windowed(),
+        # the streaming dual is checked against the SAME oracle —
+        # that equality IS the twelfth stream ≡ batch claim
+        "hll_distinct_windowed_stream": _sql_hll_windowed(),
         # the streaming dual is checked against the SAME oracle as its
         # batch form — that equality IS the stream ≡ batch claim
         "quantile_sketch_stream": _SQL_HDR_BY_TYPE,

@@ -274,22 +274,26 @@ def hll_registers(
 
 def hll_registers_by(
     keys: DataFrame,
-    group_col: str,
+    group_col: str | list,
     key_col: str = "term",
     m: int = HLL_BUCKETS,
 ) -> DataFrame:
     """Per-group HLL registers: state is m integers PER GROUP VALUE
     regardless of per-group key cardinality (the "distinct users per
     day/type/source at 100 TB" shape: exact count_distinct shuffles
-    every distinct pair; this shuffles at most m rows per group)."""
-    return _hll_registers(keys, [group_col], key_col, m)
+    every distinct pair; this shuffles at most m rows per group).
+    ``group_col`` may be one column name or a list (e.g.
+    [window_start, event_type] for the windowed form)."""
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    return _hll_registers(keys, groups, key_col, m)
 
 
 def hll_estimate_by(
-    regs: DataFrame, group_col: str, m: int = HLL_BUCKETS
+    regs: DataFrame, group_col: str | list, m: int = HLL_BUCKETS
 ) -> DataFrame:
     """Per-group raw HLL estimate over a hll_registers_by table."""
-    return _hll_estimate(regs, [group_col], m)
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    return _hll_estimate(regs, groups, m)
 
 
 def hll_estimate(regs: DataFrame, m: int = HLL_BUCKETS) -> DataFrame:

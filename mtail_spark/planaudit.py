@@ -30,6 +30,7 @@ STREAMING_REPLAY: dict[str, str] = {
     "hll_distinct_stream": "hll_distinct_by_type",
     "cms_counts_stream": "cms_counts",
     "quantile_sketch_stream": "quantile_sketch_by_type",
+    "hll_distinct_windowed_stream": "hll_distinct_windowed",
 }
 
 

@@ -55,6 +55,9 @@ STAGED_FOR_NEXT_WINDOW: set = {
     # late round 10: the join-planning diagnostics pair
     "cms_self_join_size",
     "skew_key_profile",
+    # late round 10: the windowed-HLL twelfth stream ≡ batch pair
+    "hll_distinct_windowed",
+    "hll_distinct_windowed_stream",
 }
 
 

@@ -483,3 +483,30 @@ def test_two_term_permille_scaling_is_exact():
     for f2, n in cases:
         two_term = (f2 // n) * 1000 + (f2 % n) * 1000 // n
         assert two_term == f2 * 1000 // n, (f2, n)
+
+
+def test_hll_grouped_multi_column_matches_global_per_subset(spark):
+    """hll_registers_by/estimate_by with a LIST of group columns (the
+    windowed form) must equal the proven global kernel on each
+    (col1, col2) subset — the same discipline as the single-column
+    grouped pin."""
+    rows = [
+        (d, t, f"u{(i % 37) * (1 + d)}-{t}")
+        for d in (0, 1)
+        for t in ("a", "b")
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "day int, typ string, uid string")
+    grouped = {
+        (r["day"], r["typ"]): (r["est_distinct"], r["n_regs"])
+        for r in SK.hll_estimate_by(
+            SK.hll_registers_by(df, ["day", "typ"], key_col="uid"),
+            ["day", "typ"],
+        ).collect()
+    }
+    assert len(grouped) == 4
+    for d in (0, 1):
+        for t in ("a", "b"):
+            sub = df.filter((F.col("day") == d) & (F.col("typ") == t))
+            g = SK.hll_estimate(SK.hll_registers(sub, "uid")).collect()[0]
+            assert grouped[(d, t)] == (g["est_distinct"], g["n_regs"]), (d, t)

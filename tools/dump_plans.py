@@ -367,6 +367,16 @@ SHOW = [
      "sketch-sized (row,bucket) join, per-row dots with the row "
      "domain coalesced to 0, min over <= depth rows — the corpus "
      "join it prices never executes in the production shape"),
+    ("hll_distinct_windowed",
+     "event-time windows composed with mergeable sketch state: ONE "
+     "exchange on (window, type, bucket) builds the registers "
+     "map-side-combined; the estimate layer re-groups the bounded "
+     "register table"),
+    ("hll_distinct_windowed_stream",
+     "TWELFTH stream=batch pair: per-(window, type, bucket) register "
+     "maxes in the state store — windowing (tumbling pair) and "
+     "register merging (HLL pairs) composed; same oracle as the "
+     "batch form"),
     ("cms_self_join_size",
      "F2/self-join-size by sketch self-inner-product: one key scan "
      "per cell build, sketch-sized dot, min over <= depth rows; the "
