@@ -241,7 +241,13 @@ def write_zordered(
       boundaries are SAMPLED and can split or merge buckets, which
       loosens per-file envelopes; the hash route gives bucket<->file
       exactly 1:1 (collisions co-locate whole buckets in one task,
-      and partitionBy still splits them into separate files).
+      and partitionBy still splits them into separate files).  The
+      1:1 guarantee additionally assumes the writer's default
+      ``spark.sql.files.maxRecordsPerFile = 0``: a session that sets
+      a positive cap splits a large bucket into several files per
+      directory.  Per-file envelopes stay correct either way (each
+      file still holds one bucket's rows), just looser than one
+      envelope per bucket.
     - partitionBy(zbucket) puts the bucket id in the directory name,
       so readers prune directories BEFORE opening footers.
     - sortWithinPartitions(zbucket, zkey), NOT plain zkey: the

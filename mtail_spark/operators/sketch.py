@@ -155,9 +155,11 @@ def cms_estimate_by(
     group column (user-level grouping) it does not, so the sketch
     side carries NO forced F.broadcast — the planner (with AQE) picks
     broadcast when the measured size allows and falls back to a
-    shuffle join keyed on (group, row, bucket) otherwise.  Only the
+    shuffle join keyed on (group, row, bucket) otherwise.  The
     lookup fan-out (groups x terms x depth rows on the PRESERVED side
-    of the left join) is explicitly broadcast-built."""
+    of the left join) is a tiny local relation the planner broadcasts
+    on its own; no hint is forced (broadcasting the preserved side of
+    a left join isn't a valid hint anyway)."""
     spark = sketch.sparkSession
     lookups = spark.createDataFrame(
         [
@@ -340,9 +342,20 @@ def cms_inner_product(
     A hash row whose cells never collide across the two sketches has
     dot_r = 0; an inner-join-only min would silently skip such rows
     and over-estimate, so the row domain is materialized and absent
-    dots count as 0.  Everything here is sketch-sized."""
+    dots count as 0.  Everything here is sketch-sized.
+
+    Overflow: per-cell counts scale ~rows/width, so at ~1e12 input
+    rows ca*cb is ~1e18 and the width-cell row sum ~1e21 — past
+    int64, which ANSI mode turns into a query error.  The dot
+    products therefore accumulate in DECIMAL(38,0) (the computation
+    is sketch-sized, so the wide type costs nothing) and only the
+    final min is cast back to long; that cast is safe because the
+    min-over-rows estimate upper-bounds the true join size plus
+    collision mass of one row, which a real join could never reach
+    past int64 anyway without the join itself being impossible."""
     spark = sa.sparkSession
     rows = spark.range(depth).select(F.col("id").cast("int").alias("row"))
+    wide = "decimal(38,0)"
     dots = (
         sa.select("row", "bucket", F.col("c").alias("ca"))
         .join(
@@ -350,10 +363,14 @@ def cms_inner_product(
             ["row", "bucket"],
         )
         .groupBy("row")
-        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
+        .agg(
+            F.sum(
+                F.col("ca").cast(wide) * F.col("cb").cast(wide)
+            ).alias("dot")
+        )
     )
     return rows.join(dots, "row", "left").agg(
-        F.min(F.coalesce(F.col("dot"), F.lit(0)))
+        F.min(F.coalesce(F.col("dot"), F.lit(0).cast(wide)))
         .cast("long")
         .alias("est_join_size")
     )
