@@ -1578,6 +1578,33 @@ def q_skew_key_profile(spark, sf):
     )
 
 
+def q_join_strategy_advice(spark, sf):
+    """The JOIN-STRATEGY ADVISOR (planning.join_strategy_advice) —
+    the composition the two diagnostics exist for: the exact
+    skew_key_profile row and the sketch-only CMS self-join estimate
+    (production shape, no exact F2 pass) fold into ONE 1-row decision
+    table for keying a shuffle on events.user_id: hot_key (would the
+    heaviest key alone exceed 5x the average partition load at 200
+    shuffle partitions — Spark's own skewedPartitionFactor default),
+    advice_join (aqe-skew-join vs plain-shuffle: AQE's
+    OptimizeSkewedJoin splits a hot SMJ partition, proven live in
+    tests/test_scale_features.py), advice_agg (salted-two-phase vs
+    plain-shuffle: AQE cannot split a key group for an aggregate, so
+    hot keys need analytics.salted_agg), and est_fanout_x1000 — the
+    never-under-estimating self-join multiplicity from sketch state,
+    with the overflow-proof two-term x1000 form.  All thresholds are
+    integer/CASE arithmetic; tests/test_planning.py proves each
+    branch against what the engine actually does on planted-skew
+    tables."""
+    import mtail_spark.operators.planning as PL
+
+    profile = q_skew_key_profile(spark, sf)
+    est = _cms_self_join_size(spark, sf, demo_exact=False)
+    return PL.join_strategy_advice(
+        profile.drop("avg_multiplicity_x1000"), est
+    )
+
+
 def q_hll_set_algebra(spark, sf):
     """HLL SET ALGEBRA across shards — the property that makes
     register sketches a distributed-system primitive rather than a
@@ -3404,84 +3431,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window contents.
     """
     return {
-        # -- tier 0: new round 10 (never driver-verified) --------------------
-        # the mergeable quantile-sketch triad (rank leg of the sketch
-        # family; the eleventh stream ≡ batch pair)
-        "quantile_sketch_prices": q_quantile_sketch_prices,
-        "quantile_sketch_by_type": q_quantile_sketch_by_type,
-        "quantile_sketch_stream": q_quantile_sketch_stream,
-        # cross-shard sketch algebra (register max-merge union +
-        # inclusion-exclusion overlap; join-size-by-inner-product)
-        "hll_set_algebra": q_hll_set_algebra,
-        "cms_join_size": q_cms_join_size,
-        # -- tier 1: staged in r9 past position 50, never driver-verified ---
-        # (the authoritative STAGED_FOR_NEXT_WINDOW set from round 9,
-        # rotated to the window top per the r9 handoff)
-        "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
-        "tpch_q8_market_share": q_tpch_q8_market_share,
-        "tpch_q14_promo_share": q_tpch_q14_promo_share,
-        "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
-        "zorder_layout": q_zorder_layout,
-        "zorder_skipping_stats": q_zorder_skipping_stats,
-        "hll_distinct_by_type": q_hll_distinct_by_type,
-        "hll_distinct_stream": q_hll_distinct_stream,
-        "tpch_q5_local_volume": q_tpch_q5_local_volume,
-        "tpch_q12_priority_class": q_tpch_q12_priority_class,
-        "cms_counts_stream": q_cms_counts_stream,
-        "cms_counts_by_lang": q_cms_counts_by_lang,
-        # -- tier 2: single-green rows (hybrid_search has exactly one
-        # driver row, from r7 — the r9 notes miscounted it into the r9
-        # window; VERDICT r9 'what's wrong' item 2) -------------------------
-        "hybrid_search": q_hybrid_search,
-        # -- tier 2b: stalest displaced rows pulled back oldest-first
-        # (last green row r7; parked in tier 4a through rounds 8-9) ---------
-        "dataset_split": q_dataset_split,
-        "grep_index_reuse": q_grep_index_reuse,
-        "bloom_membership": q_bloom_membership,
-        "cms_counts": q_cms_counts,
-        "hll_distinct": q_hll_distinct,
-        "vocab_head": q_vocab_head,
-        "substring_search": q_substring_search,
-        "cluster_profile": q_cluster_profile,
-        "dedup_incremental": q_dedup_incremental,
-        "perplexity_buckets": q_perplexity_buckets,
-        "dedup_exact_stream": q_dedup_exact_stream,
-        "sim_topk_pq": q_sim_topk_pq,
-        "sim_pq_rerank": q_sim_pq_rerank,
-        "quality_classifier": q_quality_classifier,
-        "training_data_pipeline": q_training_data_pipeline,
-        "curation_pipeline": q_curation_pipeline,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_features": q_multimodal_features,
-        # -- tier 3: mtail_* reference-parity core (always in-window) -------
-        "mtail_linecount": q_mtail_linecount,
-        "mtail_counter_by": q_mtail_counter_by,
-        "mtail_bytes_sum": q_mtail_bytes_sum,
-        "mtail_gauge_lww": q_mtail_gauge_lww,
-        "mtail_histogram": q_mtail_histogram,
-        "mtail_strptime_hour": q_mtail_strptime_hour,
-        "mtail_getfilename": q_mtail_getfilename,
-        "mtail_prog_counters": q_mtail_prog_counters,
-        "mtail_prog_dhcpd": q_mtail_prog_dhcpd,
-        "mtail_prog_dhcpd_core": q_mtail_prog_dhcpd_core,
-        "mtail_prog_gauge": q_mtail_prog_gauge,
-        "mtail_prog_histogram": q_mtail_prog_histogram,
-        "mtail_prog_stateful": q_mtail_prog_stateful,
-        "mtail_prog_txn": q_mtail_prog_txn,
-        # ---------------- position 50 boundary is ABOVE this line ----------
-        # (5 new-r10 + 12 staged-r9 + 1 r7-single (hybrid_search) + 18
-        # r7-stale pulls + 14 mtail_* = exactly 50;
-        # tests/test_entry_contract.py pins the required contents)
-        # -- tier 4s: STAGED for the round-11 window (added after the
-        # r10 window froze at 50; parity-green locally — the
-        # authoritative list is STAGED_FOR_NEXT_WINDOW in
-        # tests/test_entry_contract.py) --------------------------------------
+        # -- tier 0: new round 11 (never driver-verified) --------------------
+        # the join-strategy advisor: the composition the r10
+        # diagnostics pair exists for (VERDICT r10 item 5)
+        "join_strategy_advice": q_join_strategy_advice,
+        # -- tier 1: staged in r10 past position 50, never driver-verified --
+        # (the authoritative STAGED_FOR_NEXT_WINDOW set from round 10,
+        # rotated to the window top per the r10 handoff: the
+        # join-planning diagnostics pair + the windowed-HLL twelfth
+        # stream ≡ batch pair)
         "cms_self_join_size": q_cms_self_join_size,
         "skew_key_profile": q_skew_key_profile,
         "hll_distinct_windowed": q_hll_distinct_windowed,
         "hll_distinct_windowed_stream": q_hll_distinct_windowed_stream,
-        # -- tier 4a: next-oldest displaced rows (rotate back when the
-        # window frees up; oldest-first order) -------------------------------
+        # -- tier 2: refill oldest-green-first — these 18 last went
+        # driver-green in round 7 (parked through rounds 8-10) ---------------
         "multimodal_frames": q_multimodal_frames,
         "rate_anomalies": q_rate_anomalies,
         "rate_anomalies_stream": q_rate_anomalies_stream,
@@ -3500,7 +3464,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "sample_stratified": q_sample_stratified,
         "session_window_stream": q_session_window_stream,
-        # -- tier 4c: freshly proven in CORRECTNESS_r09 (green last round) --
+        # -- tier 2b: next-oldest — last driver-green in round 8 (first
+        # 13 of the r8 cohort; the remainder stays parked past 50) -----------
+        "asof_join_last_touch": q_asof_join_last_touch,
+        "funnel_conversion": q_funnel_conversion,
+        "retention_cohorts": q_retention_cohorts,
+        "rollup_report": q_rollup_report,
+        "pivot_wide": q_pivot_wide,
+        "skew_salted_agg": q_skew_salted_agg,
+        "sliding_window_stats": q_sliding_window_stats,
+        "band_join_counts": q_band_join_counts,
+        "band_join_stream": q_band_join_stream,
+        "attribution_pipeline": q_attribution_pipeline,
+        "cusum_changepoints": q_cusum_changepoints,
+        "incident_correlation": q_incident_correlation,
+        "state_intervals": q_state_intervals,
+        # -- tier 3: mtail_* reference-parity core (always in-window) -------
+        "mtail_linecount": q_mtail_linecount,
+        "mtail_counter_by": q_mtail_counter_by,
+        "mtail_bytes_sum": q_mtail_bytes_sum,
+        "mtail_gauge_lww": q_mtail_gauge_lww,
+        "mtail_histogram": q_mtail_histogram,
+        "mtail_strptime_hour": q_mtail_strptime_hour,
+        "mtail_getfilename": q_mtail_getfilename,
+        "mtail_prog_counters": q_mtail_prog_counters,
+        "mtail_prog_dhcpd": q_mtail_prog_dhcpd,
+        "mtail_prog_dhcpd_core": q_mtail_prog_dhcpd_core,
+        "mtail_prog_gauge": q_mtail_prog_gauge,
+        "mtail_prog_histogram": q_mtail_prog_histogram,
+        "mtail_prog_stateful": q_mtail_prog_stateful,
+        "mtail_prog_txn": q_mtail_prog_txn,
+        # ---------------- position 50 boundary is ABOVE this line ----------
+        # (1 new-r11 + 4 staged-r10 + 18 r7-stale refills + 13 r8-stale
+        # refills + 14 mtail_* = exactly 50;
+        # tests/test_entry_contract.py pins the required contents)
+        # -- tier 4b: rest of the r8 cohort (next-stalest; first in
+        # line for the r12 refill) --------------------------------------------
+        "seasonal_anomalies": q_seasonal_anomalies,
+        "log_templates": q_log_templates,
+        "event_transitions": q_event_transitions,
+        "multi_touch_attribution": q_multi_touch_attribution,
+        "asof_join_stream": q_asof_join_stream,
+        "sliding_window_counts": q_sliding_window_counts,
+        "sliding_window_stream": q_sliding_window_stream,
+        "tpch_q3_shipping": q_tpch_q3_shipping,
+        "hard_negatives": q_hard_negatives,
+        "bpe_merge_pairs": q_bpe_merge_pairs,
+        "hist_quantiles": q_hist_quantiles,
+        "json_props_agg": q_json_props_agg,
+        "tumbling_window_stream": q_tumbling_window_stream,
+        "curation_pipeline_v2": q_curation_pipeline_v2,
+        "dedup_incremental_stream": q_dedup_incremental_stream,
+        "dataset_split_grouped": q_dataset_split_grouped,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_topk_gemm": q_sim_topk_gemm,
+        "pack_sequences": q_pack_sequences,
+        "decontamination": q_decontamination,
+        # -- tier 4c: the r9 cohort (green in CORRECTNESS_r09) ---------------
         "tpch_q18_big_orders": q_tpch_q18_big_orders,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q13_custdist": q_tpch_q13_custdist,
@@ -3537,43 +3560,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
         "sample_documents": q_sample_documents,
-        # -- tier 4b: freshly proven in CORRECTNESS_r08 (green two rounds ago)
-        "asof_join_last_touch": q_asof_join_last_touch,
-        "funnel_conversion": q_funnel_conversion,
-        "retention_cohorts": q_retention_cohorts,
-        "rollup_report": q_rollup_report,
-        "pivot_wide": q_pivot_wide,
-        "skew_salted_agg": q_skew_salted_agg,
-        "sliding_window_stats": q_sliding_window_stats,
-        "band_join_counts": q_band_join_counts,
-        "band_join_stream": q_band_join_stream,
-        "attribution_pipeline": q_attribution_pipeline,
-        "cusum_changepoints": q_cusum_changepoints,
-        "incident_correlation": q_incident_correlation,
-        "state_intervals": q_state_intervals,
-        "seasonal_anomalies": q_seasonal_anomalies,
-        "log_templates": q_log_templates,
-        "event_transitions": q_event_transitions,
-        "multi_touch_attribution": q_multi_touch_attribution,
-        "asof_join_stream": q_asof_join_stream,
-        "sliding_window_counts": q_sliding_window_counts,
-        "sliding_window_stream": q_sliding_window_stream,
-        "tpch_q3_shipping": q_tpch_q3_shipping,
-        "hard_negatives": q_hard_negatives,
-        "bpe_merge_pairs": q_bpe_merge_pairs,
-        "hist_quantiles": q_hist_quantiles,
-        "json_props_agg": q_json_props_agg,
-        "tumbling_window_stream": q_tumbling_window_stream,
-        "curation_pipeline_v2": q_curation_pipeline_v2,
-        "dedup_incremental_stream": q_dedup_incremental_stream,
-        "dataset_split_grouped": q_dataset_split_grouped,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "tpch_pricing_summary": q_tpch_pricing_summary,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "sim_topk_gemm": q_sim_topk_gemm,
-        "pack_sequences": q_pack_sequences,
-        "decontamination": q_decontamination,
+        # -- tier 4d: the r10 cohort (green in CORRECTNESS_r10 —
+        # freshest; last in line for future refills) --------------------------
+        "quantile_sketch_prices": q_quantile_sketch_prices,
+        "quantile_sketch_by_type": q_quantile_sketch_by_type,
+        "quantile_sketch_stream": q_quantile_sketch_stream,
+        "hll_set_algebra": q_hll_set_algebra,
+        "cms_join_size": q_cms_join_size,
+        "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q14_promo_share": q_tpch_q14_promo_share,
+        "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
+        "zorder_layout": q_zorder_layout,
+        "zorder_skipping_stats": q_zorder_skipping_stats,
+        "hll_distinct_by_type": q_hll_distinct_by_type,
+        "hll_distinct_stream": q_hll_distinct_stream,
+        "tpch_q5_local_volume": q_tpch_q5_local_volume,
+        "tpch_q12_priority_class": q_tpch_q12_priority_class,
+        "cms_counts_stream": q_cms_counts_stream,
+        "cms_counts_by_lang": q_cms_counts_by_lang,
+        "hybrid_search": q_hybrid_search,
+        "dataset_split": q_dataset_split,
+        "grep_index_reuse": q_grep_index_reuse,
+        "bloom_membership": q_bloom_membership,
+        "cms_counts": q_cms_counts,
+        "hll_distinct": q_hll_distinct,
+        "vocab_head": q_vocab_head,
+        "substring_search": q_substring_search,
+        "cluster_profile": q_cluster_profile,
+        "dedup_incremental": q_dedup_incremental,
+        "perplexity_buckets": q_perplexity_buckets,
+        "dedup_exact_stream": q_dedup_exact_stream,
+        "sim_topk_pq": q_sim_topk_pq,
+        "sim_pq_rerank": q_sim_pq_rerank,
+        "quality_classifier": q_quality_classifier,
+        "training_data_pipeline": q_training_data_pipeline,
+        "curation_pipeline": q_curation_pipeline,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -4907,6 +4931,68 @@ def _sql_cms_self_join_size(include_true: bool = True) -> str:
     """
 
 
+def _sql_join_strategy_advice() -> str:
+    """DuckDB mirror of q_join_strategy_advice: the exact profile CTE
+    and the sketch-only self-join CTE (same cell grid as
+    _sql_cms_self_join_size), then the advisor's integer/CASE
+    decision arithmetic verbatim (thresholds: partitions=200,
+    skew_factor=5 — planning.py module docstring)."""
+    import mtail_spark.operators.planning as PL
+    import mtail_spark.operators.sketch as SK
+
+    d, w = SK.DEPTH, SK.WIDTH
+    rows_union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS r, CAST(concat('0x', substr(md5(concat("
+        f"'cms{i}-', term)), 1, 15)) AS BIGINT) % {w} AS b FROM tok"
+        for i in range(d)
+    )
+    hot = (
+        f"max_key_rows * {PL.DEFAULT_PARTITIONS} > "
+        f"{PL.SKEW_FACTOR} * n_rows"
+    )
+    fanout = (
+        "(est_f2 // n_rows) * 1000 + (est_f2 % n_rows) * 1000 // n_rows"
+    )
+    return f"""
+        WITH pk AS (
+          SELECT CAST(count(*) AS BIGINT) AS ck FROM events
+          WHERE user_id IS NOT NULL GROUP BY user_id
+        ), prof AS (
+          SELECT CAST(sum(ck) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(max(ck) AS BIGINT) AS max_key_rows,
+                 CAST(sum(ck * ck) AS BIGINT) AS f2
+          FROM pk
+        ), tok AS (
+          SELECT CAST(user_id AS VARCHAR) AS term FROM events
+          WHERE user_id IS NOT NULL
+        ), cells AS (
+          SELECT r, b, CAST(count(*) AS BIGINT) AS c
+          FROM ({rows_union}) GROUP BY r, b
+        ), dots AS (
+          SELECT r, CAST(sum(c * c) AS BIGINT) AS dot
+          FROM cells GROUP BY r
+        ), est AS (
+          SELECT (SELECT CAST(min(COALESCE(dot, 0)) AS BIGINT)
+                  FROM range({d}) t(r) LEFT JOIN dots ON t.r = dots.r)
+                   AS est_f2
+        )
+        SELECT n_rows, n_keys, max_key_rows, f2, est_f2,
+               CAST(max_key_rows * 1000 // n_rows AS BIGINT)
+                 AS max_share_permille,
+               CAST(CASE WHEN {hot} THEN 1 ELSE 0 END AS BIGINT)
+                 AS hot_key,
+               CASE WHEN {hot} THEN '{PL.AQE_SKEW}'
+                    ELSE '{PL.PLAIN}' END AS advice_join,
+               CASE WHEN {hot} THEN '{PL.SALTED}'
+                    ELSE '{PL.PLAIN}' END AS advice_agg,
+               CAST({fanout} AS BIGINT) AS est_fanout_x1000,
+               CAST(CASE WHEN {fanout} > {PL.BLOWUP_X1000}
+                    THEN 1 ELSE 0 END AS BIGINT) AS fanout_heavy
+        FROM prof, est
+    """
+
+
 _SQL_SKEW_KEY_PROFILE = """
     WITH pk AS (
       SELECT CAST(count(*) AS BIGINT) AS ck FROM events
@@ -6188,6 +6274,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_join_size": _sql_cms_join_size(),
         "cms_self_join_size": _sql_cms_self_join_size(),
         "skew_key_profile": _SQL_SKEW_KEY_PROFILE,
+        "join_strategy_advice": _sql_join_strategy_advice(),
         "hll_distinct_windowed": _sql_hll_windowed(),
         # the streaming dual is checked against the SAME oracle —
         # that equality IS the twelfth stream ≡ batch claim

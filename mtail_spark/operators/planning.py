@@ -1,0 +1,182 @@
+"""Shuffle/join strategy advisor — turns the two planning
+diagnostics (the exact ``skew_key_profile`` and the sketch-only
+``cms_inner_product`` self-join estimate) into an actionable
+decision: plain shuffle, AQE skew handling, or explicit two-phase
+salting (``analytics.salted_agg``).
+
+The reference engine (mtail) has no relational planner — this is
+Spark-native surface, the "what do I do with this key column"
+primitive a 100 TB pipeline consults BEFORE keying a shuffle on a
+column, priced from one cheap map-combinable profile pass (or, on a
+stream, from kilobytes of stored CMS state via ``est_f2``).
+
+Decision thresholds, spelled out (all integer arithmetic so the
+DuckDB oracle reproduces every branch bit-for-bit):
+
+- ``hot_key``: ``max_key_rows * partitions > skew_factor * n_rows``
+  — the heaviest key alone would exceed ``skew_factor`` times the
+  average post-shuffle partition load (``n_rows / partitions``).
+  ``skew_factor`` defaults to 5, matching Spark's own
+  ``spark.sql.adaptive.skewJoin.skewedPartitionFactor`` default, so
+  the advisor predicts the same partitions AQE itself would flag.
+- ``advice_join``: hot key → ``aqe-skew-join``.  For sort-merge
+  joins AQE's OptimizeSkewedJoin splits an oversized partition into
+  sub-ranges of the map outputs and duplicates the other side, so a
+  single indivisible hot key IS handled — the advice is "turn AQE
+  skew handling on and let it", not a manual rewrite
+  (tests/test_scale_features.py::test_aqe_splits_skewed_join shows
+  the engine doing exactly this, `skew=true` in the final plan).
+- ``advice_agg``: hot key → ``salted-two-phase``.  AQE canNOT split
+  a hot key for an aggregate — every row of a key must meet at one
+  reducer — so holistic / large-state aggregates need the explicit
+  salt → partial → merge rewrite (``analytics.salted_agg``); purely
+  algebraic aggregates are already defused by map-side combine, and
+  the salted shape is semantically identical, so the advice is safe
+  either way.
+- ``est_fanout_x1000``: the sketch-estimated self-join multiplicity
+  ``est_f2 / n_rows`` ×1000 — the expected number of output rows per
+  input row if this column keys a self-join.  Computed with the
+  overflow-proof two-term split ``(f2 DIV n)*1000 + (f2 % n)*1000
+  DIV n`` (same form as skew_key_profile; a naive ``f2 * 1000``
+  overflows int64 once f2 > ~9e15, which ANSI mode turns into a
+  query error).  ``est_f2`` never under-estimates (CMS inner-product
+  guarantee), so the flag errs toward caution.
+- ``fanout_heavy``: ``est_fanout_x1000 > blowup_x1000`` (default
+  32.0× as permille) — the join's OUTPUT, not its shuffle, is the
+  problem; no partitioning strategy fixes a 32× row explosion, so
+  the caller should reconsider the join key (pre-aggregate a side,
+  or add a second key column).
+
+Why two inputs instead of one: the exact profile (one groupBy over
+the key column) gives ``max_key_rows``, which no linear sketch can;
+the CMS estimate gives F2 from mergeable state that already exists
+when the column is being sketched anyway (streams, stored shard
+sketches) — and the two F2s cross-check each other in the demo
+shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Spark's spark.sql.adaptive.skewJoin.skewedPartitionFactor default:
+# a partition is "skewed" at 5x the median partition size.  The
+# advisor uses the MEAN (n_rows / partitions) instead of the median —
+# cheaper (no per-partition sizes needed, just the profile row) and
+# more conservative under skew (hot keys pull the mean above the
+# median, so hot_key trips no later than AQE would).
+SKEW_FACTOR = 5
+
+# Stock spark.sql.shuffle.partitions default; callers pass their
+# session's real value.
+DEFAULT_PARTITIONS = 200
+
+# Self-join fanout alarm threshold, as multiplicity x1000 (32x).
+BLOWUP_X1000 = 32_000
+
+PLAIN = "plain-shuffle"
+AQE_SKEW = "aqe-skew-join"
+SALTED = "salted-two-phase"
+
+
+def key_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Exact key-distribution profile of ``key_col`` — the same shape
+    as the registered ``skew_key_profile`` query, over ANY table: one
+    map-side-combinable groupBy(key) count, then a keys-row aggregate
+    into a single row (n_rows, n_keys, max_key_rows, f2,
+    max_share_permille).  All BIGINT; the ×1000 share uses integer
+    DIV so both engines agree bit-for-bit."""
+    per_key = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("ck"))
+    )
+    return per_key.agg(
+        F.sum("ck").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("ck").cast("long").alias("max_key_rows"),
+        F.sum(F.col("ck") * F.col("ck")).cast("long").alias("f2"),
+    ).select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        "f2",
+        F.expr("max_key_rows * 1000 DIV n_rows").alias(
+            "max_share_permille"
+        ),
+    )
+
+
+def advise(
+    n_rows: int,
+    max_key_rows: int,
+    est_f2: int,
+    partitions: int = DEFAULT_PARTITIONS,
+    skew_factor: int = SKEW_FACTOR,
+    blowup_x1000: int = BLOWUP_X1000,
+) -> dict:
+    """Pure-Python mirror of the decision arithmetic (unit-test
+    oracle; the DataFrame form below renders the same expressions in
+    SQL).  Returns the decision dict for one key-column profile."""
+    if n_rows <= 0:
+        raise ValueError("n_rows must be positive")
+    hot = max_key_rows * partitions > skew_factor * n_rows
+    fanout_x1000 = (est_f2 // n_rows) * 1000 + (est_f2 % n_rows) * 1000 // n_rows
+    return {
+        "hot_key": 1 if hot else 0,
+        "advice_join": AQE_SKEW if hot else PLAIN,
+        "advice_agg": SALTED if hot else PLAIN,
+        "est_fanout_x1000": fanout_x1000,
+        "fanout_heavy": 1 if fanout_x1000 > blowup_x1000 else 0,
+    }
+
+
+def join_strategy_advice(
+    profile: DataFrame,
+    self_join_est: DataFrame,
+    partitions: int = DEFAULT_PARTITIONS,
+    skew_factor: int = SKEW_FACTOR,
+    blowup_x1000: int = BLOWUP_X1000,
+) -> DataFrame:
+    """Compose the two 1-row diagnostics into one 1-row advice table.
+
+    ``profile`` is a ``skew_key_profile``-shaped row (must carry
+    ``n_rows``, ``n_keys``, ``max_key_rows``, ``f2``,
+    ``max_share_permille``); ``self_join_est`` is a
+    ``cms_inner_product`` self-join row carrying ``est_f2``.  The
+    crossJoin is 1×1 — both inputs are single aggregate rows, so this
+    whole operator is O(1) on top of whatever produced them (at
+    100 TB: one map-combinable groupBy for the profile, stored sketch
+    state for the estimate).
+
+    All decisions are integer/CASE expressions (thresholds in the
+    module docstring) so the DuckDB oracle matches bit-for-bit."""
+    hot = (
+        f"max_key_rows * {int(partitions)} > {int(skew_factor)} * n_rows"
+    )
+    fanout = (
+        "(est_f2 DIV n_rows) * 1000 + (est_f2 % n_rows) * 1000 DIV n_rows"
+    )
+    return profile.crossJoin(self_join_est).select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        "f2",
+        "est_f2",
+        "max_share_permille",
+        F.expr(f"CAST(CASE WHEN {hot} THEN 1 ELSE 0 END AS BIGINT)").alias(
+            "hot_key"
+        ),
+        F.expr(
+            f"CASE WHEN {hot} THEN '{AQE_SKEW}' ELSE '{PLAIN}' END"
+        ).alias("advice_join"),
+        F.expr(
+            f"CASE WHEN {hot} THEN '{SALTED}' ELSE '{PLAIN}' END"
+        ).alias("advice_agg"),
+        F.expr(f"CAST({fanout} AS BIGINT)").alias("est_fanout_x1000"),
+        F.expr(
+            f"CAST(CASE WHEN {fanout} > {int(blowup_x1000)} "
+            "THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("fanout_heavy"),
+    )

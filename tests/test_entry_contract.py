@@ -22,43 +22,23 @@ WINDOW = 50
 # set only after the corresponding CORRECTNESS_r{N}.json row lands
 # green.
 MUST_BE_IN_WINDOW = {
-    # new round 10 (the mergeable quantile-sketch triad + cross-shard
-    # sketch algebra)
-    "quantile_sketch_prices",
-    "quantile_sketch_by_type",
-    "quantile_sketch_stream",
-    "hll_set_algebra",
-    "cms_join_size",
-    # staged past position 50 in round 9, never driver-verified
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q14_promo_share",
-    "tpch_q21_waiting_suppliers",
-    "zorder_layout",
-    "zorder_skipping_stats",
-    "hll_distinct_by_type",
-    "hll_distinct_stream",
-    "tpch_q5_local_volume",
-    "tpch_q12_priority_class",
-    "cms_counts_stream",
-    "cms_counts_by_lang",
-    # single driver row (r7); the r9 notes miscounted it into the r9
-    # window — give it its second row this round (VERDICT r9)
-    "hybrid_search",
+    # new round 11 (the join-strategy advisor composing the r10
+    # diagnostics pair — VERDICT r10 item 5)
+    "join_strategy_advice",
+    # staged past position 50 in round 10, never driver-verified
+    # (rotated to the window top per the r10 handoff)
+    "cms_self_join_size",
+    "skew_key_profile",
+    "hll_distinct_windowed",
+    "hll_distinct_windowed_stream",
 }
 
 # Queries added in the CURRENT round and STAGED past position 50
 # because the window was already full; rotate ALL of these to the
 # window top next round (the set, not any count mentioned elsewhere,
-# is the authoritative list).
-STAGED_FOR_NEXT_WINDOW: set = {
-    # late round 10: the join-planning diagnostics pair
-    "cms_self_join_size",
-    "skew_key_profile",
-    # late round 10: the windowed-HLL twelfth stream ≡ batch pair
-    "hll_distinct_windowed",
-    "hll_distinct_windowed_stream",
-}
+# is the authoritative list).  Round 11's sole new query fit inside
+# the window (the r10 rotation freed 36 slots), so nothing is staged.
+STAGED_FOR_NEXT_WINDOW: set = set()
 
 
 def test_staged_queries_registered():

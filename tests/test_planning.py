@@ -1,0 +1,197 @@
+"""Join-strategy advisor (operators/planning.py): the decision
+thresholds, the SQL/Python mirror agreement, and — the part that
+makes the advice trustworthy — that each branch matches what the
+engine ACTUALLY does on a planted-skew table (VERDICT r10 item 5):
+
+- advice says ``aqe-skew-join``  -> AQE really marks/splits the hot
+  SMJ partition (``skew=true`` in the final adaptive plan);
+- advice says ``plain-shuffle``  -> AQE finds nothing to split on
+  the same join shape over a uniform key;
+- advice says ``salted-two-phase`` -> analytics.salted_agg really
+  fans the hot key across shards and still equals the direct
+  GROUP BY it must be semantically identical to.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+import mtail_spark.operators.analytics as AN
+import mtail_spark.operators.planning as PL
+import mtail_spark.operators.sketch as SK
+
+
+# ------------------------------------------------------------- unit: advise
+
+def test_advise_uniform_is_plain():
+    # 100k rows over 10k keys, heaviest key 15 rows: 15*200 < 5*100k
+    out = PL.advise(n_rows=100_000, max_key_rows=15, est_f2=1_500_000)
+    assert out["advice_join"] == PL.PLAIN
+    assert out["advice_agg"] == PL.PLAIN
+    assert out["hot_key"] == 0
+    # multiplicity 15.0 -> 15000 permille, under the 32x alarm
+    assert out["est_fanout_x1000"] == 15_000
+    assert out["fanout_heavy"] == 0
+
+
+def test_advise_hot_key_splits_by_op_kind():
+    # one key carries 10% of 1M rows: 100k*200 > 5*1M
+    out = PL.advise(n_rows=1_000_000, max_key_rows=100_000,
+                    est_f2=10_000_000_000)
+    assert out["hot_key"] == 1
+    assert out["advice_join"] == PL.AQE_SKEW
+    assert out["advice_agg"] == PL.SALTED
+    # est multiplicity 10_000x -> fanout alarm
+    assert out["fanout_heavy"] == 1
+
+
+def test_advise_threshold_boundary_exact():
+    # max_key_rows * partitions == skew_factor * n_rows exactly:
+    # NOT hot (strict >), mirroring the SQL CASE
+    n, p, f = 1000, 200, 5
+    boundary = f * n // p  # 25
+    assert PL.advise(n, boundary, est_f2=n)["hot_key"] == 0
+    assert PL.advise(n, boundary + 1, est_f2=n)["hot_key"] == 1
+
+
+def test_advise_fanout_two_term_no_overflow():
+    # f2 large enough that the naive f2*1000 overflows int64; the
+    # two-term form stays exact (cross-checked with Python bigints)
+    n = 3_000_000_000
+    f2 = 5 * 10**16
+    out = PL.advise(n, max_key_rows=1, est_f2=f2)
+    assert out["est_fanout_x1000"] == f2 * 1000 // n
+
+
+def test_advise_rejects_empty():
+    with pytest.raises(ValueError):
+        PL.advise(0, 0, 0)
+
+
+# ----------------------------------------- DataFrame form mirrors advise()
+
+def _planted(spark, hot_share_pct: int, n: int = 20_000):
+    """n-row key table; hot_share_pct% of rows land on key 7, the
+    rest spread over 1000 keys — deterministic from the row id."""
+    return spark.range(n).select(
+        F.when(F.col("id") % 100 < hot_share_pct, F.lit(7))
+        .otherwise(F.col("id") % 1000 + 100)
+        .cast("long")
+        .alias("key"),
+        F.col("id").alias("v"),
+    )
+
+
+def _advice_row(df):
+    prof = PL.key_profile(df, "key")
+    sk = SK.cms_build(df.select(F.col("key").cast("string").alias("term")))
+    est = SK.cms_inner_product(sk, sk).select(
+        F.col("est_join_size").alias("est_f2")
+    )
+    return PL.join_strategy_advice(prof, est, partitions=200).collect()[0]
+
+
+def test_dataframe_form_matches_python_mirror(spark):
+    for pct in (0, 60):
+        df = _planted(spark, pct)
+        row = _advice_row(df)
+        per_key = (
+            df.groupBy("key").count().select(F.collect_list("count"))
+            .collect()[0][0]
+        )
+        n = sum(per_key)
+        mirror = PL.advise(
+            n_rows=n,
+            max_key_rows=max(per_key),
+            est_f2=row["est_f2"],
+            partitions=200,
+        )
+        assert row["n_rows"] == n
+        assert row["hot_key"] == mirror["hot_key"]
+        assert row["advice_join"] == mirror["advice_join"]
+        assert row["advice_agg"] == mirror["advice_agg"]
+        assert row["est_fanout_x1000"] == mirror["est_fanout_x1000"]
+        assert row["fanout_heavy"] == mirror["fanout_heavy"]
+        # CMS self inner product never under-estimates exact F2
+        exact_f2 = sum(c * c for c in per_key)
+        assert row["f2"] == exact_f2
+        assert row["est_f2"] >= exact_f2
+
+
+# ---------------------- the advice matches what the engine actually does
+
+_AQE_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # scale Spark's byte thresholds down to test-sized data; the
+    # FACTOR (x5 over median) stays at the default the advisor mirrors
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _executed_join_plan(spark, left):
+    right = spark.range(2000).select(
+        F.col("id").alias("key"), (F.col("id") * 2).alias("w")
+    )
+    j = left.join(right, "key")
+    j.collect()  # finalize THIS DataFrame's adaptive plan
+    return j._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def aqe(spark):
+    old = {k: spark.conf.get(k, None) for k in _AQE_CONFS}
+    for k, v in _AQE_CONFS.items():
+        spark.conf.set(k, v)
+    yield spark
+    for k, v in old.items():
+        spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+
+
+def test_hot_key_advice_matches_aqe_split(aqe):
+    df = _planted(aqe, 60, n=200_000)
+    row = _advice_row(df)
+    assert row["advice_join"] == PL.AQE_SKEW
+    plan = _executed_join_plan(aqe, df)
+    assert "skew=true" in plan, plan
+
+
+def test_uniform_advice_matches_no_split(aqe):
+    df = _planted(aqe, 0, n=200_000)
+    row = _advice_row(df)
+    assert row["advice_join"] == PL.PLAIN
+    plan = _executed_join_plan(aqe, df)
+    assert "skew=true" not in plan, plan
+
+
+def test_salted_advice_matches_salted_agg_fanout(spark):
+    df = _planted(spark, 60).select(
+        F.col("key").cast("string").alias("event_type"),
+        F.col("v").alias("event_id"),
+        (F.col("v") % 100).cast("double").alias("value"),
+    )
+    row = _advice_row(
+        _planted(spark, 60).select(F.col("key"), F.col("v"))
+    )
+    assert row["advice_agg"] == PL.SALTED
+    salted = AN.salted_agg(df, shards=16)
+    # the hot key's state really fanned across reducers
+    hot = salted.filter(F.col("event_type") == "7").collect()[0]
+    assert hot["n_shards_seen"] == 16
+    # and the two-phase result equals the direct GROUP BY
+    direct = (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        .collect()
+    )
+    got = {r["event_type"]: (r["n_events"], r["sum_cents"])
+           for r in salted.collect()}
+    assert got == {
+        r["event_type"]: (r["n_events"], r["sum_cents"]) for r in direct
+    }
