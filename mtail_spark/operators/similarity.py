@@ -804,6 +804,69 @@ def make_pq_codebooks(
     return books
 
 
+def train_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+    iters: int = 10,
+    n_train: int = 65_536,
+) -> list[list[list[float]]]:
+    """TRAINED PQ codebooks — per-subspace Lloyd's k-means over a
+    bounded, deterministic training sample.  Same return shape as
+    make_pq_codebooks, so the books drop into knn_pq / knn_pq_rerank
+    unchanged; training lifts ADC recall massively over the fixed
+    md5 books (measured in tests/test_similarity_recall.py: recall@10
+    0.45 vs 0.065 ADC-only, 0.98 vs 0.25 with exact rerank, on the
+    sf0.01 embeddings).
+
+    The 100 TB design is the standard production PQ recipe (FAISS
+    trains IVF/PQ on 1e5-1e6 sampled vectors regardless of corpus
+    size): the TRAINING sample is driver-sized by construction —
+    the first `n_train` vectors by id (deterministic; at scale pass a
+    hash-sampled subset if the id order correlates with content) —
+    and only that sample leaves the cluster.  ENCODING the corpus
+    stays fully distributed (pq_encode_udf, Arrow-batched).  Each
+    subspace trains independently on its dsub-wide slice; k-means is
+    bit-deterministic: first-ksub-rows init, first-occurrence argmin
+    (np.argmin tie rule), fixed iteration count, float64, sequential
+    per-dim accumulation (_sqdist_matrix) — rerunning on the same
+    sample reproduces the books exactly."""
+    import numpy as np
+
+    assert dim % m_sub == 0, f"dim {dim} not divisible by m_sub {m_sub}"
+    dsub = dim // m_sub
+    sample = (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            as_double(F.col(vec_col)).alias("vec"),
+        )
+        .orderBy("cid")
+        .limit(n_train)
+        .collect()
+    )
+    A = np.array([list(r["vec"]) for r in sample], dtype=np.float64)
+    if A.shape[0] < ksub:
+        raise ValueError(
+            f"PQ training needs >= {ksub} vectors, got {A.shape[0]}"
+        )
+    books = []
+    for m in range(m_sub):
+        X = A[:, m * dsub:(m + 1) * dsub]
+        cent = X[:ksub].copy()
+        for _ in range(iters):
+            assign = np.argmin(_sqdist_matrix(X, cent), axis=1)
+            for j in range(ksub):
+                mask = assign == j
+                if mask.any():
+                    # id-order mean: rows are already sorted by cid
+                    cent[j] = X[mask].mean(axis=0)
+        books.append([[float(v) for v in c] for c in cent])
+    return books
+
+
 def pq_encode_udf(books: list[list[list[float]]]):
     """Arrow-batched PQ encoder: per subspace, first-occurrence argmin
     over the subspace codebook (the _sqdist_matrix sequential-dim
@@ -859,6 +922,7 @@ def knn_pq(
     m_sub: int = PQ_M,
     ksub: int = PQ_KSUB,
     dim: int = 64,
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (Jégou et al. 2011): the corpus is encoded ONCE to m_sub small
@@ -872,8 +936,15 @@ def knn_pq(
     them); the per-query state is the broadcast dtable; the scan is
     memory-bound over 8-byte codes with a TakeOrderedAndProject
     top-k.  The ADC sum left-folds over subspaces in index order, so
-    the DuckDB oracle reproduces every distance bit-for-bit."""
-    books = make_pq_codebooks(m_sub, ksub, dim)
+    the DuckDB oracle reproduces every distance bit-for-bit.
+
+    ``books`` defaults to the fixed md5 codebooks (the hash-pinned
+    oracle shape); pass train_pq_codebooks(...) output for the
+    production-quality quantizer (recall gates in
+    tests/test_similarity_recall.py)."""
+    if books is None:
+        books = make_pq_codebooks(m_sub, ksub, dim)
+    assert len(books) == m_sub and len(books[0]) == ksub
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         as_double(F.col(vec_col)).alias("cvec"),
@@ -916,6 +987,7 @@ def knn_pq_rerank(
     m_sub: int = PQ_M,
     ksub: int = PQ_KSUB,
     dim: int = 64,
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """The production two-stage ANN: PQ ADC over the compact codes
     shortlists `shortlist` candidates per query, then ONLY those
@@ -930,7 +1002,8 @@ def knn_pq_rerank(
     scan shape: the plan below shows the corpus joined against the
     BROADCAST candidate list."""
     cand = knn_pq(
-        corpus, queries, id_col, vec_col, shortlist, m_sub, ksub, dim
+        corpus, queries, id_col, vec_col, shortlist, m_sub, ksub, dim,
+        books=books,
     ).select("query_id", "corpus_id")
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
