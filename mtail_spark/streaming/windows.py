@@ -83,7 +83,9 @@ def stream_table(spark, path: str) -> DataFrame:
     return df
 
 
-def run_replay_to_table(stream_df: DataFrame, name: str) -> DataFrame:
+def run_replay_to_table(
+    stream_df: DataFrame, name: str, checkpoint: str | None = None
+) -> DataFrame:
     """Run a streaming aggregation to completion over a finite replay
     (Trigger.AvailableNow) in COMPLETE output mode against the memory
     sink, and return the final result as a batch DataFrame.
@@ -94,8 +96,16 @@ def run_replay_to_table(stream_df: DataFrame, name: str) -> DataFrame:
     stream would instead use append mode + a watermark writing to
     parquet/Kafka — windowed_agg/session_windowed_agg support that via
     their `watermark` argument; state is then bounded by the watermark
-    horizon, not stream length."""
-    return _run_replay(stream_df, name, "complete")
+    horizon, not stream length.
+
+    Pass `checkpoint` to make the replay RESUMABLE: a second call
+    with the same checkpoint (from a fresh plan object — a process
+    restart) recovers the aggregation state store and continues over
+    whatever input appeared since; complete mode then re-emits the
+    full recovered-plus-new state.  tests/test_stream_crash_recovery
+    proves the stream ≡ batch pairs hold ACROSS such a kill/restart,
+    not just over one uninterrupted replay."""
+    return _run_replay(stream_df, name, "complete", checkpoint)
 
 
 def run_replay_append(stream_df: DataFrame, name: str) -> DataFrame:
@@ -107,17 +117,24 @@ def run_replay_append(stream_df: DataFrame, name: str) -> DataFrame:
     return _run_replay(stream_df, name, "append")
 
 
-def _run_replay(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
+def _run_replay(
+    stream_df: DataFrame,
+    name: str,
+    mode: str,
+    checkpoint: str | None = None,
+) -> DataFrame:
     import uuid
 
     qname = f"{name}_{uuid.uuid4().hex[:8]}"
-    q = (
+    w = (
         stream_df.writeStream.format("memory")
         .queryName(qname)
         .outputMode(mode)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
     q.awaitTermination()
     return stream_df.sparkSession.table(qname)
 
