@@ -114,6 +114,29 @@ def test_compact_line_last_resort_trims_queries():
         assert k in parsed
 
 
+def test_compact_line_trim_keeps_pinned_sf01_set():
+    # VERDICT r10 item 4: the last-resort trim must never drop a
+    # query in SF01_MUST_KEEP — byte length no longer chooses which
+    # sf0.1 series future readers can trend
+    r = _fake_result(n_queries=100, with_sf1=False)
+    r["queries"].update(
+        {name: 1.234 for name in sorted(bench.SF01_MUST_KEEP)}
+    )
+    r["queries_min"] = dict(r["queries"])
+    r["queries_cold"] = dict(r["queries"])
+    line = bench.compact_line(r, limit=1900)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert parsed["queries_truncated"] > 0
+    kept = set(parsed["queries"])
+    assert bench.SF01_MUST_KEEP <= kept
+
+
+def test_sf01_must_keep_queries_exist():
+    # the pinned names must be real headline queries, or the pin rots
+    assert bench.SF01_MUST_KEEP <= set(bench.BENCH_QUERIES)
+
+
 def test_log_template_uppercase_mac():
     # review finding: real syslog emits uppercase-hex MACs too
     from pyspark.sql import functions as F
