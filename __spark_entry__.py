@@ -1732,6 +1732,47 @@ def q_quantile_sketch_stream(spark, sf):
     )
 
 
+def q_quantile_sketch_merge(spark, sf):
+    """CROSS-SHARD QUANTILE ALGEBRA — the add-merge analogue of
+    hll_set_algebra, completing the stored-sketch relational triad
+    (HLL registers MAX-merge for set union; CMS cells ADD-merge /
+    inner-product for frequency; HDR bucket tables ADD-merge for
+    rank): two shards of orders (o_orderkey%3 split) each fold into
+    their own <= ~1950-row bucket table, and the UNION's p50/p90/p99
+    come from summing the two cell tables — no rescan of either
+    shard.  At 100 TB the per-shard tables are stored once (the
+    hll_set_algebra stored-registers pattern) and a global percentile
+    over any subset of shards is a kilobyte-sized cell merge; the
+    per-shard estimates ride along so the algebra is visible (union
+    estimates are NOT derivable from per-shard estimates — only from
+    merged cells, which is the point of mergeable state).  Everything
+    after the two scans is bucket-bounded; the quantile windows
+    partition by q, never globally."""
+    import mtail_spark.operators.sketch as SK
+
+    od = _t(spark, sf, "orders")
+    cents = _cents(F.col("o_totalprice")).alias("v")
+    ca = SK.hdr_cells(od.filter(F.col("o_orderkey") % 3 == 0).select(cents))
+    cb = SK.hdr_cells(od.filter(F.col("o_orderkey") % 3 != 0).select(cents))
+    cu = (
+        ca.unionByName(cb)
+        .groupBy("idx")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    ea = SK.hdr_quantiles(ca, HDR_QUANTILES).select(
+        "q", F.col("est_value").alias("est_a")
+    )
+    eb = SK.hdr_quantiles(cb, HDR_QUANTILES).select(
+        "q", F.col("est_value").alias("est_b")
+    )
+    eu = SK.hdr_quantiles(cu, HDR_QUANTILES).select(
+        "q",
+        F.col("est_value").alias("est_union"),
+        F.col("n_rows").alias("n_rows_union"),
+    )
+    return ea.join(eb, "q").join(eu, "q").orderBy("q")
+
+
 def _bloom_membership(spark, sf, demo_exact: bool):
     """Shared builder for bloom_membership: the filter build/probe is
     m-bit-bounded either way; the exact_dup column (a broadcast of
@@ -3435,6 +3476,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the join-strategy advisor: the composition the r10
         # diagnostics pair exists for (VERDICT r10 item 5)
         "join_strategy_advice": q_join_strategy_advice,
+        # cross-shard quantile algebra: HDR cell tables add-merge into
+        # union percentiles without rescans (completes the stored-
+        # sketch relational triad next to hll_set_algebra/cms_join_size)
+        "quantile_sketch_merge": q_quantile_sketch_merge,
         # -- tier 1: staged in r10 past position 50, never driver-verified --
         # (the authoritative STAGED_FOR_NEXT_WINDOW set from round 10,
         # rotated to the window top per the r10 handoff: the
@@ -3478,7 +3523,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_pipeline": q_attribution_pipeline,
         "cusum_changepoints": q_cusum_changepoints,
         "incident_correlation": q_incident_correlation,
-        "state_intervals": q_state_intervals,
         # -- tier 3: mtail_* reference-parity core (always in-window) -------
         "mtail_linecount": q_mtail_linecount,
         "mtail_counter_by": q_mtail_counter_by,
@@ -3495,11 +3539,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtail_prog_stateful": q_mtail_prog_stateful,
         "mtail_prog_txn": q_mtail_prog_txn,
         # ---------------- position 50 boundary is ABOVE this line ----------
-        # (1 new-r11 + 4 staged-r10 + 18 r7-stale refills + 13 r8-stale
+        # (2 new-r11 + 4 staged-r10 + 18 r7-stale refills + 12 r8-stale
         # refills + 14 mtail_* = exactly 50;
         # tests/test_entry_contract.py pins the required contents)
         # -- tier 4b: rest of the r8 cohort (next-stalest; first in
         # line for the r12 refill) --------------------------------------------
+        "state_intervals": q_state_intervals,
         "seasonal_anomalies": q_seasonal_anomalies,
         "log_templates": q_log_templates,
         "event_transitions": q_event_transitions,
@@ -5743,6 +5788,63 @@ _SQL_HDR_BY_TYPE = _hdr_oracle_sql(
 )
 
 
+def _sql_quantile_merge() -> str:
+    """DuckDB oracle for q_quantile_sketch_merge: both shards' cell
+    tables with the shared hdr_bucket_sql formula, the union cells by
+    ADD-merge, and three instantiations of the same type-1 selection
+    (one per cell table), joined on q."""
+    from mtail_spark.operators.sketch import hdr_bucket_sql, hdr_value_sql
+
+    bucket = hdr_bucket_sql("v")
+    val = hdr_value_sql("idx")
+    qlist = ", ".join(str(int(q)) for q in HDR_QUANTILES)
+
+    def est(cells: str, out: str, with_n: bool = False) -> str:
+        n = f", n_rows AS n_rows_{out}" if with_n else ""
+        return f"""(
+          SELECT q, CAST({val} AS BIGINT) AS est_{out}{n}
+          FROM (
+            SELECT q, n_rows, min(idx) AS idx FROM (
+              SELECT q, idx,
+                     sum(c) OVER (PARTITION BY q ORDER BY idx) AS cum,
+                     (SELECT CAST(sum(c) AS BIGINT) FROM {cells})
+                       AS n_rows
+              FROM {cells} CROSS JOIN qf
+            ) WHERE cum >= (n_rows * q + 99) // 100
+            GROUP BY q, n_rows
+          )
+        )"""
+
+    return f"""
+    WITH vals_a AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+      WHERE o_orderkey % 3 = 0
+    ), vals_b AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+      WHERE o_orderkey % 3 <> 0
+    ), cells_a AS (
+      SELECT CAST({bucket} AS BIGINT) AS idx,
+             CAST(count(*) AS BIGINT) AS c
+      FROM vals_a GROUP BY idx
+    ), cells_b AS (
+      SELECT CAST({bucket} AS BIGINT) AS idx,
+             CAST(count(*) AS BIGINT) AS c
+      FROM vals_b GROUP BY idx
+    ), cells_u AS (
+      SELECT idx, CAST(sum(c) AS BIGINT) AS c
+      FROM (SELECT * FROM cells_a UNION ALL SELECT * FROM cells_b)
+      GROUP BY idx
+    ), qf AS (
+      SELECT CAST(unnest([{qlist}]) AS BIGINT) AS q
+    )
+    SELECT ea.q, est_a, est_b, est_union, n_rows_union
+    FROM {est("cells_a", "a")} ea
+    JOIN {est("cells_b", "b")} eb USING (q)
+    JOIN {est("cells_u", "union", with_n=True)} eu USING (q)
+    ORDER BY q
+    """
+
+
 def _zorder_oracle_sql() -> str:
     """DuckDB oracle for q_zorder_layout: identical two-branch rank +
     Morton interleave formulas (layout.rank_sql / interleave_sql keep
@@ -6269,6 +6371,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": _SQL_ZORDER,
         "zorder_skipping_stats": _SQL_ZORDER_SKIP,
         "quantile_sketch_prices": _SQL_HDR_PRICES,
+        "quantile_sketch_merge": _sql_quantile_merge(),
         "quantile_sketch_by_type": _SQL_HDR_BY_TYPE,
         "hll_set_algebra": _sql_hll_set_algebra(),
         "cms_join_size": _sql_cms_join_size(),

@@ -23,8 +23,10 @@ WINDOW = 50
 # green.
 MUST_BE_IN_WINDOW = {
     # new round 11 (the join-strategy advisor composing the r10
-    # diagnostics pair — VERDICT r10 item 5)
+    # diagnostics pair — VERDICT r10 item 5; the cross-shard quantile
+    # algebra completing the stored-sketch relational triad)
     "join_strategy_advice",
+    "quantile_sketch_merge",
     # staged past position 50 in round 10, never driver-verified
     # (rotated to the window top per the r10 handoff)
     "cms_self_join_size",

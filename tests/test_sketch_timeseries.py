@@ -350,6 +350,32 @@ def test_hdr_merge_order_independence(spark):
     assert whole == merged
 
 
+def test_hdr_union_quantiles_from_merged_cells(spark):
+    """quantile_sketch_merge's claim end-to-end: estimating over the
+    ADD-merged per-shard cell tables equals estimating over cells of
+    the whole input — union percentiles from stored shard sketches,
+    no rescan.  (Per-shard estimates alone could never reconstruct
+    the union's; only mergeable CELL state can.)"""
+    import pyspark.sql.functions as F
+
+    a = spark.createDataFrame([(v * 11 % 997,) for v in range(600)],
+                              "v long")
+    b = spark.createDataFrame([(v * v % 4093,) for v in range(350)],
+                              "v long")
+    merged = (
+        SK.hdr_cells(a).unionByName(SK.hdr_cells(b))
+        .groupBy("idx")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    got = SK.hdr_quantiles(merged, [50, 90, 99]).orderBy("q").collect()
+    want = (
+        SK.hdr_quantiles(SK.hdr_cells(a.union(b)), [50, 90, 99])
+        .orderBy("q")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
 def test_hdr_grouped_equals_global_per_subset(spark):
     """hdr_cells/hdr_quantiles with a group column must equal the
     global kernel run on each subset (the HLL/CMS discipline)."""
