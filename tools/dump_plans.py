@@ -393,6 +393,22 @@ SHOW = [
      "union registers — <= 512 rows through the merge, no rescan; "
      "three estimate layers + inclusion-exclusion are 1-row "
      "broadcast joins"),
+    ("join_strategy_advice",
+     "the advisor composes two 1-row diagnostics (exact profile: one "
+     "map-combinable groupBy then d-row aggregate; sketch-only F2: "
+     "cell grids, no exact join) via a 1x1 crossJoin; every decision "
+     "is integer/CASE codegen — O(1) on top of its inputs"),
+    ("quantile_sketch_merge",
+     "cross-shard rank algebra: two shard scans each fold map-side "
+     "into <= ~1950 bucket rows; union = add-merge of the two cell "
+     "tables; all three quantile selections are (q)-partitioned "
+     "windows over bucket-bounded tables — no rescan, no global "
+     "window"),
+    ("sim_lsh_multitable",
+     "multi-table LSH: ONE corpus scan computes all table signatures; "
+     "posexplode fans out ids+buckets only (no vector bytes); "
+     "candidates dedup then broadcast back onto the vector tables "
+     "for the exact rerank — the knn_pq_rerank discipline"),
 ]
 
 INTERESTING = re.compile(
