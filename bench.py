@@ -77,6 +77,11 @@ BENCH_QUERIES = [
     "zorder_layout",
     # round-10: the mergeable quantile sketch (rank leg of the triad)
     "quantile_sketch_prices",
+    # round-11: cross-shard quantile algebra (two shard scans into
+    # bucket-bounded merges) + multi-table LSH (one corpus scan, L
+    # signature fan-out, candidate-bounded rerank)
+    "quantile_sketch_merge",
+    "sim_lsh_multitable",
 ]
 
 
@@ -116,6 +121,9 @@ SF1_QUERIES = [
     # round-10 (1.5M orders fold into <= ~1950 bucket counts before
     # the one exchange — the marginal cost should be scan-dominated)
     "quantile_sketch_prices",
+    # round-11 (two shard scans of the 10x orders table into bucket-
+    # bounded merges; marginal cost = two scans, like the global form)
+    "quantile_sketch_merge",
 ]
 
 
@@ -217,8 +225,18 @@ def compact_line(result: dict, limit: int = COMPACT_LIMIT) -> str:
     if len(line) > limit and isinstance(out.get("queries"), dict):
         qs = dict(out["queries"])
         dropped = 0
+        # two passes: non-pinned first, then — only if the line STILL
+        # exceeds the limit with every non-pinned entry gone (growth
+        # elsewhere, e.g. sf1_queries_min, which is never dropped) —
+        # pinned entries, longest first.  The <= limit guarantee wins
+        # over the pin: an unparseable line loses EVERY series, not
+        # just the trimmed ones.
         trimmable = sorted(
             (n for n in qs if n not in SF01_MUST_KEEP),
+            key=len,
+            reverse=True,
+        ) + sorted(
+            (n for n in qs if n in SF01_MUST_KEEP),
             key=len,
             reverse=True,
         )

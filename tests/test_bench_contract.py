@@ -132,6 +132,28 @@ def test_compact_line_trim_keeps_pinned_sf01_set():
     assert bench.SF01_MUST_KEEP <= kept
 
 
+def test_compact_line_limit_beats_pin_when_core_outgrows():
+    # found live in round 11 run B: sf1_queries_min growth pushed the
+    # line to 1925 bytes with every non-pinned entry already trimmed.
+    # The <= limit guarantee must win — pinned entries go too, rather
+    # than emit a line the driver's tail buffer could truncate.
+    r = _fake_result(n_queries=0, with_sf1=False)
+    r["queries"] = {name: 1.234 for name in sorted(bench.SF01_MUST_KEEP)}
+    r["sf1_queries_min"] = {
+        f"sf1_series_query_{i:03d}": 1.234 for i in range(35)
+    }
+    line = bench.compact_line(r, limit=1900)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert parsed["queries_truncated"] > 0
+    # the never-dropped min series is intact; the overflow came out of
+    # the queries dict instead (pinned entries included, longest first)
+    assert len(parsed["sf1_queries_min"]) == 35
+    assert len(parsed["queries"]) + parsed["queries_truncated"] == len(
+        bench.SF01_MUST_KEEP
+    )
+
+
 def test_sf01_must_keep_queries_exist():
     # the pinned names must be real headline queries, or the pin rots
     assert bench.SF01_MUST_KEEP <= set(bench.BENCH_QUERIES)
