@@ -3722,13 +3722,16 @@ def _sql_shingles(text: str, k: int) -> str:
 def _sql_minhash_cte_block(source: str) -> str:
     """CTE chain computing MinHash-LSH near-dup pairs over `source`
     (must expose doc_id, text); final CTE is `mh_pairs`."""
+    from mtail_spark.operators.dedup import minhash_lane_sql
+
     h, b, k, thr = MINHASH_HASHES, MINHASH_BANDS, MINHASH_K, MINHASH_THRESHOLD
     r = h // b
-    # universal-hash derived family (mirrors dedup.minhash_lsh_pairs):
-    # hash_j(s) = h1(s) + j*h2(s), lanes from one md5
+    # pairwise-independent affine-mod family (mirrors
+    # dedup.minhash_lane_sql — the SAME rendered string): hash_j(s) =
+    # (A_j * x(s) + B_j) % (2^31-1), x = first 32 md5 bits
     sig_items = ", ".join(
-        "list_min([h1s[i] + {j} * h2s[i] "
-        "for i in generate_series(1, len(h1s))])".format(j=j)
+        "list_min([" + minhash_lane_sql("xs[i]", j)
+        + " for i in generate_series(1, len(xs))])"
         for j in range(h)
     )
     band_selects = "\nUNION ALL\n".join(
@@ -3753,9 +3756,7 @@ mh_base AS (
 ), hs AS (
   SELECT doc_id, shingles,
          [CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)
-            for s in shingles] AS h1s,
-         [CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT)
-            for s in shingles] AS h2s
+            for s in shingles] AS xs
   FROM sh
 ), sig AS (
   SELECT doc_id, shingles, [{sig_items}] AS sig FROM hs

@@ -79,6 +79,55 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# ---- the MinHash lane family -------------------------------------------
+#
+# hash_j(s) = (A_j * x(s) + B_j) mod P,  P = 2^31 - 1 (Mersenne),
+# x(s) = first 32 md5 bits of the shingle, A_j in [1, P-1] and B_j in
+# [0, P-1] md5-derived per-lane literal constants — the classic
+# pairwise-independent affine family (the same construction Spark
+# MLlib's MinHashLSH uses).  One digest per shingle, num_hashes cheap
+# affine maps.
+#
+# Why not the previous hash_j = h1 + j*h2 (two md5 lanes, affine in
+# j): that family shares ONE (h1, h2) draw across every lane, so a
+# shingle whose h1 AND h2 are both small is the argmin of EVERY lane
+# simultaneously — cross-lane correlation that turned a
+# jaccard-0.9 pair's theoretical miss probability of ~2e-6
+# ((1-s^2)^bands) into ~1/|shingles| whenever the pair's one
+# differing shingle drew small lanes.  Found live on the sf0.01
+# corpus: docs 26/455 (9 of 10 shingles shared) agreed on ZERO of 16
+# lanes.  With independent per-lane (A_j, B_j), lane argmins
+# decorrelate and the miss bound holds
+# (tests/test_dedup_recall.py pins it).
+#
+# Overflow (ANSI mode errors, not wraps): A_j*x + B_j <=
+# (P-2)*(2^32-1) + (P-1) < 2^63 - 2^31, inside signed 64.  All
+# integer arithmetic, one shared SQL string for both engines
+# (minhash_lane_sql) — the hdr_bucket_sql discipline.
+
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
+
+
+def _mh_const(tag: str, j: int, span: int, lo: int) -> int:
+    import hashlib
+
+    h = int(hashlib.md5(f"{tag}{j}".encode()).hexdigest()[:15], 16)
+    return h % span + lo
+
+
+def minhash_lane_consts(j: int) -> tuple:
+    """(A_j, B_j) for lane j — md5-derived literals, A_j != 0."""
+    p = MINHASH_PRIME
+    return _mh_const("mha", j, p - 1, 1), _mh_const("mhb", j, p, 0)
+
+
+def minhash_lane_sql(x: str, j: int) -> str:
+    """Lane-j hash of a nonnegative 32-bit BIGINT expression — ONE
+    string rendered identically for Spark SQL and DuckDB."""
+    a, b = minhash_lane_consts(j)
+    return f"(({a} * {x} + {b}) % {MINHASH_PRIME})"
+
+
 def _minhash_signatures(sh: DataFrame, num_hashes: int) -> DataFrame:
     """(doc_id, shingles) -> (doc_id, sig0..sigN-1).
 
@@ -86,14 +135,10 @@ def _minhash_signatures(sh: DataFrame, num_hashes: int) -> DataFrame:
     higher-order functions evaluate interpreted per element, while
     this shape is whole-stage codegen with map-side partial min —
     also exactly the plan that scales (shuffle carries one row per
-    doc x num_hashes longs).
-
-    The num_hashes hash family is UNIVERSAL-HASH DERIVED (Broder's
-    classic construction): ONE md5 per shingle split into two 32-bit
-    lanes h1, h2, with hash_j = h1 + j*h2.  One digest + long
-    arithmetic replaces num_hashes digests; fixed-width agg buffers
-    cut the signature stage ~7x at sf1 (string min buffers copy the
-    whole UnsafeRow per update).  max j*h2 < 2^36, no overflow.
+    doc x num_hashes longs).  ONE md5 per shingle; the per-lane
+    values are the affine-mod family above (fixed-width long agg
+    buffers — string min buffers copy the whole UnsafeRow per
+    update, measured ~7x on the signature stage at sf1).
 
     explode_OUTER on purpose: whole-stage-codegen GenerateExec
     inlines the generator expression and re-evaluates the shingling
@@ -104,17 +149,14 @@ def _minhash_signatures(sh: DataFrame, num_hashes: int) -> DataFrame:
     hashed = (
         sh.select("doc_id", F.explode_outer("shingles").alias("s"))
         .filter(F.col("s").isNotNull())
-        .withColumn("h", F.md5("s"))
         .withColumn(
-            "h1", F.conv(F.substring("h", 1, 8), 16, 10).cast("long")
-        )
-        .withColumn(
-            "h2", F.conv(F.substring("h", 9, 8), 16, 10).cast("long")
+            "x",
+            F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long"),
         )
     )
     return hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.col("h1") + F.lit(j) * F.col("h2")).alias(f"sig{j}")
+            F.min(F.expr(minhash_lane_sql("x", j))).alias(f"sig{j}")
             for j in range(num_hashes)
         ]
     )
@@ -248,7 +290,8 @@ def incremental_minhash_dups(
     minhash_lsh_pairs on new_df alone, deliberately not repeated here.
 
     Same signature family / band keys as minhash_lsh_pairs (one md5
-    per shingle, hash_j = h1 + j*h2), so at 100 TB the base side's
+    per shingle, the affine-mod lane family above), so at 100 TB the
+    base side's
     buckets are a precomputed, bucketed-by-(band, bkey) TABLE the
     increment just joins against: base text is never rescanned, the
     join is new-shard-sized on one side, and only verification
@@ -330,8 +373,8 @@ def incremental_minhash_dups_stream(
     - Signatures are computed PER ROW with array HOFs
       (array_min over transform) instead of explode + groupBy-min: a
       streaming aggregation followed by a join is unsupported, and the
-      per-row form needs no state at all.  Same md5/h1+j*h2 arithmetic,
-      same longs, identical signatures (test-asserted).
+      per-row form needs no state at all.  Same md5 + affine-mod lane
+      arithmetic, same longs, identical signatures (test-asserted).
     - A pair matching in multiple bands is emitted once per matching
       band; the candidate-pair dedup runs on the REPLAYED result table
       (candidate-sized), not in-stream — callers do
@@ -367,21 +410,20 @@ def incremental_minhash_dups_stream(
     )
     pairs = F.transform(
         F.col("shingles"),
-        lambda s: F.struct(
-            F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
-            .cast("long")
-            .alias("h1"),
-            F.conv(F.substring(F.md5(s), 9, 8), 16, 10)
-            .cast("long")
-            .alias("h2"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast(
+            "long"
         ),
     )
-    # factory, NOT `lambda p, j=j`: PySpark inspects lambda arity and a
+    # factory, NOT `lambda x, j=j`: PySpark inspects lambda arity and a
     # two-parameter lambda becomes the (element, index) HOF form — the
     # array index would silently shadow the hash index j
     def _sig(j: int):
+        a, b = minhash_lane_consts(j)
         return F.array_min(
-            F.transform(F.col("_mh"), lambda p: p.h1 + F.lit(j) * p.h2)
+            F.transform(
+                F.col("_mh"),
+                lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME),
+            )
         ).alias(f"sig{j}")
 
     sigged = sh_new.withColumn("_mh", pairs).select(
