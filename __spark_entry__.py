@@ -472,12 +472,16 @@ def q_dedup_ngram_jaccard(spark, sf):
 
 
 def q_dedup_embedding(spark, sf):
-    """Embedding-cosine near-dup pairs: hyperplane-bucket candidates,
-    exact left-fold cosine verification."""
+    """Embedding-cosine near-dup pairs: hyperplane-bucket candidates
+    from 8 independent plane families (the r11 multi-table recall
+    fix — single-table recall at this threshold measured 0.16, the
+    8-table OR-amplification lifts it to ~0.6 on this isotropic
+    corpus; floors in tests/test_similarity_recall.py), exact
+    left-fold cosine verification of the deduplicated candidates."""
     emb = _t(spark, sf, "embeddings")
     return S.cosine_dup_pairs(
         emb, "vec_id", "embedding", threshold=0.3,
-        n_planes=LSH_PLANES, dim=EMB_DIM,
+        n_planes=LSH_PLANES, dim=EMB_DIM, n_tables=8,
     )
 
 
@@ -5269,6 +5273,35 @@ def _sql_hyperplane_sig(vec: str, salt: str = "") -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
+def _sql_dedup_embedding_multitable(n_tables: int) -> str:
+    """DuckDB oracle for q_dedup_embedding: per-table same-bucket
+    candidate joins unioned (table 0 unsalted — the original single-
+    family buckets — matching cosine_dup_pairs' salt scheme), then
+    the exact-cosine verify over the deduplicated pairs."""
+    def salt(t: int) -> str:
+        return "" if t == 0 else f"lsh{t}:"
+
+    pair_selects = "\nUNION\n".join(
+        f"""SELECT a.vec_id AS id_a, c.vec_id AS id_b
+            FROM embeddings a JOIN embeddings c
+              ON {_sql_hyperplane_sig('a.embedding', salt(t))}
+               = {_sql_hyperplane_sig('c.embedding', salt(t))}
+             AND a.vec_id < c.vec_id"""
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH cand AS (
+          {pair_selects}
+        )
+        SELECT id_a, id_b,
+               {_sql_cosine('a.embedding', 'c.embedding')} AS cos_sim
+        FROM cand
+        JOIN embeddings a ON a.vec_id = cand.id_a
+        JOIN embeddings c ON c.vec_id = cand.id_b
+        WHERE {_sql_cosine('a.embedding', 'c.embedding')} >= 0.3
+    """
+
+
 def _sql_lsh_multitable(n_tables: int = 4) -> str:
     """DuckDB oracle for q_sim_lsh_multitable: per-table candidate
     joins (same salted plane literals as similarity.make_planes)
@@ -6937,18 +6970,7 @@ SELECT doc_id, group_id,
 FROM lab
 """
         ),
-        "dedup_embedding": f"""
-            WITH b AS (
-              SELECT vec_id, embedding,
-                     {_sql_hyperplane_sig('embedding')} AS bucket
-              FROM embeddings
-            )
-            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-                   {_sql_cosine('a.embedding', 'c.embedding')} AS cos_sim
-            FROM b a JOIN b c
-              ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-            WHERE {_sql_cosine('a.embedding', 'c.embedding')} >= 0.3
-        """,
+        "dedup_embedding": _sql_dedup_embedding_multitable(8),
         "dedup_simhash": _sql_simhash(),
         "dedup_simhash_pairs": _sql_simhash_pairs(),
         "dedup_ngram_jaccard": f"""

@@ -677,35 +677,61 @@ def cosine_dup_pairs(
     threshold: float = 0.3,
     n_planes: int = 4,
     dim: int = 64,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS: candidates restricted to
-    the same deterministic hyperplane bucket (never all-pairs — the
-    bucket is the partition key at scale), verified with the exact
-    left-fold cosine kernel.  Returns (id_a, id_b, cos_sim) with
-    id_a < id_b, cos_sim >= threshold.
+    vectors sharing a hyperplane bucket in at least one of `n_tables`
+    independent plane families (never all-pairs — the (table, bucket)
+    pair is the partition key at scale), deduplicated, then verified
+    with the exact left-fold cosine kernel.  Returns
+    (id_a, id_b, cos_sim) with id_a < id_b, cos_sim >= threshold.
 
-    Recall is tuned by n_planes, like any LSH scheme: near-identical
-    vectors land in the same half-space bucket with probability
-    (1 - theta/pi)^n_planes."""
-    planes = make_planes(n_planes, dim)
+    Per-table collision probability for a pair at angle theta is
+    p = (1 - theta/pi)^n_planes; across tables recall is
+    1 - (1-p)^n_tables — the same OR-amplification as knn_lsh_multi.
+    Measured on the sf0.01 embeddings at threshold 0.3 (pairs up to
+    cos ~0.51 only — isotropic corpus): recall 0.16 single-table ->
+    see tests/test_similarity_recall.py for the multi-table floors.
+    n_tables=1 reproduces the original single-family buckets exactly.
+
+    Scale shape: ONE scan computes all table signatures; the
+    posexplode fan-out carries (id, t, bucket) plus the vector ONCE
+    per table for the in-bucket verify — at 100 TB prefer writing the
+    (t, bucket) index columns and bucketing the table by them, then
+    the self-join is co-located and vectors never reshuffle."""
+    fams = [
+        make_planes(n_planes, dim, salt=("" if t == 0 else f"lsh{t}:"))
+        for t in range(n_tables)
+    ]
     base = df.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", hyperplane_signature("v", planes))
-    l, r = base.alias("l"), base.alias("r")
+    )
+    sigs = F.array(*[hyperplane_signature("v", fam) for fam in fams])
+    fanned = base.select(
+        "vid", "v", F.posexplode_outer(sigs).alias("t", "bucket")
+    )
+    l, r = fanned.alias("l"), fanned.alias("r")
     kern = cosine_fold_udf()
-    return (
+    pairs = (
         l.join(
             r,
-            (F.col("l.bucket") == F.col("r.bucket"))
+            (F.col("l.t") == F.col("r.t"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.vid") < F.col("r.vid")),
         )
         .select(
             F.col("l.vid").alias("id_a"),
             F.col("r.vid").alias("id_b"),
-            kern(F.col("l.v"), F.col("r.v")).alias("cos_sim"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
         )
-        .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        kern(F.col("va"), F.col("vb")).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)
 
 
 def assign_with_dist_udf(centroids: list[list[float]]):
