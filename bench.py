@@ -223,6 +223,16 @@ def compact_line(result: dict, limit: int = COMPACT_LIMIT) -> str:
         out.pop(key, None)
         line = json.dumps(out)
     if len(line) > limit and isinstance(out.get("queries"), dict):
+        # cheapest byte source before dropping any series: the sf0.1
+        # medians at 2 decimals (10 ms granularity — plenty for
+        # trending; full 3-decimal values always in BENCH_DETAIL.json;
+        # sf1_queries_min, the declared cross-round basis, keeps full
+        # precision)
+        out["queries"] = {
+            k: round(v, 2) for k, v in out["queries"].items()
+        }
+        line = json.dumps(out)
+    if len(line) > limit and isinstance(out.get("queries"), dict):
         qs = dict(out["queries"])
         dropped = 0
         # two passes: non-pinned first, then — only if the line STILL
