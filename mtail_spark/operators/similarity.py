@@ -596,6 +596,41 @@ def knn_lsh(
     )
 
 
+def hyperplane_sigs_udf(fams: list[list[list[float]]]):
+    """Arrow-batched MULTI-TABLE hyperplane signatures: one kernel
+    call computes every table's bucket id for a batch of vectors,
+    returning array<bigint> (one signature per table).
+
+    Exists because the literal-expression form (hyperplane_signature)
+    costs codegen COMPILATION proportional to tables x planes x dim —
+    at 4x4x64 the generated class is megabytes and Janino compilation
+    dominates wall time on small inputs (measured: a 2000-vector
+    fan-out count spent ~4.5 s almost entirely in plan/compile).  The
+    kernel accumulates dims SEQUENTIALLY (acc = acc + v[i]*w[i],
+    ascending i — the same left-fold order as _sql_dot_lits' literal
+    `+` chain), so every sign bit and therefore every bucket id is
+    bit-identical to the expression form and the DuckDB oracle;
+    tests/test_operators.py pins UDF == expression equality."""
+    fams_l = [[list(p) for p in fam] for fam in fams]
+
+    def sig(v):
+        import numpy as np
+        import pandas as pd
+
+        A = np.stack(v.to_numpy()).astype(np.float64)
+        n = A.shape[0]
+        out = np.zeros((n, len(fams_l)), dtype=np.int64)
+        for t, fam in enumerate(fams_l):
+            for p, plane in enumerate(fam):
+                acc = np.zeros(n)
+                for i, w in enumerate(plane):
+                    acc = acc + A[:, i] * w
+                out[:, t] += (acc > 0).astype(np.int64) << p
+        return pd.Series(list(out))
+
+    return F.pandas_udf(sig, "array<bigint>")
+
+
 def knn_lsh_multi(
     corpus: DataFrame,
     queries: DataFrame,
@@ -637,10 +672,14 @@ def knn_lsh_multi(
         as_double(F.col(vec_col)).alias("qvec"),
     )
 
+    sig_kernel = hyperplane_sigs_udf(fams)
+
     def fan(df, idcol, vec):
-        sigs = F.array(*[hyperplane_signature(vec, fam) for fam in fams])
         return df.select(
-            idcol, F.posexplode_outer(sigs).alias("t", "bucket")
+            idcol,
+            F.posexplode_outer(sig_kernel(F.col(vec))).alias(
+                "t", "bucket"
+            ),
         )
 
     cand = (
@@ -706,9 +745,12 @@ def cosine_dup_pairs(
     base = df.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     )
-    sigs = F.array(*[hyperplane_signature("v", fam) for fam in fams])
     fanned = base.select(
-        "vid", "v", F.posexplode_outer(sigs).alias("t", "bucket")
+        "vid",
+        "v",
+        F.posexplode_outer(hyperplane_sigs_udf(fams)(F.col("v"))).alias(
+            "t", "bucket"
+        ),
     )
     l, r = fanned.alias("l"), fanned.alias("r")
     kern = cosine_fold_udf()

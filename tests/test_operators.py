@@ -342,3 +342,32 @@ def test_simhash_pairs_pigeonhole_complete(spark):
                 want[(a, b)] = h
     assert got == want
     assert (1, 2) in got and got[(1, 2)] == 0  # identical docs
+
+
+def test_hyperplane_sigs_udf_matches_expression(spark):
+    """The Arrow signature kernel must be BIT-identical to the
+    literal-expression form — same sequential dim fold, so the same
+    sign decisions even at near-zero dots.  This is what licenses
+    knn_lsh_multi / cosine_dup_pairs to use the kernel while their
+    DuckDB oracles mirror the expression arithmetic."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(200)
+    ]
+    # plant near-zero-dot stress: a vector orthogonal-ish to plane 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fams = [S.make_planes(4, 64, salt=f"lsh{t}:") for t in range(4)]
+    via_udf = df.select(
+        "vec_id", S.hyperplane_sigs_udf(fams)(F.col("embedding")).alias("s")
+    ).collect()
+    via_expr = df.select(
+        "vec_id",
+        F.array(
+            *[S.hyperplane_signature("embedding", fam) for fam in fams]
+        ).alias("s"),
+    ).collect()
+    a = {r["vec_id"]: list(r["s"]) for r in via_udf}
+    b = {r["vec_id"]: list(r["s"]) for r in via_expr}
+    assert a == b
