@@ -127,6 +127,37 @@ SF1_QUERIES = [
 ]
 
 
+# round-12 (VERDICT r11 item 1): the sf1 -> sf10 MARGINAL-SCALING leg.
+# sf0.1 -> sf1 was the only measured scale step; the 100 TB claims
+# otherwise rest on plan-shape audits.  sf10 (100x the driver's sf0.1:
+# 10M events / 60M lineitem, built once into .bench/sf10) gives a
+# second decade, so a superlinear constant the first step hides shows
+# up as a per-query sf10/sf1 ratio materially above 10.  Subset chosen
+# to cover every plan class in SF1_QUERIES (regex scan-agg, compiled
+# program, chunkfold stateful, hash/SMJ join, corpus window, LSH
+# dedup, GEMM, sketch fold) while keeping the leg's wall time bounded;
+# repeats=2 — the ratio uses min-of-N at BOTH scales from the same
+# process, so host state cancels to first order.
+SF10_QUERIES = [
+    "mtail_counter_by",
+    "mtail_prog_counters",
+    "mtail_prog_dhcpd",
+    "mtail_prog_txn",
+    "tpch_pricing_summary",
+    "join_revenue_by_nation",
+    "window_topk_orders",
+    "sessionize_events",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_gemm",
+    "text_token_counts",
+    "tpch_q3_shipping",
+    "tpch_q18_big_orders",
+    "band_join_counts",
+    "quantile_sketch_prices",
+]
+
+
 def _time_queries(spark, qs, names, sf_dir, repeats=3):
     """median-of-N warm (primary), best-of-N, and first-run cold per
     query.  The median is the per-round comparison number — single
@@ -198,10 +229,18 @@ SF01_MUST_KEEP = frozenset({
 # instead (r9: 28 headline queries pushed the line over and silently
 # cost the whole min series before this change).
 _COMPACT_DROP_ORDER = (
+    "sf10_queries_cold",
     "sf1_queries_cold",
     "queries_cold",
+    "sf10_queries",
     "sf1_queries",
     "queries_min",
+    # the sf10 per-query series are the LAST detail dropped: the
+    # summary scalars (sf10_ratio_median/max) always survive, and
+    # sf10_queries_min is recoverable as ratio x sf1_queries_min, so
+    # the min dict goes before the ratio dict
+    "sf10_queries_min",
+    "sf10_over_sf1",
 )
 
 
@@ -216,21 +255,22 @@ def compact_line(result: dict, limit: int = COMPACT_LIMIT) -> str:
     rounds-1-7 unparseable-line failure — the full dict always
     survives in BENCH_DETAIL.json."""
     out = dict(result)
+    # the sf0.1 medians are ALWAYS emitted at 2 decimals (10 ms
+    # granularity — plenty for trending; full 3-decimal values always
+    # in BENCH_DETAIL.json; sf1_queries_min, the declared cross-round
+    # basis, keeps full precision).  Unconditional on purpose (ADVICE
+    # r11): when rounding only kicked in on overflow, the compact
+    # line's precision varied by round with suite size, so a 10 ms
+    # cross-round step could be a formatting artifact.
+    if isinstance(out.get("queries"), dict):
+        out["queries"] = {
+            k: round(v, 2) for k, v in out["queries"].items()
+        }
     line = json.dumps(out)
     for key in _COMPACT_DROP_ORDER:
         if len(line) <= limit:
             break
         out.pop(key, None)
-        line = json.dumps(out)
-    if len(line) > limit and isinstance(out.get("queries"), dict):
-        # cheapest byte source before dropping any series: the sf0.1
-        # medians at 2 decimals (10 ms granularity — plenty for
-        # trending; full 3-decimal values always in BENCH_DETAIL.json;
-        # sf1_queries_min, the declared cross-round basis, keeps full
-        # precision)
-        out["queries"] = {
-            k: round(v, 2) for k, v in out["queries"].items()
-        }
         line = json.dumps(out)
     if len(line) > limit and isinstance(out.get("queries"), dict):
         qs = dict(out["queries"])
@@ -314,12 +354,14 @@ def host_canary_mt(workers: int = 8) -> float:
         return round(time.perf_counter() - t0, 3)
 
 
-def _sf1_dir() -> str | None:
-    """Locate (or lazily build) the replicated sf1 bench data."""
+def _scaled_dir(name: str, factor: int) -> str | None:
+    """Locate (or lazily build) replicated bench data at `factor` x
+    the driver's sf0.1 (name='sf1' factor=10, name='sf10' factor=100;
+    built once, cached on disk across rounds)."""
     d = os.environ.get(
-        "SPARK_GRAFT_SF1_DIR",
+        f"SPARK_GRAFT_{name.upper()}_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".bench", "sf1"),
+                     ".bench", name),
     )
     tables = ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split()
@@ -329,11 +371,15 @@ def _sf1_dir() -> str | None:
     try:
         from tools.make_bench_sf import build
 
-        build("/root/testdata/sf0.1", d, 10)
+        build("/root/testdata/sf0.1", d, factor)
         return d
-    except Exception as e:  # never let sf1 prep break the primary bench
-        print(f"sf1 bench data unavailable: {e}", file=sys.stderr)
+    except Exception as e:  # never let scale prep break the primary bench
+        print(f"{name} bench data unavailable: {e}", file=sys.stderr)
         return None
+
+
+def _sf1_dir() -> str | None:
+    return _scaled_dir("sf1", 10)
 
 
 def main():
@@ -444,6 +490,7 @@ def main():
     }
 
     sf1 = _sf1_dir()
+    min1 = None
     if sf1:
         warm1, min1, cold1 = _time_queries(
             spark, qs, SF1_QUERIES, sf1, repeats=3
@@ -464,6 +511,51 @@ def main():
         result["sf1_compiled_program_klines_per_sec_best"] = round(
             n1 / 1000.0 / max(min1["mtail_prog_counters"], 1e-9), 1
         )
+
+    # sf10 marginal-scaling leg (VERDICT r11 item 1).  Ratio basis:
+    # min-of-N at both scales from THIS process — same JVM, same host
+    # window — so a ratio near 10 is linear scaling and anything
+    # materially above it is a real superlinear constant, not host
+    # drift.  SPARK_GRAFT_SF10=0 skips the leg (the primary suites are
+    # never hostage to it).
+    if sf1 and min1 and os.environ.get("SPARK_GRAFT_SF10", "1") != "0":
+        sf10 = _scaled_dir("sf10", 100)
+        if sf10:
+            warm10, min10, cold10 = _time_queries(
+                spark, qs, SF10_QUERIES, sf10, repeats=2
+            )
+            n10 = spark.read.parquet(f"{sf10}/events.parquet").count()
+            ratios = {
+                q: round(min10[q] / max(min1[q], 1e-9), 2)
+                for q in SF10_QUERIES
+                if q in min1
+            }
+            import statistics
+
+            rvals = sorted(ratios.values())
+            rmax_q = max(ratios, key=ratios.get)
+            result["sf10_queries"] = warm10
+            result["sf10_queries_min"] = min10
+            result["sf10_queries_cold"] = cold10
+            result["sf10_events_rows"] = n10
+            result["sf10_wall_min_sec"] = round(sum(min10.values()), 3)
+            result["sf10_over_sf1"] = ratios
+            # summary scalars survive every compact-line trim
+            result["sf10_ratio_median"] = round(
+                statistics.median(rvals), 2
+            )
+            result["sf10_ratio_max"] = ratios[rmax_q]
+            result["sf10_ratio_max_q"] = rmax_q
+            result["sf10_compiled_program_klines_per_sec_best"] = round(
+                n10 / 1000.0 / max(min10["mtail_prog_counters"], 1e-9), 1
+            )
+
+    # post-suite canary pair (VERDICT r11 'what's wrong' item 2): the
+    # start-of-run sample can't see MID-suite throttling (round-11 run
+    # C throttled after the canary was taken).  Pre/post disagreement
+    # beyond the documented idle band brackets which rows to distrust.
+    result["host_canary_sec_post"] = host_canary()
+    result["host_canary_mt_sec_post"] = host_canary_mt()
 
     # Full record to a side file (and stderr) for humans/the judge;
     # ONE compact JSON line to stdout for the driver's 2000-char tail.

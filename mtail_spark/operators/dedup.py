@@ -100,8 +100,9 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # decorrelate and the miss bound holds
 # (tests/test_dedup_recall.py pins it).
 #
-# Overflow (ANSI mode errors, not wraps): A_j*x + B_j <=
-# (P-2)*(2^32-1) + (P-1) < 2^63 - 2^31, inside signed 64.  All
+# Overflow (ANSI mode errors, not wraps): A_j in [1, P-1] and
+# x < 2^32, so A_j*x + B_j <= (P-1)*(2^32-1) + (P-1) = (P-1)*2^32
+# ≈ 9.22e18 < 2^63 - 1, inside signed 64.  All
 # integer arithmetic, one shared SQL string for both engines
 # (minhash_lane_sql) — the hdr_bucket_sql discipline.
 

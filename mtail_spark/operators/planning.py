@@ -17,8 +17,10 @@ DuckDB oracle reproduces every branch bit-for-bit):
   — the heaviest key alone would exceed ``skew_factor`` times the
   average post-shuffle partition load (``n_rows / partitions``).
   ``skew_factor`` defaults to 5, matching Spark's own
-  ``spark.sql.adaptive.skewJoin.skewedPartitionFactor`` default, so
-  the advisor predicts the same partitions AQE itself would flag.
+  ``spark.sql.adaptive.skewJoin.skewedPartitionFactor`` default —
+  but compared against the MEAN load, a higher bar than AQE's
+  median, so a hot_key verdict implies AQE would flag that
+  partition too (see the SKEW_FACTOR comment below).
 - ``advice_join``: hot key → ``aqe-skew-join``.  For sort-merge
   joins AQE's OptimizeSkewedJoin splits an oversized partition into
   sub-ranges of the map outputs and duplicates the other side, so a
@@ -64,8 +66,12 @@ from pyspark.sql import functions as F
 # a partition is "skewed" at 5x the median partition size.  The
 # advisor uses the MEAN (n_rows / partitions) instead of the median —
 # cheaper (no per-partition sizes needed, just the profile row) and
-# more conservative under skew (hot keys pull the mean above the
-# median, so hot_key trips no later than AQE would).
+# STRICTER under skew: hot keys pull the mean above the median, so
+# 5x-the-mean is a higher bar than AQE's 5x-the-median and the
+# advisor UNDER-flags relative to AQE.  Direction of the implication:
+# advisor hot_key=1 ⇒ AQE would flag the partition too (the advice is
+# never a false alarm AQE would ignore); AQE may still split
+# partitions the advisor called plain-shuffle.
 SKEW_FACTOR = 5
 
 # Stock spark.sql.shuffle.partitions default; callers pass their

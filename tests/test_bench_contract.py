@@ -159,6 +159,67 @@ def test_sf01_must_keep_queries_exist():
     assert bench.SF01_MUST_KEEP <= set(bench.BENCH_QUERIES)
 
 
+def _with_sf10(r):
+    qs10 = {q: 9.87 for q in bench.SF10_QUERIES}
+    r["sf10_queries"] = qs10
+    r["sf10_queries_min"] = qs10
+    r["sf10_queries_cold"] = qs10
+    r["sf10_events_rows"] = 10000000
+    r["sf10_wall_min_sec"] = 160.0
+    r["sf10_over_sf1"] = {q: 9.9 for q in bench.SF10_QUERIES}
+    r["sf10_ratio_median"] = 9.9
+    r["sf10_ratio_max"] = 11.2
+    r["sf10_ratio_max_q"] = "band_join_counts"
+    r["host_canary_sec_post"] = 0.33
+    r["host_canary_mt_sec_post"] = 0.55
+    return r
+
+
+def test_sf10_queries_subset_of_sf1():
+    # the sf10/sf1 ratio needs a same-run sf1 min denominator for
+    # every sf10 query
+    assert set(bench.SF10_QUERIES) <= set(bench.SF1_QUERIES)
+
+
+def test_compact_line_keeps_sf10_summary_and_post_canary():
+    # the scaling-leg summary scalars and the post-run canary pair
+    # (VERDICT r11 items 1 and 4) must survive every trim — they are
+    # the cross-round evidence, like the pre-run canary pair
+    r = _with_sf10(_fake_result(n_queries=40, with_sf1=True))
+    line = bench.compact_line(r, limit=1900)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    for k in (
+        "sf10_ratio_median",
+        "sf10_ratio_max",
+        "sf10_ratio_max_q",
+        "host_canary_sec_post",
+        "host_canary_mt_sec_post",
+        "host_canary_sec",
+        "host_canary_mt_sec",
+    ):
+        assert k in parsed, k
+    # the declared cross-round basis is still intact
+    assert len(parsed["sf1_queries_min"]) == 40
+
+
+def test_compact_line_prefers_ratio_dict_over_sf10_min():
+    # when detail must go, sf10_queries_min leaves before sf10_over_sf1
+    # (the min dict is recoverable as ratio x sf1_queries_min)
+    order = bench._COMPACT_DROP_ORDER
+    assert order.index("sf10_queries_min") < order.index("sf10_over_sf1")
+    assert order.index("sf10_queries_cold") < order.index("sf10_queries")
+
+
+def test_compact_line_rounds_sf01_queries_unconditionally():
+    # ADVICE r11: compact-line precision must not vary by round with
+    # suite size — the sf0.1 medians are always 2-decimal
+    r = _fake_result(n_queries=3, with_sf1=False)
+    r["queries"] = {"q_a": 1.23456, "q_b": 0.999}
+    parsed = json.loads(bench.compact_line(r))
+    assert parsed["queries"] == {"q_a": 1.23, "q_b": 1.0}
+
+
 def test_log_template_uppercase_mac():
     # review finding: real syslog emits uppercase-hex MACs too
     from pyspark.sql import functions as F

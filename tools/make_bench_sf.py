@@ -65,10 +65,15 @@ def _replicate(tbl: pa.Table, keys: list[str], factor: int,
                 # 10-member dup group — 45 candidate pairs each — and
                 # the minhash bench measured that artifact, not the
                 # operator.)
+                # i % 10 so the mix repeats per decade of replicas:
+                # factor 10 (sf1) is byte-identical to the original
+                # i==2/i==4 rule; factor 100 (sf10) keeps the SAME
+                # ~30% dup rate per decade instead of collapsing to
+                # 1%/99% extremes.
                 chunk = col.combine_chunks()
-                if i == 2:
+                if i % 10 == 2:
                     pass  # exact dup
-                elif i == 4:
+                elif i % 10 == 4:
                     col = pc.binary_join_element_wise(
                         chunk, f" replica{i}", ""
                     )
