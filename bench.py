@@ -275,29 +275,36 @@ def compact_line(result: dict, limit: int = COMPACT_LIMIT) -> str:
     if len(line) > limit and isinstance(out.get("queries"), dict):
         qs = dict(out["queries"])
         dropped = 0
-        # two passes: non-pinned first, then — only if the line STILL
-        # exceeds the limit with every non-pinned entry gone (growth
-        # elsewhere, e.g. sf1_queries_min, which is never dropped) —
-        # pinned entries, longest first.  The <= limit guarantee wins
-        # over the pin: an unparseable line loses EVERY series, not
-        # just the trimmed ones.
-        trimmable = sorted(
+
+        def trim(names):
+            nonlocal qs, dropped, line
+            for name in names:
+                if len(line) <= limit:
+                    break
+                qs.pop(name)
+                dropped += 1
+                out["queries"] = qs
+                out["queries_truncated"] = dropped
+                line = json.dumps(out)
+
+        # three passes: non-pinned queries entries first (longest
+        # key first); then the sf10 worst-ratio slice (its summary
+        # scalars remain); then — only if the line STILL exceeds the
+        # limit (growth elsewhere, e.g. sf1_queries_min, which is
+        # never dropped) — pinned entries, longest first.  The
+        # <= limit guarantee wins over every pin: an unparseable line
+        # loses EVERY series, not just the trimmed ones.
+        trim(sorted(
             (n for n in qs if n not in SF01_MUST_KEEP),
-            key=len,
-            reverse=True,
-        ) + sorted(
-            (n for n in qs if n in SF01_MUST_KEEP),
-            key=len,
-            reverse=True,
-        )
-        for name in trimmable:
-            if len(line) <= limit:
-                break
-            qs.pop(name)
-            dropped += 1
-            out["queries"] = qs
-            out["queries_truncated"] = dropped
+            key=len, reverse=True,
+        ))
+        if len(line) > limit and "sf10_worst" in out:
+            out.pop("sf10_worst")
             line = json.dumps(out)
+        trim(sorted(
+            (n for n in qs if n in SF01_MUST_KEEP),
+            key=len, reverse=True,
+        ))
         print(
             f"bench: compact line over {limit} bytes; trimmed "
             f"{dropped} queries entries (full set in BENCH_DETAIL.json)",
@@ -546,6 +553,13 @@ def main():
             )
             result["sf10_ratio_max"] = ratios[rmax_q]
             result["sf10_ratio_max_q"] = rmax_q
+            # the actionable slice of the per-query series — the 8
+            # largest ratios — is never dropped either (the full dicts
+            # are in BENCH_DETAIL.json and the round's BENCH.md table;
+            # any sub-10x query is bounded above by these)
+            result["sf10_worst"] = dict(
+                sorted(ratios.items(), key=lambda kv: -kv[1])[:8]
+            )
             result["sf10_compiled_program_klines_per_sec_best"] = round(
                 n10 / 1000.0 / max(min10["mtail_prog_counters"], 1e-9), 1
             )

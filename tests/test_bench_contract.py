@@ -170,6 +170,7 @@ def _with_sf10(r):
     r["sf10_ratio_median"] = 9.9
     r["sf10_ratio_max"] = 11.2
     r["sf10_ratio_max_q"] = "band_join_counts"
+    r["sf10_worst"] = {q: 9.9 for q in bench.SF10_QUERIES[:8]}
     r["host_canary_sec_post"] = 0.33
     r["host_canary_mt_sec_post"] = 0.55
     return r
@@ -199,6 +200,15 @@ def test_compact_line_keeps_sf10_summary_and_post_canary():
         "host_canary_mt_sec",
     ):
         assert k in parsed, k
+    # at the REAL record's shape (r11: 34 sf0.1 queries, 25 sf1-min
+    # entries) the worst-ratio slice also survives; this fixture's 40
+    # fake sf1 entries are the pathological case where it may go
+    r2 = _with_sf10(_fake_result(n_queries=34, with_sf1=True))
+    r2["sf1_queries_min"] = {
+        f"sf1q_{i:02d}_name_pad": 1.234 for i in range(25)
+    }
+    parsed2 = json.loads(bench.compact_line(r2, limit=1900))
+    assert parsed2["sf10_worst"] == r2["sf10_worst"]
     # the declared cross-round basis is still intact
     assert len(parsed["sf1_queries_min"]) == 40
 
