@@ -56,11 +56,20 @@ def windowed_agg(
     )
 
 
-def stream_table(spark, path: str) -> DataFrame:
+def stream_table(
+    spark, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Replay a parquet table as a file STREAM (the schema comes from
     a static footer read; nanosecond timestamps are normalized exactly
     like session.load_table so stream and batch plans see identical
-    columns)."""
+    columns).
+
+    ``max_files_per_trigger`` bounds each micro-batch to that many
+    input files — Trigger.AvailableNow respects it as a rate limit, so
+    a finite replay over N files becomes ceil(N / k) micro-batches
+    instead of one.  tests/test_stream_crash_recovery.py uses k=1 to
+    prove the state-store merge composes across MANY micro-batches,
+    not just the two a single-file-per-leg replay produces."""
     from mtail_spark.session import _nanos_ts_columns
 
     try:
@@ -77,7 +86,12 @@ def stream_table(spark, path: str) -> DataFrame:
         # the file streaming source requires a directory or glob; turn
         # a plain file path into the glob that matches exactly it
         stream_path = path[:-1] + "[" + path[-1] + "]"
-    df = spark.readStream.schema(schema).parquet(stream_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", int(max_files_per_trigger)
+        )
+    df = reader.parquet(stream_path)
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     return df
