@@ -1627,6 +1627,37 @@ def q_join_strategy_advice(spark, sf):
     )
 
 
+def q_advised_agg_hot(spark, sf):
+    """The advisor EXECUTED (planning.advised_agg, VERDICT r11 item
+    6): profile events.event_type (5 keys over 10k rows — the
+    heaviest key alone carries ~20% of the table, far past the
+    5x-mean bar at 200 partitions), then run the aggregation the
+    advice demands.  On this key the decision is salted-two-phase:
+    partials fan across pmod(event_id, 16) shards before the per-key
+    merge — the rewrite AQE cannot do for an aggregate (every row of
+    a key must meet at one reducer unless the QUERY is rewritten).
+    Output rows are identical to the plain GROUP BY (that is the
+    oracle), plus the path column computed by the same integer
+    arithmetic in both engines; tests/test_planning.py asserts the
+    executed PLAN differs between the branches."""
+    import mtail_spark.operators.planning as PL
+
+    return PL.advised_agg(_t(spark, sf, "events"), "event_type")
+
+
+def q_advised_agg_plain(spark, sf):
+    """The advisor's OTHER branch executed live (planning.advised_agg
+    on events.user_id — 150 keys, max share ~0.9%, nowhere near the
+    5x-mean bar): the advice is plain-shuffle and the query runs the
+    single-phase aggregate with no salt tax.  Together with
+    advised_agg_hot this proves the rewrite is data-DEPENDENT — same
+    operator, different executed plan, both oracle-checked with the
+    decision arithmetic mirrored in SQL."""
+    import mtail_spark.operators.planning as PL
+
+    return PL.advised_agg(_t(spark, sf, "events"), "user_id")
+
+
 def q_hll_set_algebra(spark, sf):
     """HLL SET ALGEBRA across shards — the property that makes
     register sketches a distributed-system primitive rather than a
@@ -3473,28 +3504,102 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_mtail_counter_by(spark, "/root/testdata/sf0.001")
 
 
+# The first-50 correctness window for ROUND 12, explicitly.  As of
+# round 11 every registered query has at least one green driver row,
+# so the window's job changed from "cover the unverified" to "re-prove
+# the STALEST": 2 new r12 queries (never driver-verified) + the 34
+# queries whose last green driver row is OLDEST (25 last green in r8,
+# 9 in r9 — computed from the CORRECTNESS_r*.json history) + the 14
+# pinned mtail_* parity-core rows.  Exactly 50.  queries() serves
+# these first, then the base registry's deliberate order for the rest.
+_R12_WINDOW = [
+    # new round 12 (the advisor EXECUTED — VERDICT r11 item 6)
+    "advised_agg_hot",
+    "advised_agg_plain",
+    # stalest-green refills: last green r8
+    "asof_join_stream",
+    "bpe_merge_pairs",
+    "curation_pipeline_v2",
+    "dataset_split_grouped",
+    "decontamination",
+    "dedup_incremental_stream",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "event_transitions",
+    "hard_negatives",
+    "hist_quantiles",
+    "incident_correlation",
+    "json_props_agg",
+    "log_templates",
+    "multi_touch_attribution",
+    "pack_sequences",
+    "seasonal_anomalies",
+    "sim_topk_gemm",
+    "sliding_window_counts",
+    "sliding_window_stream",
+    "state_intervals",
+    "tpch_pricing_summary",
+    "tpch_q3_shipping",
+    "tumbling_window_stream",
+    # stalest-green refills: last green r9 (alphabetical tie-break)
+    "conversion_lag_quantiles",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_groups_cc",
+    "dedup_ngram_jaccard",
+    "distinct_users_by_type",
+    "embedding_nn",
+    "funnel_windowed",
+    "join_revenue_by_nation",
+    # the 14 pinned mtail_* reference-parity core rows
+    "mtail_linecount",
+    "mtail_counter_by",
+    "mtail_bytes_sum",
+    "mtail_gauge_lww",
+    "mtail_histogram",
+    "mtail_strptime_hour",
+    "mtail_getfilename",
+    "mtail_prog_counters",
+    "mtail_prog_dhcpd",
+    "mtail_prog_dhcpd_core",
+    "mtail_prog_gauge",
+    "mtail_prog_histogram",
+    "mtail_prog_stateful",
+    "mtail_prog_txn",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, in DELIBERATE order.
 
     Rotation policy (established round 7): the external correctness
     gate checks only the FIRST 50 dict entries, so that window is a
-    scarce resource.  Order queries least-proven-first:
-
-      1. queries with no driver CORRECTNESS row yet (new this round,
-         or displaced from the window in a previous round),
-      2. queries with exactly one green driver row,
-      3. the 14 ``mtail_*`` reference-parity core rows (always kept
-         inside the window — they are the engine's parity claim),
-      4. multi-round-stable rows (two or more green driver rows)
-         parked past position 50.
-
-    New queries are inserted at the TOP, never mid-dict: a mid-dict
-    insert silently ejects tail-of-window queries from the gate
-    (this happened in round 6).  tests/test_entry_contract.py pins
-    the window contents.
+    scarce resource.  Since round 11 every query has at least one
+    green driver row, so the window is now _R12_WINDOW above — new
+    queries, then the stalest-green refills, then the pinned
+    ``mtail_*`` parity core — followed by the base registry's
+    least-proven-first order for everything else.
+    tests/test_entry_contract.py pins the window contents.
     """
+    base = _queries_base()
+    out = {n: base[n] for n in _R12_WINDOW}  # KeyError on any typo
+    out.update((n, f) for n, f in base.items() if n not in out)
+    return out
+
+
+def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The full registry in its historical least-proven-first order
+    (the window head is applied by queries() above)."""
     return {
-        # -- tier 0: new round 11 (never driver-verified) --------------------
+        # -- tier 0: new round 12 (never driver-verified) --------------------
+        # the advisor EXECUTED as a data-dependent rewrite (VERDICT
+        # r11 item 6): same operator, the data picks the plan — the
+        # planted-hot key takes the salted two-phase branch, the
+        # uniform key the single-phase one, both oracle-checked
+        "advised_agg_hot": q_advised_agg_hot,
+        "advised_agg_plain": q_advised_agg_plain,
+        # -- tier 1: new round 11 ---------------------------------------------
         # the join-strategy advisor: the composition the r10
         # diagnostics pair exists for (VERDICT r10 item 5)
         "join_strategy_advice": q_join_strategy_advice,
@@ -5002,6 +5107,40 @@ def _sql_cms_self_join_size(include_true: bool = True) -> str:
     """
 
 
+def _sql_advised_agg(key: str) -> str:
+    """DuckDB mirror of q_advised_agg_*: the branch decision is the
+    advisor's integer arithmetic (partitions=200, skew_factor=5) over
+    the exact key profile, and the VALUES are the plain GROUP BY —
+    which the salted two-phase plan must equal exactly, so one oracle
+    covers whichever branch the data selects.  COALESCE makes the
+    empty/all-null-key case mirror planning.advised_agg's PLAIN
+    fallback."""
+    import mtail_spark.operators.planning as PL
+
+    return f"""
+        WITH per_key AS (
+          SELECT CAST(count(*) AS BIGINT) AS ck FROM events
+          WHERE {key} IS NOT NULL GROUP BY {key}
+        ), prof AS (
+          SELECT CAST(sum(ck) AS BIGINT) AS n_rows,
+                 CAST(max(ck) AS BIGINT) AS max_key_rows
+          FROM per_key
+        ), adv AS (
+          SELECT CASE WHEN COALESCE(max_key_rows, 0)
+                           * {PL.DEFAULT_PARTITIONS}
+                         > {PL.SKEW_FACTOR} * COALESCE(n_rows, 0)
+                      THEN '{PL.SALTED}' ELSE '{PL.PLAIN}' END AS path
+          FROM prof
+        )
+        SELECT {key},
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               (SELECT path FROM adv) AS path
+        FROM events GROUP BY 1
+    """
+
+
 def _sql_join_strategy_advice() -> str:
     """DuckDB mirror of q_join_strategy_advice: the exact profile CTE
     and the sketch-only self-join CTE (same cell grid as
@@ -6469,6 +6608,8 @@ def oracle_sql() -> dict[str, str]:
         "cms_self_join_size": _sql_cms_self_join_size(),
         "skew_key_profile": _SQL_SKEW_KEY_PROFILE,
         "join_strategy_advice": _sql_join_strategy_advice(),
+        "advised_agg_hot": _sql_advised_agg("event_type"),
+        "advised_agg_plain": _sql_advised_agg("user_id"),
         "hll_distinct_windowed": _sql_hll_windowed(),
         # the streaming dual is checked against the SAME oracle —
         # that equality IS the twelfth stream ≡ batch claim

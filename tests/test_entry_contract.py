@@ -22,25 +22,20 @@ WINDOW = 50
 # set only after the corresponding CORRECTNESS_r{N}.json row lands
 # green.
 MUST_BE_IN_WINDOW = {
-    # new round 11 (the join-strategy advisor composing the r10
-    # diagnostics pair — VERDICT r10 item 5; the cross-shard quantile
-    # algebra completing the stored-sketch relational triad)
-    "join_strategy_advice",
-    "quantile_sketch_merge",
-    "sim_lsh_multitable",
-    # staged past position 50 in round 10, never driver-verified
-    # (rotated to the window top per the r10 handoff)
-    "cms_self_join_size",
-    "skew_key_profile",
-    "hll_distinct_windowed",
-    "hll_distinct_windowed_stream",
+    # new round 12 (the advisor EXECUTED as a data-dependent rewrite —
+    # VERDICT r11 item 6); everything else in the registry has at
+    # least one green driver row as of CORRECTNESS_r11 (50/50 green,
+    # completing the full-registry convergence)
+    "advised_agg_hot",
+    "advised_agg_plain",
 }
 
 # Queries added in the CURRENT round and STAGED past position 50
 # because the window was already full; rotate ALL of these to the
 # window top next round (the set, not any count mentioned elsewhere,
-# is the authoritative list).  Round 11's sole new query fit inside
-# the window (the r10 rotation freed 36 slots), so nothing is staged.
+# is the authoritative list).  Round 12's two new queries fit inside
+# the window (the stalest-refill rotation frees slots every round),
+# so nothing is staged.
 STAGED_FOR_NEXT_WINDOW: set = set()
 
 
@@ -73,6 +68,14 @@ def test_window_keeps_parity_core():
         f"mtail_* parity-core queries fell outside the first-{WINDOW} "
         f"window: {outside}"
     )
+
+
+def test_window_is_exactly_the_declared_rotation():
+    # the r12 window list IS the first 50, verbatim and duplicate-free
+    names = list(entrymod.queries())
+    assert len(entrymod._R12_WINDOW) == WINDOW
+    assert len(set(entrymod._R12_WINDOW)) == WINDOW
+    assert names[:WINDOW] == entrymod._R12_WINDOW
 
 
 def test_no_duplicate_query_names():
