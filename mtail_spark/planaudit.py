@@ -7,6 +7,8 @@ un-partitioned window."""
 
 from __future__ import annotations
 
+import contextlib
+import io
 import re
 
 # Queries whose construction RUNS a streaming replay (the returned
@@ -32,6 +34,48 @@ STREAMING_REPLAY: dict[str, str] = {
     "quantile_sketch_stream": "quantile_sketch_by_type",
     "hll_distinct_windowed_stream": "hll_distinct_windowed",
 }
+
+
+def formatted_plan(df) -> str:
+    """df.explain('formatted') as a string."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def plan_fingerprint(fmt: str, opt: str) -> dict:
+    """The per-query plan-shape fingerprint: the counts a 100 TB
+    review cares about, computed from the formatted physical plan and
+    the optimized logical plan.  Single source of truth for
+    tools/scale_audit.py (the SCALE.md table), tools/
+    pin_plan_fingerprints.py (the pinned expectation), and
+    tests/test_plan_invariants.py (the exact-shape CI gate) — an edit
+    that quietly doubles an Exchange count is invisible to bit-parity
+    and to min-basis bench noise, but not to this."""
+
+    def c(node: str) -> int:
+        # formatted explain prints each node twice (tree + details);
+        # the details entry "(N) NodeName" appears exactly once per
+        # physical node
+        return len(re.findall(rf"\(\d+\) {node}\b", fmt))
+
+    py = []
+    for tag in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        if tag in fmt:
+            py.append(tag)
+    assert "BatchEvalPython" not in fmt
+    return {
+        "shuffles": c("Exchange"),  # \bExchange excludes BroadcastExchange
+        "bhj": c("BroadcastHashJoin"),
+        "smj": c("SortMergeJoin"),
+        "bnlj": c("BroadcastNestedLoopJoin"),
+        "cartesian": c("CartesianProduct"),
+        "windows": c("Window"),
+        "global_windows": len(empty_partition_windows(opt)),
+        "topk": c("TakeOrderedAndProject"),
+        "python": "+".join(py) if py else "-",
+    }
 
 
 def _first_top_level_arg(args: str) -> str:

@@ -286,9 +286,14 @@ def ensure_parallelism(df, spark=None):
             return df
     except Exception:
         pass
-    mpb = _parse_byte_size(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
-    )
+    # Estimate splits under the session's ORIGINAL maxPartitionBytes,
+    # not the current value: the tuning branch below retunes the conf
+    # per dataset, so estimating from the live conf made the
+    # repartition decision depend on which dataset was planned EARLIER
+    # in the session (same query, ±1 Exchange — caught by the plan-
+    # fingerprint pin).  Fresh-session shape is what SCALE.md/PLANS.md
+    # audit; every session now plans it deterministically.
+    mpb = _default_scan_mpb(spark)
     est = 0
     paths = []
     total = 0
@@ -327,7 +332,10 @@ def ensure_parallelism(df, spark=None):
         # program vs one-split-per-core
         want = min(max(total // (par * 3), 131072),
                    _default_scan_mpb(spark))
-        if want != mpb:
+        live = _parse_byte_size(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+        )
+        if want != live:
             spark.conf.set("spark.sql.files.maxPartitionBytes", str(want))
         return df
     if est >= enough:

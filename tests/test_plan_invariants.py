@@ -19,8 +19,8 @@ tables (their plan is the already-computed local relation), so the
 invariants are checked on their batch duals instead.
 """
 
-import io
-import contextlib
+import json
+import os
 
 import pytest
 
@@ -28,14 +28,12 @@ import __spark_entry__ as entrymod
 from mtail_spark.planaudit import (
     STREAMING_REPLAY,
     empty_partition_windows as _empty_partition_windows,
+    formatted_plan,
+    plan_fingerprint,
 )
 
 
-def _plan(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+_plan = formatted_plan
 
 
 # Queries allowed to keep a Window with an EMPTY partition spec (an
@@ -60,6 +58,12 @@ GLOBAL_WINDOW_OK = {
 
 @pytest.fixture(scope="module")
 def all_plans(spark, sf_smoke):
+    # Start from an empty cache so plan shapes don't depend on which
+    # test modules ran earlier in the suite (a cache another test
+    # materialized carries real statistics that can flip a join
+    # strategy); tools/pin_plan_fingerprints.py pins under the same
+    # clean-cache, registry-order conditions.
+    spark.catalog.clearCache()
     plans = {}
     todo = dict(entrymod.queries())
     # the production-shape variants (exact demo columns off) are what
@@ -144,6 +148,51 @@ def test_production_variants_drop_exact_demo_columns(spark, sf_smoke):
         demo = set(entrymod.queries()[name](spark, sf_smoke).columns)
         assert prod < demo, name
         assert not ({"true_distinct", "exact_dup"} & prod), name
+
+
+def test_plan_fingerprints_pinned_exactly(all_plans):
+    """Exact-shape regression gate (VERDICT r11 item 5): every
+    registered query's (shuffles, joins-by-kind, windows, top-k,
+    python-surface) fingerprint must equal the committed pin.  The
+    invariant tests above bound the DANGEROUS shapes; this catches
+    the merely-worse ones — an edit that doubles an Exchange count or
+    silently trades a broadcast join for a sort-merge join produces
+    identical rows (bit-parity green) and hides inside one bench
+    run's noise, but fails here.
+
+    Intentional plan changes: review the diff this test prints, then
+    `python tools/pin_plan_fingerprints.py` and commit the
+    regenerated tests/plan_fingerprints.json with the code change."""
+    pins_path = os.path.join(os.path.dirname(__file__),
+                             "plan_fingerprints.json")
+    with open(pins_path) as fh:
+        expected = json.load(fh)
+    actual = {
+        n: plan_fingerprint(p["fmt"], p["opt"])
+        for n, p in all_plans.items()
+    }
+    unpinned = sorted(set(actual) - set(expected))
+    stale = sorted(set(expected) - set(actual))
+    diffs = {
+        n: {
+            k: (expected[n][k], v)
+            for k, v in actual[n].items()
+            if expected[n].get(k) != v
+        }
+        for n in sorted(set(actual) & set(expected))
+        if expected[n] != actual[n]
+    }
+    assert not unpinned, (
+        f"queries without a pinned fingerprint (run "
+        f"tools/pin_plan_fingerprints.py): {unpinned}"
+    )
+    assert not stale, (
+        f"pinned fingerprints for queries that no longer exist: {stale}"
+    )
+    assert not diffs, (
+        "plan-shape drift (pinned, actual) — if intentional, re-pin "
+        f"via tools/pin_plan_fingerprints.py: {diffs}"
+    )
 
 
 def test_global_window_allowlist_is_tight(all_plans):
