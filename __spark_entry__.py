@@ -1652,7 +1652,11 @@ def q_advised_agg_plain(spark, sf):
     single-phase aggregate with no salt tax.  Together with
     advised_agg_hot this proves the rewrite is data-DEPENDENT — same
     operator, different executed plan, both oracle-checked with the
-    decision arithmetic mirrored in SQL."""
+    decision arithmetic mirrored in SQL.  ("plain" names the branch
+    taken at the driver's sf0.01 gate and above; at sf0.001 even the
+    uniform key trips the 5x-mean bar — 1000 rows over 200 partitions
+    is a mean load of 5 — and the oracle tracks whichever branch the
+    data selects, which is the point.)"""
     import mtail_spark.operators.planning as PL
 
     return PL.advised_agg(_t(spark, sf, "events"), "user_id")

@@ -409,6 +409,17 @@ SHOW = [
      "posexplode fans out ids+buckets only (no vector bytes); "
      "candidates dedup then broadcast back onto the vector tables "
      "for the exact rerank — the knn_pq_rerank discipline"),
+    ("advised_agg_hot",
+     "the advisor EXECUTED: a 1-row profile job picks the plan, and "
+     "on the hot key (~20% share) the returned plan IS the salted "
+     "two-phase shape — (key, _salt) partial exchange fanning the "
+     "hot key across 16 reducers, then the bare-key merge of <= 16 "
+     "bounded partials per key; values equal the plain GROUP BY"),
+    ("advised_agg_plain",
+     "the advisor's other branch live: the uniform key profiles "
+     "under the 5x-mean bar, so the SAME operator returns the "
+     "single-phase aggregate — one exchange, no salt tax; the pair "
+     "proves the rewrite is chosen by the data, not the code"),
 ]
 
 INTERESTING = re.compile(
