@@ -410,6 +410,57 @@ def q_tumbling_window_stream(spark, sf):
     return run_replay_to_table(agg, "tumbling_window_stream")
 
 
+def _segment_enrichment_agg(ev, cust):
+    cust = cust.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(_cents(F.col("value"))).cast("long").alias("sum_cents"),
+        )
+    )
+
+
+def q_segment_enrichment(spark, sf):
+    """Stream-static enrichment, batch dual: events inner-join the
+    customer dimension on user_id = c_custkey (broadcast — the dim is
+    the small side by construction), then per-(market segment, event
+    type) counts and exact cent sums.  The canonical production
+    streaming-ingest shape: facts arrive, a slowly-changing dim
+    enriches them map-side, only the aggregate keeps state.  At
+    100 TB the join stage has NO shuffle at all (broadcast hash), so
+    the single exchange is the aggregate's — and the dim refresh
+    cadence is a re-broadcast, not a reshuffle."""
+    return _segment_enrichment_agg(
+        _t(spark, sf, "events"), _t(spark, sf, "customer")
+    )
+
+
+def q_segment_enrichment_stream(spark, sf):
+    """THIRTEENTH stream ≡ batch pair — the BROADCAST-DIM enrichment
+    shape (the as-of pair already covers stream-static alignment
+    against a history; this is the star-schema equi-join every ingest
+    pipeline runs): the same broadcast enrichment + aggregate as
+    q_segment_enrichment, but events replay as a Structured Streaming
+    file stream while customer stays a static table — the join is
+    stateless per micro-batch (each batch hash-joins against the same
+    broadcast dim), and only the (segment, type) aggregate lives in
+    the state store.  Checked against the SAME DuckDB oracle as the
+    batch dual; that equality is the stream ≡ batch claim."""
+    from mtail_spark.streaming.windows import (
+        run_replay_to_table,
+        stream_table,
+    )
+
+    ev = stream_table(spark, f"{sf}/events.parquet")
+    agg = _segment_enrichment_agg(ev, _t(spark, sf, "customer"))
+    return run_replay_to_table(agg, "segment_enrichment_stream")
+
+
 def q_set_ops_users(spark, sf):
     """Set difference: purchasers who never hit an error."""
     ev = _t(spark, sf, "events")
@@ -3517,9 +3568,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # pinned mtail_* parity-core rows.  Exactly 50.  queries() serves
 # these first, then the base registry's deliberate order for the rest.
 _R12_WINDOW = [
-    # new round 12 (the advisor EXECUTED — VERDICT r11 item 6)
+    # new round 12 (the advisor EXECUTED — VERDICT r11 item 6 — and
+    # the 13th stream ≡ batch pair, broadcast-dim enrichment)
     "advised_agg_hot",
     "advised_agg_plain",
+    "segment_enrichment",
+    "segment_enrichment_stream",
     # stalest-green refills: last green r8
     "asof_join_stream",
     "bpe_merge_pairs",
@@ -3546,7 +3600,9 @@ _R12_WINDOW = [
     "tpch_pricing_summary",
     "tpch_q3_shipping",
     "tumbling_window_stream",
-    # stalest-green refills: last green r9 (alphabetical tie-break)
+    # stalest-green refills: last green r9 (alphabetical tie-break;
+    # two fewer than the r8 tier to make room for the two
+    # segment-enrichment queries above)
     "conversion_lag_quantiles",
     "dedup_embedding",
     "dedup_exact",
@@ -3554,8 +3610,6 @@ _R12_WINDOW = [
     "dedup_ngram_jaccard",
     "distinct_users_by_type",
     "embedding_nn",
-    "funnel_windowed",
-    "join_revenue_by_nation",
     # the 14 pinned mtail_* reference-parity core rows
     "mtail_linecount",
     "mtail_counter_by",
@@ -3603,6 +3657,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # uniform key the single-phase one, both oracle-checked
         "advised_agg_hot": q_advised_agg_hot,
         "advised_agg_plain": q_advised_agg_plain,
+        # the 13th stream ≡ batch pair — broadcast-dim enrichment
+        # (stateless join per micro-batch, state only in the aggregate)
+        "segment_enrichment": q_segment_enrichment,
+        "segment_enrichment_stream": q_segment_enrichment_stream,
         # -- tier 1: new round 11 ---------------------------------------------
         # the join-strategy advisor: the composition the r10
         # diagnostics pair exists for (VERDICT r10 item 5)
@@ -5111,6 +5169,19 @@ def _sql_cms_self_join_size(include_true: bool = True) -> str:
     """
 
 
+_SQL_SEGMENT_ENRICHMENT = """
+    -- stream-static enrichment: the broadcast dim join then the
+    -- stateful aggregate; one oracle for both the batch dual and the
+    -- streaming replay (their equality IS the stream=batch claim)
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+"""
+
+
 def _sql_advised_agg(key: str) -> str:
     """DuckDB mirror of q_advised_agg_*: the branch decision is the
     advisor's integer arithmetic (partitions=200, skew_factor=5) over
@@ -6614,6 +6685,10 @@ def oracle_sql() -> dict[str, str]:
         "join_strategy_advice": _sql_join_strategy_advice(),
         "advised_agg_hot": _sql_advised_agg("event_type"),
         "advised_agg_plain": _sql_advised_agg("user_id"),
+        "segment_enrichment": _SQL_SEGMENT_ENRICHMENT,
+        # the streaming dual is checked against the SAME oracle —
+        # that equality IS the thirteenth stream ≡ batch claim
+        "segment_enrichment_stream": _SQL_SEGMENT_ENRICHMENT,
         "hll_distinct_windowed": _sql_hll_windowed(),
         # the streaming dual is checked against the SAME oracle —
         # that equality IS the twelfth stream ≡ batch claim

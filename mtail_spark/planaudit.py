@@ -33,6 +33,9 @@ STREAMING_REPLAY: dict[str, str] = {
     "cms_counts_stream": "cms_counts",
     "quantile_sketch_stream": "quantile_sketch_by_type",
     "hll_distinct_windowed_stream": "hll_distinct_windowed",
+    # the 13th pair: stream-static broadcast enrichment; the batch
+    # dual carries the identical join+aggregate shape
+    "segment_enrichment_stream": "segment_enrichment",
 }
 
 

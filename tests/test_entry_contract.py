@@ -28,6 +28,9 @@ MUST_BE_IN_WINDOW = {
     # completing the full-registry convergence)
     "advised_agg_hot",
     "advised_agg_plain",
+    # the 13th stream ≡ batch pair (broadcast-dim enrichment)
+    "segment_enrichment",
+    "segment_enrichment_stream",
 }
 
 # Queries added in the CURRENT round and STAGED past position 50

@@ -14,7 +14,9 @@ Round-12 matrix completion (VERDICT r11 item 3): all THREE sketch
 state shapes are crash-tested (HLL registers, HDR cells, CMS cells),
 plus one non-sketch window-state shape (session_window, with
 sessions straddling the crash), plus a maxFilesPerTrigger=1 leg
-proving the state merge composes across MANY micro-batches.
+proving the state merge composes across MANY micro-batches, plus the
+stream-static broadcast-join shape (the 13th pair: the join is
+stateless per micro-batch, only the aggregate recovers).
 """
 
 import pyspark.sql.functions as F
@@ -228,4 +230,34 @@ def test_three_crash_cycles_compose(spark, split_events):
     want = build(ev_all)
     assert _rows(tbl3, "event_type", "idx") == _rows(
         want, "event_type", "idx"
+    )
+
+
+def test_stream_static_join_agg_recovers_to_batch(spark, tmp_path):
+    """The 13th pair's shape across a crash (stream-static broadcast
+    join + aggregate, q_segment_enrichment_stream): the dim join is
+    stateless — each micro-batch hash-joins against the same static
+    broadcast — so after a kill/restart the recovered aggregate must
+    equal the batch join+agg exactly even though the join itself kept
+    NOTHING in the state store (only the (segment, type) aggregate
+    recovers)."""
+    from __spark_entry__ import _segment_enrichment_agg
+
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "ts", "event_type", "user_id", "value"
+    )
+    cust = load_table(spark, SF, "customer")
+    indir = tmp_path / "in"
+    indir.mkdir()
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    a.toPandas().to_parquet(str(indir / "a.parquet"), index=False)
+
+    def build(s):
+        return _segment_enrichment_agg(s, cust)
+
+    tbl = _two_leg(spark, indir, b, build)
+    want = _segment_enrichment_agg(ev, cust)
+    assert _rows(tbl, "segment", "event_type") == _rows(
+        want, "segment", "event_type"
     )
