@@ -461,6 +461,25 @@ def q_segment_enrichment_stream(spark, sf):
     return run_replay_to_table(agg, "segment_enrichment_stream")
 
 
+def q_advised_agg_sketch(spark, sf):
+    """The advisor's PRODUCTION decision path executed
+    (planning.advised_agg_sketch): the salted-vs-plain branch for
+    aggregating events by event_type is chosen from SKETCH state only
+    — the CMS self-inner-product F2 estimate plus the row count, the
+    two numbers a streaming ingest already maintains — with no exact
+    per-key profile pass anywhere.  The sketch-only rule
+    (est_f2 DIV n)·partitions > skew_factor·n lower-bounds the exact
+    hot_key rule (max_key_rows >= F2/n, CMS never under-estimates), so
+    it errs only toward SALTED, the semantically-free branch.  On this
+    key the expected co-key multiplicity (~n/5) trips the bar and the
+    executed plan is the two-phase salted shape; the oracle mirrors
+    the full CMS grid AND the decision arithmetic, then checks the
+    values against the plain GROUP BY both branches must equal."""
+    import mtail_spark.operators.planning as PL
+
+    return PL.advised_agg_sketch(_t(spark, sf, "events"), "event_type")
+
+
 def q_set_ops_users(spark, sf):
     """Set difference: purchasers who never hit an error."""
     ev = _t(spark, sf, "events")
@@ -3572,6 +3591,7 @@ _R12_WINDOW = [
     # the 13th stream ≡ batch pair, broadcast-dim enrichment)
     "advised_agg_hot",
     "advised_agg_plain",
+    "advised_agg_sketch",
     "segment_enrichment",
     "segment_enrichment_stream",
     # stalest-green refills: last green r8
@@ -3601,15 +3621,14 @@ _R12_WINDOW = [
     "tpch_q3_shipping",
     "tumbling_window_stream",
     # stalest-green refills: last green r9 (alphabetical tie-break;
-    # two fewer than the r8 tier to make room for the two
-    # segment-enrichment queries above)
+    # three fewer than the r8 tier to make room for the r12 queries
+    # above beyond the first two)
     "conversion_lag_quantiles",
     "dedup_embedding",
     "dedup_exact",
     "dedup_groups_cc",
     "dedup_ngram_jaccard",
     "distinct_users_by_type",
-    "embedding_nn",
     # the 14 pinned mtail_* reference-parity core rows
     "mtail_linecount",
     "mtail_counter_by",
@@ -3657,6 +3676,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # uniform key the single-phase one, both oracle-checked
         "advised_agg_hot": q_advised_agg_hot,
         "advised_agg_plain": q_advised_agg_plain,
+        # the advisor's production decision path: branch chosen from
+        # CMS sketch state only, no exact profile pass
+        "advised_agg_sketch": q_advised_agg_sketch,
         # the 13th stream ≡ batch pair — broadcast-dim enrichment
         # (stateless join per micro-batch, state only in the aggregate)
         "segment_enrichment": q_segment_enrichment,
@@ -5216,6 +5238,51 @@ def _sql_advised_agg(key: str) -> str:
     """
 
 
+def _sql_advised_agg_sketch(key: str) -> str:
+    """DuckDB mirror of q_advised_agg_sketch: the full CMS cell grid
+    (same 'cms{i}-' lane construction as _sql_cms_self_join_size) and
+    the sketch-only decision arithmetic, then the plain GROUP BY
+    values both branches must equal."""
+    import mtail_spark.operators.planning as PL
+    import mtail_spark.operators.sketch as SK
+
+    d, w = SK.DEPTH, SK.WIDTH
+    rows_union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS r, CAST(concat('0x', substr(md5(concat("
+        f"'cms{i}-', term)), 1, 15)) AS BIGINT) % {w} AS b FROM tok"
+        for i in range(d)
+    )
+    return f"""
+        WITH tok AS (
+          SELECT CAST({key} AS VARCHAR) AS term FROM events
+          WHERE {key} IS NOT NULL
+        ), cells AS (
+          SELECT r, b, CAST(count(*) AS BIGINT) AS c
+          FROM ({rows_union}) GROUP BY r, b
+        ), dots AS (
+          SELECT r, CAST(sum(c * c) AS BIGINT) AS dot
+          FROM cells GROUP BY r
+        ), est AS (
+          SELECT (SELECT CAST(min(COALESCE(dot, 0)) AS BIGINT)
+                  FROM range({d}) t(r) LEFT JOIN dots ON t.r = dots.r)
+                   AS est_f2,
+                 (SELECT CAST(count(*) AS BIGINT) FROM tok) AS n
+        ), adv AS (
+          SELECT CASE WHEN n > 0 AND (est_f2 // NULLIF(n, 0))
+                           * {PL.DEFAULT_PARTITIONS}
+                         > {PL.SKEW_FACTOR} * n
+                      THEN '{PL.SALTED}' ELSE '{PL.PLAIN}' END AS path
+          FROM est
+        )
+        SELECT {key},
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               (SELECT path FROM adv) AS path
+        FROM events GROUP BY 1
+    """
+
+
 def _sql_join_strategy_advice() -> str:
     """DuckDB mirror of q_join_strategy_advice: the exact profile CTE
     and the sketch-only self-join CTE (same cell grid as
@@ -6685,6 +6752,7 @@ def oracle_sql() -> dict[str, str]:
         "join_strategy_advice": _sql_join_strategy_advice(),
         "advised_agg_hot": _sql_advised_agg("event_type"),
         "advised_agg_plain": _sql_advised_agg("user_id"),
+        "advised_agg_sketch": _sql_advised_agg_sketch("event_type"),
         "segment_enrichment": _SQL_SEGMENT_ENRICHMENT,
         # the streaming dual is checked against the SAME oracle —
         # that equality IS the thirteenth stream ≡ batch claim

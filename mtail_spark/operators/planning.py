@@ -176,6 +176,19 @@ def advised_agg(
             prof["n_rows"], prof["max_key_rows"], prof["f2"],
             partitions=partitions, skew_factor=skew_factor,
         )["advice_agg"]
+    return _agg_with_path(df, key_col, path, shards, id_col, value_col)
+
+
+def _agg_with_path(
+    df: DataFrame,
+    key_col: str,
+    path: str,
+    shards: int,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Execute the advised aggregation branch (shared by the
+    exact-profile and sketch-state decision paths)."""
     cents = F.round(F.col(value_col) * 100).cast("long")
     if path == SALTED:
         partial = (
@@ -200,6 +213,54 @@ def advised_agg(
             F.sum(cents).cast("long").alias("sum_cents"),
         )
     return out.withColumn("path", F.lit(path))
+
+
+def advised_agg_sketch(
+    df: DataFrame,
+    key_col: str,
+    partitions: int = DEFAULT_PARTITIONS,
+    skew_factor: int = SKEW_FACTOR,
+    shards: int = 16,
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """The advisor's PRODUCTION decision path executed: the branch is
+    chosen from SKETCH state only — the count-min self-inner-product
+    estimate of F2 plus the row count, both of which a stream already
+    maintains — with NO exact per-key profile pass anywhere.
+
+    Sketch-only hot rule: salt when
+    ``(est_f2 DIV n) * partitions > skew_factor * n`` — est_f2/n is
+    the expected co-key multiplicity, and since
+    ``max_key_rows >= F2/n`` (the max dominates the count-weighted
+    mean of per-key counts) every table this rule flags is truly hot
+    under the exact rule too.  Both approximations err toward SALTED
+    (CMS never under-estimates F2; the multiplicity lower-bounds the
+    hot key), and salting is the semantically-free branch — the
+    two-phase plan equals the plain GROUP BY on any data — so the
+    sketch path can only ever over-protect, never corrupt.
+
+    At 100 TB this is the advisor a streaming ingest actually runs:
+    the decision reads kilobytes of stored sketch state (cells merge
+    across shards/micro-batches) instead of re-profiling the key
+    column per decision."""
+    import mtail_spark.operators.sketch as SK
+
+    keys = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("term")
+    )
+    cells = SK.cms_build(keys)
+    est_row = SK.cms_inner_product(cells, cells).collect()[0]  # 1 row
+    est_f2 = est_row["est_join_size"]
+    n = keys.count()
+    hot = (
+        n > 0
+        and est_f2 is not None
+        and (est_f2 // n) * partitions > skew_factor * n
+    )
+    return _agg_with_path(
+        df, key_col, SALTED if hot else PLAIN, shards, id_col, value_col
+    )
 
 
 def join_strategy_advice(

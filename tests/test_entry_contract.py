@@ -28,6 +28,8 @@ MUST_BE_IN_WINDOW = {
     # completing the full-registry convergence)
     "advised_agg_hot",
     "advised_agg_plain",
+    # the sketch-state production decision path
+    "advised_agg_sketch",
     # the 13th stream ≡ batch pair (broadcast-dim enrichment)
     "segment_enrichment",
     "segment_enrichment_stream",

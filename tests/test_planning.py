@@ -257,3 +257,51 @@ def test_advised_agg_empty_key_falls_back_plain(spark):
     # one null-key group, plain path, values still exact
     assert len(rows) == 1 and rows[0]["path"] == PL.PLAIN
     assert rows[0]["n_events"] == 20_000
+
+
+def test_advised_agg_sketch_matches_exact_on_planted(spark):
+    """Sketch-state decision path (planning.advised_agg_sketch): on
+    the planted-hot table the sketch rule trips (est_f2 never
+    under-estimates; F2/n lower-bounds max_key_rows) and the salted
+    plan executes; on the uniform table it stays plain.  Values equal
+    the direct GROUP BY on both."""
+    hot = _events_shaped(_planted(spark, 60))
+    out_hot = PL.advised_agg_sketch(hot, "event_type")
+    rows_hot = out_hot.collect()
+    assert all(r["path"] == PL.SALTED for r in rows_hot)
+    assert "_salt" in out_hot._jdf.queryExecution().optimizedPlan().toString()
+
+    uni = _events_shaped(_planted(spark, 0))
+    out_uni = PL.advised_agg_sketch(uni, "event_type")
+    rows_uni = out_uni.collect()
+    assert all(r["path"] == PL.PLAIN for r in rows_uni)
+
+    direct = {
+        r["event_type"]: (r["n_events"], r["sum_cents"])
+        for r in hot.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long").alias("sum_cents"),
+        )
+        .collect()
+    }
+    assert {
+        r["event_type"]: (r["n_events"], r["sum_cents"]) for r in rows_hot
+    } == direct
+
+
+def test_sketch_rule_only_errs_toward_salted(spark):
+    """The containment that makes the sketch path safe: whenever the
+    sketch rule flags hot, the exact rule would too IF the true max
+    key reaches F2/n — and since max_key_rows >= F2/n always, a
+    sketch-hot verdict implies exact-hot.  Checked on both planted
+    tables by comparing the two operators' chosen paths."""
+    for pct in (0, 30, 60):
+        df = _events_shaped(_planted(spark, pct))
+        sketch_path = PL.advised_agg_sketch(df, "event_type").select(
+            "path").first()["path"]
+        exact_path = PL.advised_agg(df, "event_type").select(
+            "path").first()["path"]
+        if sketch_path == PL.SALTED:
+            assert exact_path == PL.SALTED, (pct, sketch_path, exact_path)
