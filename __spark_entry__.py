@@ -480,6 +480,42 @@ def q_advised_agg_sketch(spark, sf):
     return PL.advised_agg_sketch(_t(spark, sf, "events"), "event_type")
 
 
+def q_salted_skew_join(spark, sf):
+    """The JOIN-side rewrite executed (planning.salted_join): events
+    join the customer dimension on user_id = c_custkey through the
+    explicit two-phase salted shape — left salted by
+    pmod(xxhash64(event_id), 16), right replicated 16× over the salt
+    domain, equi-join on (key, salt) — then the per-segment rollup.
+    The oracle is the PLAIN join + GROUP BY the salted form must equal
+    on any data (each left row meets each matching right row exactly
+    once).  The right side carries a merge hint to pin the
+    shuffle-join shape the operator exists for: at this SF the 1500-row
+    dim would broadcast (and a broadcast join needs no salt — it never
+    shuffles the left), but at 100 TB a per-user profile table is the
+    broadcast-ineligible middle and the optimizer picks SMJ itself;
+    salting is then the only defense against a hot key on a STATIC or
+    STREAMING plan, where AQE's skew handling never runs
+    (tests/test_planning.py proves the streaming case live)."""
+    import mtail_spark.operators.planning as PL
+
+    cust = (
+        _t(spark, sf, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .hint("merge")
+    )
+    j = PL.salted_join(
+        _t(spark, sf, "events"), cust, "user_id",
+        shards=16, salt_src="event_id",
+    )
+    return j.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(_cents(F.col("value"))).cast("long").alias("sum_cents"),
+    )
+
+
 def q_set_ops_users(spark, sf):
     """Set difference: purchasers who never hit an error."""
     ev = _t(spark, sf, "events")
@@ -3592,6 +3628,7 @@ _R12_WINDOW = [
     "advised_agg_hot",
     "advised_agg_plain",
     "advised_agg_sketch",
+    "salted_skew_join",
     "segment_enrichment",
     "segment_enrichment_stream",
     # stalest-green refills: last green r8
@@ -3621,14 +3658,13 @@ _R12_WINDOW = [
     "tpch_q3_shipping",
     "tumbling_window_stream",
     # stalest-green refills: last green r9 (alphabetical tie-break;
-    # three fewer than the r8 tier to make room for the r12 queries
+    # four fewer than the r8 tier to make room for the r12 queries
     # above beyond the first two)
     "conversion_lag_quantiles",
     "dedup_embedding",
     "dedup_exact",
     "dedup_groups_cc",
     "dedup_ngram_jaccard",
-    "distinct_users_by_type",
     # the 14 pinned mtail_* reference-parity core rows
     "mtail_linecount",
     "mtail_counter_by",
@@ -3679,6 +3715,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the advisor's production decision path: branch chosen from
         # CMS sketch state only, no exact profile pass
         "advised_agg_sketch": q_advised_agg_sketch,
+        # the join-side rewrite for AQE-less (streaming/static) plans
+        "salted_skew_join": q_salted_skew_join,
         # the 13th stream ≡ batch pair — broadcast-dim enrichment
         # (stateless join per micro-batch, state only in the aggregate)
         "segment_enrichment": q_segment_enrichment,
@@ -5190,6 +5228,16 @@ def _sql_cms_self_join_size(include_true: bool = True) -> str:
                  AS est_f2{true_col}
     """
 
+
+_SQL_SALTED_SKEW_JOIN = """
+    -- the salted two-phase join must EQUAL the plain equi-join
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+"""
 
 _SQL_SEGMENT_ENRICHMENT = """
     -- stream-static enrichment: the broadcast dim join then the
@@ -6753,6 +6801,7 @@ def oracle_sql() -> dict[str, str]:
         "advised_agg_hot": _sql_advised_agg("event_type"),
         "advised_agg_plain": _sql_advised_agg("user_id"),
         "advised_agg_sketch": _sql_advised_agg_sketch("event_type"),
+        "salted_skew_join": _SQL_SALTED_SKEW_JOIN,
         "segment_enrichment": _SQL_SEGMENT_ENRICHMENT,
         # the streaming dual is checked against the SAME oracle —
         # that equality IS the thirteenth stream ≡ batch claim

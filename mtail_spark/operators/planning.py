@@ -263,6 +263,55 @@ def advised_agg_sketch(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    shards: int = 16,
+    salt_src: str = "",
+    how: str = "inner",
+) -> DataFrame:
+    """Explicit two-phase skew JOIN — the join-side rewrite for the
+    contexts where ``advice_join = aqe-skew-join`` cannot be followed
+    because AQE is unavailable: Structured Streaming disables AQE for
+    stateful workloads, and a static plan (cached/reused across
+    micro-batches) never re-plans at runtime.
+
+    LEFT (the large, skewed side) gets ``_salt =
+    pmod(xxhash64(salt_src), shards)`` where ``salt_src`` is a
+    ROW-level attribute (a row id — NOT the join key: a key-derived
+    salt is constant within the hot key and fans nothing; never
+    rand(), results must be reproducible); RIGHT is replicated
+    ``shards``× via an explode over the salt domain; the equi-join
+    runs on ``(key, _salt)`` so one hot key's left rows spread across
+    ``shards`` reducers instead of melting one.  Each left row joins
+    each matching right row EXACTLY once (the left row carries one
+    salt; the right replica set covers every salt once), so the result
+    equals the plain equi-join for inner and left joins on any data —
+    the oracle IS the plain join.
+
+    Cost model at 100 TB: the right side shuffles ``shards``× its
+    size — worth it exactly when the right is far smaller than the
+    left (the broadcast-ineligible middle: too big for a broadcast,
+    much smaller than the fact) AND a hot key would otherwise bound
+    the join by one reducer.  ``advise``'s hot_key on the LEFT key
+    column is the trigger; a broadcastable right needs none of this
+    (broadcast joins never shuffle the left)."""
+    assert how in ("inner", "left"), how
+    assert salt_src and salt_src != key, (
+        "salt_src must be a row-level column distinct from the join "
+        "key (a key-derived salt is constant within the hot key)"
+    )
+    l = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(shards))
+    )
+    r = right.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(shards)])),
+    )
+    return l.join(r, [key, "_salt"], how).drop("_salt")
+
+
 def join_strategy_advice(
     profile: DataFrame,
     self_join_est: DataFrame,

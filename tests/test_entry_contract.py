@@ -30,6 +30,8 @@ MUST_BE_IN_WINDOW = {
     "advised_agg_plain",
     # the sketch-state production decision path
     "advised_agg_sketch",
+    # the join-side rewrite for AQE-less plans
+    "salted_skew_join",
     # the 13th stream ≡ batch pair (broadcast-dim enrichment)
     "segment_enrichment",
     "segment_enrichment_stream",

@@ -305,3 +305,91 @@ def test_sketch_rule_only_errs_toward_salted(spark):
             "path").first()["path"]
         if sketch_path == PL.SALTED:
             assert exact_path == PL.SALTED, (pct, sketch_path, exact_path)
+
+
+# ------------------------------------------------ the salted JOIN rewrite
+
+def _pair_tables(spark, hot_pct):
+    """Planted left (hot key) + right with DUPLICATE keys (M:N) and
+    keys missing from each side."""
+    left = _planted(spark, hot_pct).select(
+        F.col("key"), F.col("v").alias("rid"),
+        (F.col("v") % 7).alias("lval"),
+    )
+    right = spark.range(600).select(
+        (F.col("id") % 300).alias("key"),          # two rows per key 0-299
+        (F.col("id") * 3).alias("rval"),
+    )
+    return left, right
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_join_equals_plain_join(spark):
+    """planning.salted_join must equal the plain equi-join exactly —
+    inner and left, M:N right, keys missing on both sides — on the
+    planted-skew table."""
+    left, right = _pair_tables(spark, 60)
+    for how in ("inner", "left"):
+        got = PL.salted_join(left, right, "key", shards=16,
+                             salt_src="rid", how=how)
+        want = left.join(right, "key", how)
+        assert _sorted_rows(got) == _sorted_rows(want), how
+
+
+def test_salted_join_fans_hot_key_and_salts_the_plan(spark):
+    left, right = _pair_tables(spark, 60)
+    out = PL.salted_join(left, right, "key", shards=16, salt_src="rid")
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in opt
+    # the hot key's left rows really spread across all 16 shards
+    fan = (
+        left.filter(F.col("key") == 7)
+        .select(F.pmod(F.xxhash64(F.col("rid")), F.lit(16)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert fan == 16
+
+
+def test_salted_join_rejects_key_derived_salt(spark):
+    left, right = _pair_tables(spark, 60)
+    with pytest.raises(AssertionError):
+        PL.salted_join(left, right, "key", salt_src="key")
+
+
+def test_salted_join_works_where_aqe_cannot(spark, tmp_path):
+    """The operator's reason to exist: a STREAMING join (AQE disabled
+    for stateful workloads — Spark logs it) with broadcast off (the
+    not-broadcastable production right side): the salted stream-static
+    join + aggregate over a replay equals the plain batch join+agg."""
+    from mtail_spark.streaming.windows import (
+        run_replay_to_table, stream_table,
+    )
+
+    left, right = _pair_tables(spark, 60)
+    indir = tmp_path / "in"
+    indir.mkdir()
+    left.toPandas().to_parquet(str(indir / "l.parquet"), index=False)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        s = stream_table(spark, str(indir))
+        agg = (
+            PL.salted_join(s, right, "key", shards=16, salt_src="rid")
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("rval").alias("sv"))
+        )
+        got = run_replay_to_table(agg, "salted_stream")
+        want = (
+            left.join(right, "key")
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("rval").alias("sv"))
+        )
+        assert _sorted_rows(got) == _sorted_rows(want)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
