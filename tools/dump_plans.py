@@ -420,6 +420,19 @@ SHOW = [
      "under the 5x-mean bar, so the SAME operator returns the "
      "single-phase aggregate — one exchange, no salt tax; the pair "
      "proves the rewrite is chosen by the data, not the code"),
+    ("advised_agg_sketch",
+     "the advisor's PRODUCTION path: the branch decision reads the "
+     "CMS self-inner-product F2 estimate + row count (stored sketch "
+     "state on a stream) — no exact profile pass; the sketch rule "
+     "lower-bounds the exact one (max_key_rows >= F2/n, CMS never "
+     "under-estimates) so it errs only toward the semantically-free "
+     "salted branch"),
+    ("salted_skew_join",
+     "the join-side rewrite for AQE-less plans (streaming disables "
+     "AQE): left salted by a ROW attribute, right replicated 16x "
+     "over the salt domain, SMJ on (key, salt) — the hot key fans "
+     "across 16 reducers on a plan that never re-plans; equals the "
+     "plain join exactly, per the oracle"),
 ]
 
 INTERESTING = re.compile(
