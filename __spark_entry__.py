@@ -468,9 +468,10 @@ def q_advised_agg_sketch(spark, sf):
     — the CMS self-inner-product F2 estimate plus the row count, the
     two numbers a streaming ingest already maintains — with no exact
     per-key profile pass anywhere.  The sketch-only rule
-    (est_f2 DIV n)·partitions > skew_factor·n lower-bounds the exact
-    hot_key rule (max_key_rows >= F2/n, CMS never under-estimates), so
-    it errs only toward SALTED, the semantically-free branch.  On this
+    (est_f2 DIV n)·partitions > skew_factor·n flags a SUPERSET of the
+    tables the exact F2-multiplicity rule flags (est_f2 >= F2 always;
+    collision mass only ADDS flags), so it errs only toward SALTED,
+    the semantically-free branch that equals plain on any data.  On this
     key the expected co-key multiplicity (~n/5) trips the bar and the
     executed plan is the two-phase salted shape; the oracle mirrors
     the full CMS grid AND the decision arithmetic, then checks the
@@ -3617,11 +3618,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # The first-50 correctness window for ROUND 12, explicitly.  As of
 # round 11 every registered query has at least one green driver row,
 # so the window's job changed from "cover the unverified" to "re-prove
-# the STALEST": 2 new r12 queries (never driver-verified) + the 34
+# the STALEST": 6 new r12 queries (never driver-verified) + the 30
 # queries whose last green driver row is OLDEST (25 last green in r8,
-# 9 in r9 — computed from the CORRECTNESS_r*.json history) + the 14
-# pinned mtail_* parity-core rows.  Exactly 50.  queries() serves
-# these first, then the base registry's deliberate order for the rest.
+# 5 in r9 — computed from the CORRECTNESS_r*.json history; each new
+# r12 query beyond the first two ceded one r9-tier slot) + the 14
+# pinned mtail_* parity-core rows.  Exactly 50 — the LIST below is
+# authoritative, and the contract test pins it verbatim.  queries()
+# serves these first, then the base registry's deliberate order.
 _R12_WINDOW = [
     # new round 12 (the advisor EXECUTED — VERDICT r11 item 6 — and
     # the 13th stream ≡ batch pair, broadcast-dim enrichment)

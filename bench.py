@@ -554,9 +554,10 @@ def main():
             result["sf10_ratio_max"] = ratios[rmax_q]
             result["sf10_ratio_max_q"] = rmax_q
             # the actionable slice of the per-query series — the 8
-            # largest ratios — is never dropped either (the full dicts
-            # are in BENCH_DETAIL.json and the round's BENCH.md table;
-            # any sub-10x query is bounded above by these)
+            # largest ratios; dropped by compact_line only as a LAST
+            # resort before pinned-entry trims (the three ratio
+            # scalars above always survive; full dicts live in
+            # BENCH_DETAIL.json and the round's BENCH.md table)
             result["sf10_worst"] = dict(
                 sorted(ratios.items(), key=lambda kv: -kv[1])[:8]
             )

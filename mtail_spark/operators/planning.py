@@ -231,14 +231,17 @@ def advised_agg_sketch(
 
     Sketch-only hot rule: salt when
     ``(est_f2 DIV n) * partitions > skew_factor * n`` — est_f2/n is
-    the expected co-key multiplicity, and since
-    ``max_key_rows >= F2/n`` (the max dominates the count-weighted
-    mean of per-key counts) every table this rule flags is truly hot
-    under the exact rule too.  Both approximations err toward SALTED
-    (CMS never under-estimates F2; the multiplicity lower-bounds the
-    hot key), and salting is the semantically-free branch — the
+    the (over-)estimated co-key multiplicity.  Direction of the
+    approximations: est_f2 >= F2 always (CMS never under-estimates),
+    so the sketch rule flags a SUPERSET of the tables the exact
+    F2-multiplicity rule would flag — any table where the true
+    multiplicity F2/n trips the bar is sketch-flagged too, and CMS
+    collision mass can only ADD flags (a table the exact max_key_rows
+    rule calls plain may still be salted).  That is the safe
+    direction: salting is the semantically-free branch — the
     two-phase plan equals the plain GROUP BY on any data — so the
-    sketch path can only ever over-protect, never corrupt.
+    sketch path can only ever over-protect, never corrupt or miss a
+    truly multiplicity-hot table.
 
     At 100 TB this is the advisor a streaming ingest actually runs:
     the decision reads kilobytes of stored sketch state (cells merge
@@ -249,15 +252,22 @@ def advised_agg_sketch(
     keys = df.filter(F.col(key_col).isNotNull()).select(
         F.col(key_col).cast("string").alias("term")
     )
-    cells = SK.cms_build(keys)
-    est_row = SK.cms_inner_product(cells, cells).collect()[0]  # 1 row
-    est_f2 = est_row["est_join_size"]
-    n = keys.count()
-    hot = (
-        n > 0
-        and est_f2 is not None
-        and (est_f2 // n) * partitions > skew_factor * n
-    )
+    # ONE pass over the key column: the cell build is the only job
+    # that touches the input; the collect is sketch-sized (at most
+    # depth*width = 4096 rows at any cardinality), and both decision
+    # inputs derive from the cells driver-side — est_f2 is the CMS
+    # self-inner-product (min over hash rows of sum c^2, absent rows
+    # counting 0), n the sum of row 0's cell counts (every occurrence
+    # lands in exactly one bucket per row).  Same arithmetic as
+    # sketch.cms_inner_product / the SQL oracle, on the same cells.
+    dots: dict = {}
+    n = 0
+    for cell in SK.cms_build(keys).collect():
+        dots[cell["row"]] = dots.get(cell["row"], 0) + cell["c"] * cell["c"]
+        if cell["row"] == 0:
+            n += cell["c"]
+    est_f2 = min(dots.get(r, 0) for r in range(SK.DEPTH))
+    hot = n > 0 and (est_f2 // n) * partitions > skew_factor * n
     return _agg_with_path(
         df, key_col, SALTED if hot else PLAIN, shards, id_col, value_col
     )
@@ -301,6 +311,11 @@ def salted_join(
     assert salt_src and salt_src != key, (
         "salt_src must be a row-level column distinct from the join "
         "key (a key-derived salt is constant within the hot key)"
+    )
+    assert "_salt" not in left.columns and "_salt" not in right.columns, (
+        "inputs must not carry a '_salt' column — withColumn would "
+        "silently overwrite it and the result would not equal the "
+        "plain join"
     )
     l = left.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(shards))

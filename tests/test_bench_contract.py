@@ -241,3 +241,42 @@ def test_log_template_uppercase_mac():
         [("x to 02:AB:CD:0E:EF:34 via eth0",)], ["line"]
     ).select(TXS.log_template(F.col("line")).alias("t")).collect()[0].t
     assert out == "x to <mac> via eth<n>"
+
+
+def test_scaled_corpus_dup_groups_stay_bounded(tmp_path):
+    """The scaling-leg corpus invariant (found by review, r12): exact
+    dup GROUP SIZES must not grow with the replication factor, or the
+    sf10/sf1 dedup ratios measure a corpus artifact instead of the
+    operator.  Per decade of replicas the mix is one exact-dup pair +
+    one near-dup + distinct rest, with decade-LOCAL dup targets — so
+    at factor 30 every text value occurs at most twice, and the
+    number of exactly-twice values is 3 pairs per base doc."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    from tools.make_bench_sf import build
+
+    build("/root/testdata/sf0.001", str(tmp_path), 30)
+    texts = pq.read_table(
+        str(tmp_path / "documents.parquet"), columns=["text"]
+    ).column("text").to_pylist()
+    n_base = len(texts) // 30
+    counts = Counter(Counter(texts).values())
+    assert counts.get(2, 0) == 3 * n_base, counts
+    assert max(Counter(texts).values()) == 2
+
+
+def test_scaled_corpus_factor10_rule_unchanged(tmp_path):
+    """Factor 10 (.bench/sf1) must keep the ORIGINAL i==2/i==4 rule
+    byte-for-byte — cross-round sf1 series depend on it: replica 2 is
+    an exact dup of the base, replica 4 is base + ' replica4'."""
+    import pyarrow.parquet as pq
+
+    from tools.make_bench_sf import build
+
+    build("/root/testdata/sf0.001", str(tmp_path), 10)
+    tbl = pq.read_table(str(tmp_path / "documents.parquet"))
+    texts = tbl.column("text").to_pylist()
+    n = len(texts) // 10
+    assert texts[2 * n: 3 * n] == texts[:n]
+    assert texts[4 * n: 5 * n] == [t + " replica4" for t in texts[:n]]

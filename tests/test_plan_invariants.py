@@ -175,7 +175,7 @@ def test_plan_fingerprints_pinned_exactly(all_plans):
     stale = sorted(set(expected) - set(actual))
     diffs = {
         n: {
-            k: (expected[n][k], v)
+            k: (expected[n].get(k), v)
             for k, v in actual[n].items()
             if expected[n].get(k) != v
         }

@@ -7,7 +7,6 @@ Usage: python tools/dump_plans.py  (writes PLANS.md at repo root)
 
 from __future__ import annotations
 
-import io
 import re
 import sys
 
@@ -423,10 +422,10 @@ SHOW = [
     ("advised_agg_sketch",
      "the advisor's PRODUCTION path: the branch decision reads the "
      "CMS self-inner-product F2 estimate + row count (stored sketch "
-     "state on a stream) — no exact profile pass; the sketch rule "
-     "lower-bounds the exact one (max_key_rows >= F2/n, CMS never "
-     "under-estimates) so it errs only toward the semantically-free "
-     "salted branch"),
+     "state on a stream) — no exact profile pass; est_f2 >= F2 "
+     "always, so the sketch rule flags a SUPERSET of the exact "
+     "multiplicity rule's tables and errs only toward the "
+     "semantically-free salted branch"),
     ("salted_skew_join",
      "the join-side rewrite for AQE-less plans (streaming disables "
      "AQE): left salted by a ROW attribute, right replicated 16x "
@@ -444,12 +443,9 @@ INTERESTING = re.compile(
 
 
 def grab_plan(df) -> str:
-    import contextlib
+    from mtail_spark.planaudit import formatted_plan
 
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    return formatted_plan(df)
 
 
 def summarize(plan: str) -> str:

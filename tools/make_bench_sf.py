@@ -65,33 +65,60 @@ def _replicate(tbl: pa.Table, keys: list[str], factor: int,
                 # 10-member dup group — 45 candidate pairs each — and
                 # the minhash bench measured that artifact, not the
                 # operator.)
-                # i % 10 so the mix repeats per decade of replicas:
-                # factor 10 (sf1) is byte-identical to the original
-                # i==2/i==4 rule; factor 100 (sf10) keeps the SAME
-                # ~30% dup rate per decade instead of collapsing to
-                # 1%/99% extremes.
+                # The mix must repeat PER DECADE with decade-LOCAL dup
+                # targets: replicas i<10 keep the original i==2/i==4
+                # rule byte-for-byte (factor 10 / .bench/sf1 is
+                # unchanged across rounds), while decades d>=1 anchor
+                # their exact pair (10d+2 == 10d+5) and near-dup
+                # (10d+4) on a decade-keyed REWRITE of the base — not
+                # on the original.  The earlier i%10==2 'exact dup of
+                # the original' rule made every decade's copy land in
+                # ONE identical-text group (11 members at factor 100,
+                # 55 candidate pairs per base doc vs sf1's 1), so the
+                # sf10/sf1 dedup ratios measured a corpus artifact —
+                # group sizes must stay bounded as the factor grows
+                # for the scaling leg to measure the OPERATOR.
                 chunk = col.combine_chunks()
-                if i % 10 == 2:
-                    pass  # exact dup
-                elif i % 10 == 4:
-                    col = pc.binary_join_element_wise(
-                        chunk, f" replica{i}", ""
-                    )
-                else:
-                    # rewrite most words with replica-unique character
+
+                def _subst(tag):
+                    # rewrite most words with tag-unique character
                     # substitutions: nearly every 3-word shingle
                     # changes (a shingle survives only if none of its
                     # words contain e/a/o), so Jaccard vs the base is
                     # ~0 — genuinely distinct docs at the SAME length
                     # (a suffix append leaves Jaccard ~0.9; word
-                    # interleaving doubles doc length)
-                    col = pc.replace_substring(
+                    # interleaving doubles doc length).  Tags must
+                    # avoid 'a'/'o' so the three replaces compose.
+                    return pc.replace_substring(
                         pc.replace_substring(
-                            pc.replace_substring(chunk, "e", f"{i}"),
-                            "a", f"x{i}",
+                            pc.replace_substring(chunk, "e", tag),
+                            "a", f"x{tag}",
                         ),
                         "o", "q",
                     )
+
+                if i < 10:
+                    if i == 2:
+                        pass  # exact dup of the original
+                    elif i == 4:
+                        col = pc.binary_join_element_wise(
+                            chunk, f" replica{i}", ""
+                        )
+                    else:
+                        col = _subst(f"{i}")
+                else:
+                    d = i // 10
+                    if i % 10 in (2, 5):
+                        # decade-local exact PAIR: 10d+2 == 10d+5,
+                        # distinct from every other decade and the base
+                        col = _subst(f"d{d}")
+                    elif i % 10 == 4:
+                        # near-dup of the decade pair, not of the base
+                        col = pc.binary_join_element_wise(
+                            _subst(f"d{d}"), f" replica{i}", ""
+                        )
+                    else:
+                        col = _subst(f"{i}")
             cols[name] = col
         parts.append(pa.table(cols, schema=None))
     return pa.concat_tables(parts, promote_options="none")
