@@ -82,6 +82,11 @@ BENCH_QUERIES = [
     # signature fan-out, candidate-bounded rerank)
     "quantile_sketch_merge",
     "sim_lsh_multitable",
+    # round-12: the broadcast-dim enrichment pair's batch form, the
+    # salted SMJ rewrite, and the windowed quantile sketch
+    "segment_enrichment",
+    "salted_skew_join",
+    "quantile_sketch_windowed",
 ]
 
 
@@ -124,6 +129,12 @@ SF1_QUERIES = [
     # round-11 (two shard scans of the 10x orders table into bucket-
     # bounded merges; marginal cost = two scans, like the global form)
     "quantile_sketch_merge",
+    # round-12 (broadcast enrichment: the join stage must stay
+    # shuffle-free at any left size; salted SMJ: the two-phase join
+    # shape; windowed sketch: cells scale with hours x types, not rows)
+    "segment_enrichment",
+    "salted_skew_join",
+    "quantile_sketch_windowed",
 ]
 
 
@@ -155,6 +166,11 @@ SF10_QUERIES = [
     "tpch_q18_big_orders",
     "band_join_counts",
     "quantile_sketch_prices",
+    # round-12: the salted SMJ (plan class not otherwise in this
+    # subset) and the windowed sketch (state ~ hours x types x
+    # buckets — the ratio must track the scan, not the cell count)
+    "salted_skew_join",
+    "quantile_sketch_windowed",
 ]
 
 

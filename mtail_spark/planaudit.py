@@ -36,6 +36,8 @@ STREAMING_REPLAY: dict[str, str] = {
     # the 13th pair: stream-static broadcast enrichment; the batch
     # dual carries the identical join+aggregate shape
     "segment_enrichment_stream": "segment_enrichment",
+    # the 14th pair: event-time windows x HDR quantile cells
+    "quantile_sketch_windowed_stream": "quantile_sketch_windowed",
 }
 
 

@@ -35,6 +35,9 @@ MUST_BE_IN_WINDOW = {
     # the 13th stream ≡ batch pair (broadcast-dim enrichment)
     "segment_enrichment",
     "segment_enrichment_stream",
+    # the 14th pair (event-time windows x HDR quantile cells)
+    "quantile_sketch_windowed",
+    "quantile_sketch_windowed_stream",
 }
 
 # Queries added in the CURRENT round and STAGED past position 50

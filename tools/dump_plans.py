@@ -432,6 +432,12 @@ SHOW = [
      "over the salt domain, SMJ on (key, salt) — the hot key fans "
      "across 16 reducers on a plan that never re-plans; equals the "
      "plain join exactly, per the oracle"),
+    ("quantile_sketch_windowed",
+     "event-time windows x HDR cells: ONE exchange on (window, type, "
+     "bucket) builds the cell table map-side-combined; the type-1 "
+     "selection is a (window, type, q)-partitioned window over "
+     "bucket-bounded rows — state scales with hours x types, never "
+     "with row count"),
 ]
 
 INTERESTING = re.compile(
