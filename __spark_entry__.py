@@ -71,6 +71,19 @@ def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
     return load_table(spark, sf, name)
 
 
+def _tp(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    """_t + scan parallelism for queries whose heavy per-row work
+    (regex extraction, JSON parsing, hashing) runs MAP-SIDE in the
+    scan stage: snappy parquet byte-planning gives these tables 1-2
+    splits on 32 cores (optimization r12, guide §2 — measured 3-4x
+    on text_token_counts / json_props_agg at sf1).  Only used where
+    the A/B showed a win; queries whose heavy stages sit behind an
+    exchange keep the plain loader."""
+    from mtail_spark.session import ensure_parallelism
+
+    return ensure_parallelism(_t(spark, sf, name), spark)
+
+
 def _cents(col):
     return F.round(col * 100).cast("long")
 
@@ -237,7 +250,16 @@ def q_mtail_getfilename(spark, sf):
 
 
 def q_tpch_pricing_summary(spark, sf):
-    li = _t(spark, sf, "lineitem").filter(
+    from mtail_spark.session import ensure_parallelism
+
+    # tune_only (optimization r12): the whole query is one map-side
+    # partial agg in the scan stage; a multi-row-group lineitem gets
+    # a free parallel scan (sf1 0.60 → 0.53 s), a single-row-group
+    # one keeps its plan (repartitioning it cost more than the
+    # single-task scan at sf0.1)
+    li = ensure_parallelism(
+        _t(spark, sf, "lineitem"), spark, tune_only=True
+    ).filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -753,7 +775,7 @@ def q_json_props_agg(spark, sf):
     bucket).  The standard telemetry-payload query shape; the JSON
     parse is a map-side projection, so the only exchange is the
     count aggregation."""
-    ev = _t(spark, sf, "events")
+    ev = _tp(spark, sf, "events")
     # BIGINT, matching the oracle's CAST(... AS BIGINT): a 32-bit 'k INT'
     # schema would null-out values beyond 2^31-1 that the oracle keeps
     k = F.from_json(F.col("props"), "k BIGINT").getField("k").cast("long")
@@ -796,7 +818,7 @@ def q_bpe_merge_pairs(spark, sf):
 
 
 def q_text_token_counts(spark, sf):
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     return docs.select(
         "doc_id",
         TX.token_count_ws(F.col("text")).alias("ws_tokens"),
@@ -805,14 +827,14 @@ def q_text_token_counts(spark, sf):
 
 
 def q_text_quality(spark, sf):
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     return docs.select(
         "doc_id", TX.quality_score(F.col("text")).alias("quality")
     )
 
 
 def q_text_lang_id(spark, sf):
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     return (
         docs.select(TX.lang_id(F.col("text")).alias("lang_guess"))
         .groupBy("lang_guess")
@@ -821,7 +843,7 @@ def q_text_lang_id(spark, sf):
 
 
 def q_text_fingerprint(spark, sf):
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     return docs.select(
         "doc_id", TX.doc_fingerprint(F.col("text"), 4).alias("fingerprint")
     )
@@ -830,7 +852,7 @@ def q_text_fingerprint(spark, sf):
 def q_text_repetition(spark, sf):
     """Gopher-style repetition quality signal: fraction of duplicate
     word bigrams/trigrams per document."""
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     return docs.select(
         "doc_id",
         TX.repetition_ratio(F.col("text"), 2).alias("rep2"),
@@ -843,7 +865,7 @@ def q_text_pii(spark, sf):
     PII, so each doc gets a deterministic synthetic contact suffix
     (email, IPv4, phone) appended IN BOTH ENGINES before counting and
     scrubbing; the redacted text is compared by md5."""
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     t = F.concat(
         F.col("text"),
         F.lit(" contact user"),

@@ -166,6 +166,17 @@ def lm_xent(
     map-side combine; the scoring join's skew on frequent bigrams is
     AQE-split.
     """
+    from mtail_spark.session import ensure_parallelism
+
+    # regex bigram extraction + per-bigram scoring run MAP-SIDE and
+    # inherit the scan's split count (optimization r12 — see
+    # dedup.py: a 50k-doc corpus byte-planned 2 splits on 32 cores).
+    # tune_only: lm_xent scans the corpus several times (bigram +
+    # unigram counts, scoring), so the repartition fallback would pay
+    # one exchange per scan branch on a single-row-group input
+    # (measured +11% at sf0.1) while the maxPartitionBytes retune is
+    # free and halves sf1 (3.79 s → 1.88 s, 49 row groups)
+    docs = ensure_parallelism(docs, docs.sparkSession, tune_only=True)
     t = F.lower(F.col(text_col))
     base = docs.select(
         F.col(id_col).alias("did"), word_ngrams(t, 2).alias("bgs")
@@ -326,29 +337,45 @@ def linear_quality_score(
     Integer weights in [-500, 500] make the score an exact BIGINT —
     order-independent and hash-matchable.  Returns
     (id_col, n_feats, score, keep) for every document (empty docs
-    score 0)."""
+    score 0).
+
+    Shape (optimization r12, guide §2.4): explode_outer KEEPS a
+    null-bigram placeholder row for bigram-less documents, so the
+    per-document aggregate already covers every doc_id and the old
+    join-back to `docs` (second scan + BroadcastExchange +
+    BroadcastHashJoin) is gone — one scan, one Exchange.  count("bg")
+    skips the placeholder null (n_feats 0) and sum(w) over an
+    all-null group is null → coalesced to 0, exactly the old left
+    join's coalesce.  Equivalent whenever id_col is unique (true of
+    every testdata/fuzz documents table; the oracle joins on doc_id
+    under the same assumption)."""
+    from mtail_spark.session import ensure_parallelism
+
+    # the bigram regex + per-bigram md5 run map-side in the scan
+    # stage (optimization r12: sf1 measured 2.9 s on a 2-split scan
+    # → 0.6-0.8 s parallelized)
+    docs = ensure_parallelism(docs, docs.sparkSession)
     t = F.lower(F.col(text_col))
     # explode_outer: repo-wide convention for computed arrays
     ex = docs.select(
-        F.col(id_col).alias("did"),
+        F.col(id_col),
         F.explode_outer(word_ngrams(t, 2)).alias("bg"),
-    ).filter(F.col("bg").isNotNull())
-    w = (
-        md5_long(F.concat(F.lit(f"{salt}-"), F.col("bg"))) % 1001
-        - 500
-    ).cast("long")
-    agg = ex.select("did", w.alias("w")).groupBy("did").agg(
-        F.count(F.lit(1)).alias("n_feats"), F.sum("w").alias("score")
     )
-    return (
-        docs.select(F.col(id_col))
-        .join(agg, F.col(id_col) == F.col("did"), "left")
-        .select(
-            id_col,
-            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
-            F.coalesce("score", F.lit(0)).cast("long").alias("score"),
-            (F.coalesce("score", F.lit(0)) >= 0).alias("keep"),
-        )
+    w = F.when(
+        F.col("bg").isNotNull(),
+        (
+            md5_long(F.concat(F.lit(f"{salt}-"), F.col("bg"))) % 1001
+            - 500
+        ).cast("long"),
+    )
+    agg = ex.select(id_col, "bg", w.alias("w")).groupBy(id_col).agg(
+        F.count("bg").alias("n_feats"), F.sum("w").alias("score")
+    )
+    return agg.select(
+        id_col,
+        F.col("n_feats").cast("long").alias("n_feats"),
+        F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+        (F.coalesce("score", F.lit(0)) >= 0).alias("keep"),
     )
 
 
@@ -371,6 +398,16 @@ def bpe_merge_pairs(
     actual BPE trainer iterates: apply the winning merge to the
     vocabulary table and recount — each iteration is this same
     vocabulary-sized job, never a corpus rescan."""
+    from mtail_spark.session import ensure_parallelism
+
+    # the word explode + frequency partial-agg run map-side in the
+    # scan stage (optimization r12 — same split-count hazard as
+    # linear_quality_score).  tune_only: the heavy pair explode runs
+    # over the vocabulary AFTER the word-count exchange, so only the
+    # scan-side word explode gains — the free retune takes sf1
+    # 0.92 s → 0.67 s (49 row groups) while the repartition fallback
+    # measurably hurt the single-row-group sf0.1 (0.49 → 0.66 s)
+    docs = ensure_parallelism(docs, docs.sparkSession, tune_only=True)
     # all char bigrams WITH multiplicity: zero-width lookahead keeps
     # overlapping pairs; no array_distinct (BPE counts occurrences)
     pairs = F.regexp_extract_all(

@@ -275,6 +275,17 @@ def band_join_counts(
     neighbors survive via a final left join to the input (count 0).
     All arithmetic is exact integer microseconds.
     """
+    from mtail_spark.session import ensure_parallelism
+
+    # tune_only (optimization r12): the in-cell pair work behind the
+    # bucket exchange already parallelizes, but the probe explode +
+    # both scans run at the scan's split count — a multi-row-group
+    # input gets a free parallel scan from the maxPartitionBytes
+    # retune (sf1 measured 2.9 s → 1.0 s), while a tiny single-group
+    # file keeps its plan (the repartition fallback only added its
+    # own exchange cost at sf0.1)
+    events = ensure_parallelism(events, events.sparkSession,
+                                tune_only=True)
     r_us = radius_s * US
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     base = events.select(
@@ -300,24 +311,29 @@ def band_join_counts(
             )
         ).alias("bucket"),
     )
-    hits = (
-        probe.join(build, "bucket")
-        .filter(
-            (F.col("b_key") != F.col("key"))
-            & (F.abs(F.col("b_us") - F.col("us")) <= F.lit(r_us))
-        )
-        .groupBy("event_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_neighbors"))
-    )
+    # Optimization r12 (guide §2.4): LEFT join + conditional count
+    # replaces the old inner-join/filter/count + join-back-to-base
+    # zero-fill — every probe row survives the outer join (null-ts
+    # probes too, null-extended), so grouping by (event_id, key)
+    # already covers every event and the third events scan + the
+    # re-attach join are gone.  The when() counts exactly the rows
+    # the old filter kept (null comparisons fall to otherwise(0)),
+    # and each (probe, build) pair still appears exactly once (a
+    # build row lives in ONE bucket; the probe's 3 candidate cells
+    # are distinct).
     return (
-        base.select("event_id", "key")
-        .join(hits, "event_id", "left")
-        .select(
-            "event_id",
-            "key",
-            F.coalesce(F.col("n_neighbors"), F.lit(0))
+        probe.join(build, "bucket", "left")
+        .groupBy("event_id", "key")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("b_key") != F.col("key"))
+                    & (F.abs(F.col("b_us") - F.col("us")) <= F.lit(r_us)),
+                    1,
+                ).otherwise(0)
+            )
             .cast("long")
-            .alias("n_neighbors"),
+            .alias("n_neighbors")
         )
     )
 

@@ -248,9 +248,19 @@ def _parse_byte_size(s) -> int:
     return int(float(s)) * mult
 
 
-def ensure_parallelism(df, spark=None):
+def ensure_parallelism(df, spark=None, tune_only: bool = False):
     """Repartition a batch DataFrame to cluster parallelism when its
     scan would plan far fewer splits than cores.
+
+    tune_only=True applies ONLY the shuffle-free branch (retuning
+    spark.sql.files.maxPartitionBytes when the file carries enough
+    row groups) and never falls back to a repartition exchange: the
+    right mode for operators whose post-exchange stages already
+    parallelize — a tiny single-row-group input keeps its plan, a
+    production-sized multi-row-group input gets a free parallel scan
+    (optimization r12; measured on band_join_counts sf1: 2.9 s → 1.0 s
+    from the tune branch, while the repartition fallback at sf0.1
+    only added its own exchange cost).
 
     Split planning is byte-based, but snappy parquet decompresses
     10-30x and CPU-heavy per-row work (regex extraction, rendering)
@@ -315,7 +325,9 @@ def ensure_parallelism(df, spark=None):
     rgs = _count_row_groups(paths)
     enough = max(2, par // 2)
     if rgs is None:
-        return df if est >= enough else df.repartition(par)
+        if est >= enough or tune_only:
+            return df
+        return df.repartition(par)
     if rgs >= enough:
         # Enough row groups: tuning spark.sql.files.maxPartitionBytes
         # re-plans the scan to cluster parallelism with NO shuffle
@@ -338,7 +350,7 @@ def ensure_parallelism(df, spark=None):
         if want != live:
             spark.conf.set("spark.sql.files.maxPartitionBytes", str(want))
         return df
-    if est >= enough:
+    if est >= enough or tune_only:
         return df
     return df.repartition(par)
 

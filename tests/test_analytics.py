@@ -230,6 +230,27 @@ def test_band_join_boundary_inclusive(spark):
     assert out == {1: 1, 2: 1}
 
 
+def test_band_join_null_ts_preserved(spark):
+    # r12 optimization regression guard: the LEFT bucket-join +
+    # conditional-count rewrite must keep a null-ts event in the
+    # output with 0 neighbors (the oracle's LEFT JOIN semantics —
+    # a null us matches nothing but the row itself survives), and
+    # null-ts rows must never count as anyone's neighbor.
+    ev = _ev(
+        spark,
+        [
+            (1, 10, "2024-01-01 00:00:00", "view", 0.0),
+            (2, 20, "2024-01-01 00:01:00", "view", 0.0),  # +60 s
+            (3, 30, None, "view", 0.0),                   # null ts
+        ],
+    )
+    out = {
+        r.event_id: r.n_neighbors
+        for r in TS.band_join_counts(ev, radius_s=120).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 0}
+
+
 def test_cusum_hand_case(spark):
     # one key, hourly counts 2,2,2,8,8 -> ceilmean = ceil(22/5) = 5,
     # k = 5 + max(1, 5//4) = 6, h = 4*(5+1) = 24
