@@ -34,6 +34,13 @@ def contamination(
     """Per-document contamination report: how many distinct benchmark
     n-grams each corpus document contains (rows only for documents at
     or above min_hits — the flag list to drop or audit)."""
+    from mtail_spark.session import ensure_parallelism
+
+    # tune_only (optimization r12): the corpus-side shingle regex
+    # runs map-side in the scan stage ahead of the broadcast join
+    # (sf1 measured 3.81 s → 0.93 s from the free retune)
+    corpus = ensure_parallelism(corpus, corpus.sparkSession,
+                                tune_only=True)
     # explode_outer: codegen Generate re-runs the shingle regex per
     # OUTPUT row for computed arrays (see dedup.simhash)
     bench_ngrams = (

@@ -744,7 +744,13 @@ def duplicate_spans(
     match length).  Hot spans (the corpus's top boilerplate) skew the
     join key — AQE skew-join splits them."""
     from mtail_spark.operators.textstats import word_ngrams
+    from mtail_spark.session import ensure_parallelism
 
+    # tune_only (optimization r12): the span regex + md5 run
+    # map-side in the scan stage (sf1 measured 9.96 s → 2.17 s from
+    # the free maxPartitionBytes retune; the repartition fallback is
+    # skipped — both downstream aggs parallelize behind exchanges)
+    docs = ensure_parallelism(docs, docs.sparkSession, tune_only=True)
     spans = docs.select(
         F.col(id_col).alias("did"),
         F.explode_outer(word_ngrams(F.col(text_col), k)).alias("s"),

@@ -41,6 +41,13 @@ def postings(
 ) -> DataFrame:
     """Inverted index as a DataFrame: (term, doc, tf).  Lowercased
     whitespace tokens; one explode + one aggregation."""
+    from mtail_spark.session import ensure_parallelism
+
+    # tune_only (optimization r12): the tokenize + explode run
+    # map-side in the scan stage (search_topk sf1 0.98 s → 0.84 s,
+    # tfidf_top_terms 2.86 s → 2.54 s from the free retune)
+    corpus = ensure_parallelism(corpus, corpus.sparkSession,
+                                tune_only=True)
     return (
         corpus.select(
             F.col(id_col),

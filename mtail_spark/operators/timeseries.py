@@ -265,25 +265,33 @@ def band_join_counts(
     correlation primitive behind "what else fired when this alerted".
 
     A naive formulation is an inequality self-join — a cartesian
-    product at any scale.  The Spark-first shape BUCKETS time into
-    radius-sized cells: an event in bucket b can only have neighbors
-    in {b-1, b, b+1}, so the probe side explodes into its three
-    candidate buckets (3x one side, map-side) and the join becomes an
-    EQUI-join on the bucket — shuffle keyed by time cell, each cell
-    rate-bounded (events/radius), never all-pairs.  The exact |dt| <=
-    radius filter runs inside the joined cell.  Probes with zero
-    neighbors survive via a final left join to the input (count 0).
+    product at any scale.  The classic Spark shape BUCKETS time into
+    radius-sized cells and equi-joins on the cell, but the joined
+    PAIR count still grows quadratically with in-window density
+    (measured: the 10x-denser sf10 bench corpus costs ~40x sf1 —
+    pair enumeration, ~4G pairs).  This operator therefore counts by
+    RANK, not by pair (optimization r12, guide §1.2 "the distributed
+    algorithm"): replicate each event into its cell and both
+    neighbors (3x rows, map-side), then per cell one RANGE window
+    [-r, +r] counts ALL events in reach and a second (cell, key)
+    window counts SAME-key events in reach; n_neighbors is their
+    difference, evaluated at each event's home-cell replica.  Any
+    neighbor within +-r lives within +-1 cell, so the home-cell
+    partition sees every candidate exactly once.  Work is
+    O(rows * log cell-size) — rows, not pairs (sf10 measured 57.7 s
+    pair-form → ~2 s window-form).  Sliding RANGE frames advance two
+    pointers per partition; counts are exact integers, so the result
+    is bit-identical to the inequality-join oracle.  Events with a
+    null timestamp or null key pair with nothing under the join's
+    null semantics and are emitted directly with count 0.
     All arithmetic is exact integer microseconds.
     """
     from mtail_spark.session import ensure_parallelism
 
-    # tune_only (optimization r12): the in-cell pair work behind the
-    # bucket exchange already parallelizes, but the probe explode +
-    # both scans run at the scan's split count — a multi-row-group
-    # input gets a free parallel scan from the maxPartitionBytes
-    # retune (sf1 measured 2.9 s → 1.0 s), while a tiny single-group
-    # file keeps its plan (the repartition fallback only added its
-    # own exchange cost at sf0.1)
+    # tune_only (optimization r12): the replicate explode runs
+    # map-side at the scan's split count — a multi-row-group input
+    # gets a free parallel scan from the maxPartitionBytes retune,
+    # a tiny single-group file keeps its plan
     events = ensure_parallelism(events, events.sparkSession,
                                 tune_only=True)
     r_us = radius_s * US
@@ -293,48 +301,45 @@ def band_join_counts(
         F.col(key_col).alias("key"),
         us.alias("us"),
     )
+    invalid = base.filter(
+        F.col("us").isNull() | F.col("key").isNull()
+    ).select(
+        "event_id", "key", F.lit(0).cast("long").alias("n_neighbors")
+    )
+    valid = base.filter(F.col("us").isNotNull() & F.col("key").isNotNull())
     # floor-aligned bucket (pmod: sign-safe for pre-1970 timestamps)
     bkt = F.expr(f"CAST((us - pmod(us, {r_us})) DIV {r_us} AS BIGINT)")
-    build = base.select(
-        F.col("event_id").alias("b_eid"),
-        F.col("key").alias("b_key"),
-        F.col("us").alias("b_us"),
-        bkt.alias("bucket"),
-    )
-    probe = base.withColumn("bucket0", bkt).select(
+    rep = valid.withColumn("bucket0", bkt).select(
         "event_id",
         "key",
         "us",
+        "bucket0",
         F.explode(
             F.array(
                 F.col("bucket0") - 1, F.col("bucket0"), F.col("bucket0") + 1
             )
-        ).alias("bucket"),
+        ).alias("cell"),
     )
-    # Optimization r12 (guide §2.4): LEFT join + conditional count
-    # replaces the old inner-join/filter/count + join-back-to-base
-    # zero-fill — every probe row survives the outer join (null-ts
-    # probes too, null-extended), so grouping by (event_id, key)
-    # already covers every event and the third events scan + the
-    # re-attach join are gone.  The when() counts exactly the rows
-    # the old filter kept (null comparisons fall to otherwise(0)),
-    # and each (probe, build) pair still appears exactly once (a
-    # build row lives in ONE bucket; the probe's 3 candidate cells
-    # are distinct).
+    w_all = (
+        Window.partitionBy("cell").orderBy("us").rangeBetween(-r_us, r_us)
+    )
+    w_same = (
+        Window.partitionBy("cell", "key")
+        .orderBy("us")
+        .rangeBetween(-r_us, r_us)
+    )
+    counted = rep.withColumn(
+        "c_all", F.count(F.lit(1)).over(w_all)
+    ).withColumn("c_same", F.count(F.lit(1)).over(w_same))
     return (
-        probe.join(build, "bucket", "left")
-        .groupBy("event_id", "key")
-        .agg(
-            F.sum(
-                F.when(
-                    (F.col("b_key") != F.col("key"))
-                    & (F.abs(F.col("b_us") - F.col("us")) <= F.lit(r_us)),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_neighbors")
+        counted.filter(F.col("cell") == F.col("bucket0"))
+        .select(
+            "event_id",
+            "key",
+            (F.col("c_all") - F.col("c_same")).cast("long")
+            .alias("n_neighbors"),
         )
+        .unionByName(invalid)
     )
 
 

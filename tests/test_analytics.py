@@ -242,13 +242,17 @@ def test_band_join_null_ts_preserved(spark):
             (1, 10, "2024-01-01 00:00:00", "view", 0.0),
             (2, 20, "2024-01-01 00:01:00", "view", 0.0),  # +60 s
             (3, 30, None, "view", 0.0),                   # null ts
+            (4, None, "2024-01-01 00:00:30", "view", 0.0),  # null key
         ],
     )
     out = {
         r.event_id: r.n_neighbors
         for r in TS.band_join_counts(ev, radius_s=120).collect()
     }
-    assert out == {1: 1, 2: 1, 3: 0}
+    # null-ts and null-key events survive with 0 (every join-side
+    # comparison involving them is null) and never count as anyone's
+    # neighbor — events 1/2 still see only each other
+    assert out == {1: 1, 2: 1, 3: 0, 4: 0}
 
 
 def test_cusum_hand_case(spark):
