@@ -2278,13 +2278,17 @@ def q_asof_join_last_touch(spark, sf):
     sort-merge-as-of as union + running last_value over ONE key
     shuffle (see the operator docstring).  Equal timestamps count as
     prior; duplicate build timestamps break ties on the larger
-    event_id — deterministic in both engines."""
+    event_id — deterministic in both engines.  Probe and build are
+    disjoint filters of ONE events table, so the fused single-scan
+    form applies (optimization r12): one pass instead of two, same
+    rows into the identical key-window."""
     import mtail_spark.operators.timeseries as TS
 
     ev = _t(spark, sf, "events")
-    return TS.asof_join(
-        ev.filter(F.col("event_type") == "purchase"),
-        ev.filter(F.col("event_type") == "click"),
+    return TS.asof_join_fused(
+        ev,
+        F.col("event_type") == "purchase",
+        F.col("event_type") == "click",
     )
 
 
@@ -3412,7 +3416,13 @@ def q_attribution_pipeline(spark, sf):
 
     ev = _t(spark, sf, "events")
     purchases = ev.filter(F.col("event_type") == "purchase")
-    aj = TS.asof_join(purchases, ev.filter(F.col("event_type") == "click"))
+    # disjoint filters of one table: fused single-scan as-of
+    # (optimization r12) — one events pass for the probe+build union
+    aj = TS.asof_join_fused(
+        ev,
+        F.col("event_type") == "purchase",
+        F.col("event_type") == "click",
+    )
     rev = purchases.select(
         F.col("event_id").alias("probe_id"), _cents(F.col("value")).alias("cents")
     )

@@ -217,6 +217,81 @@ def asof_join(
     )
 
 
+def asof_join_fused(
+    df: DataFrame,
+    probe_cond,
+    build_cond,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    probe_id: str = "event_id",
+    build_id: str = "event_id",
+    build_value: str = "value",
+) -> DataFrame:
+    """Single-scan form of asof_join for the common case where probe
+    and build are DISJOINT filters of the SAME relation (last-touch
+    attribution: purchases vs clicks of one events table).
+
+    asof_join(df.filter(p), df.filter(b)) scans the source twice and
+    unions; with disjoint predicates the union is just a partition of
+    one filtered scan, so the probe/build tagging can be a conditional
+    projection over df.filter(p | b) — ONE pass instead of two, same
+    rows into the identical (key)-window, bit-identical output
+    (optimization r12, guide §1.2: the theoretically-minimal plan is
+    one read of the input).
+
+    Precondition (caller-proved, asserted cheaply here only on the
+    predicate objects): no row satisfies BOTH conditions — a row
+    matching both would enter the union form twice (once per side) but
+    this projection once.  The entry queries filter one event_type
+    column to two different literals, which is disjoint by
+    construction.
+    """
+    _id_type = dict(df.dtypes)[build_id]
+    assert _id_type in ("tinyint", "smallint", "int", "bigint"), (
+        f"asof_join build_id column {build_id!r} must be integral for "
+        f"the deterministic (key, ts) tie-break, got {_id_type}"
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    b_struct = F.struct(
+        us.alias("b_us"),
+        F.col(build_id).cast("long").alias("b_id"),
+        F.col(build_value).cast("double").alias("b_value"),
+    )
+    u = df.filter(probe_cond | build_cond).select(
+        F.when(probe_cond, F.col(probe_id)).alias("p_id"),
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        us.alias("us"),
+        F.when(probe_cond, F.lit(1)).otherwise(F.lit(0)).alias("side"),
+        F.when(
+            probe_cond, F.lit(None).cast("long")
+        ).otherwise(F.col(build_id).cast("long")).alias("ord_id"),
+        F.when(
+            probe_cond,
+            F.lit(None).cast(
+                "struct<b_us:bigint,b_id:bigint,b_value:double>"
+            ),
+        ).otherwise(b_struct).alias("_b"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("us", "side", "ord_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = (
+        u.withColumn("_last", F.last("_b", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+    )
+    return joined.select(
+        F.col("p_id").alias("probe_id"),
+        F.col("key"),
+        F.col("ts"),
+        F.col("_last.b_id").alias("b_id"),
+        F.col("_last.b_value").alias("b_value"),
+        (F.col("us") - F.col("_last.b_us")).cast("long").alias("lag_us"),
+    )
+
+
 def sliding_stats(
     events: DataFrame,
     trail_rows: int = 5,

@@ -51,6 +51,37 @@ def test_asof_join_hand_case(spark):
     assert out[300] == (None, None, None)  # other user's clicks invisible
 
 
+def test_asof_join_fused_equals_unfused(spark):
+    """The r12 single-scan fusion must be row-identical to the
+    two-filter union form on the same disjoint-predicate input,
+    including the dup-ts tie-break, the no-prior-build NULL row, and
+    a user with clicks only (build rows that never surface)."""
+    ev = _ev(
+        spark,
+        [
+            (100, 1, "2024-01-01 00:00:10", "click", 1.0),
+            (101, 1, "2024-01-01 00:00:20", "click", 2.0),
+            (102, 1, "2024-01-01 00:00:20", "click", 3.0),
+            (200, 1, "2024-01-01 00:00:05", "purchase", 9.0),
+            (201, 1, "2024-01-01 00:00:20", "purchase", 9.0),
+            (202, 1, "2024-01-01 00:00:25", "purchase", 9.0),
+            (300, 2, "2024-01-01 00:00:30", "purchase", 9.0),
+            (301, 3, "2024-01-01 00:00:01", "click", 5.0),  # clicks only
+            (400, 4, "2024-01-01 00:00:02", "view", 0.0),  # neither side
+        ],
+    )
+    pc = F.col("event_type") == "purchase"
+    bc = F.col("event_type") == "click"
+    unfused = sorted(
+        map(tuple, TS.asof_join(ev.filter(pc), ev.filter(bc)).collect())
+    )
+    fused = sorted(map(tuple, TS.asof_join_fused(ev, pc, bc).collect()))
+    assert fused == unfused
+    # one scan vs two: the fused physical plan reads the source once
+    plan = TS.asof_join_fused(ev, pc, bc)._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+
+
 def test_funnel_hand_case(spark):
     ev = _ev(
         spark,
