@@ -191,6 +191,17 @@ def _time_queries(spark, qs, names, sf_dir, repeats=3):
             # start every measurement from the session default so one
             # query's tuning can't poison the next
             reset_scan_tuning(spark)
+            # drop session-cached relations between timed runs
+            # (optimization r12 measurement fix): an operator-internal
+            # persist (minhash_lsh_pairs' band-bucket relation) stays
+            # registered in the CacheManager after the action, so
+            # repeat N+1's equivalent plan silently reused repeat N's
+            # cached rows instead of recomputing from parquet —
+            # measured 0.94 s vs 1.5 s honest recompute at sf0.1.
+            # Every timed invocation must compute from the inputs;
+            # pre-fix records (r11 and earlier, and the r12 baseline)
+            # carry the reuse on dedup_minhash_lsh repeats.
+            spark.catalog.clearCache()
             if r:
                 # JMH-style forced GC between repeats: the 24g local
                 # heap collects so rarely that Spark's GC-driven

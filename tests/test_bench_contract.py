@@ -280,3 +280,27 @@ def test_scaled_corpus_factor10_rule_unchanged(tmp_path):
     n = len(texts) // 10
     assert texts[2 * n: 3 * n] == texts[:n]
     assert texts[4 * n: 5 * n] == [t + " replica4" for t in texts[:n]]
+
+
+def test_time_queries_clears_cache_between_repeats(spark):
+    """Optimization-r12 measurement fix: an operator-internal persist
+    (minhash_lsh_pairs' bucket relation) survives its action in the
+    CacheManager, so without a clear, repeat N+1's equivalent plan
+    reuses repeat N's cached rows — the min basis then measures a
+    partially-cached run, not a compute-from-parquet run.  The harness
+    must present an EMPTY cache to every timed invocation."""
+    saw_empty = []
+
+    def fake_query(sp, sf_dir):
+        cm = sp._jsparkSession.sharedState().cacheManager()
+        saw_empty.append(cm.isEmpty())
+        df = sp.range(5).persist()
+        df.count()
+        return sp.range(1)
+
+    med, best, cold = bench._time_queries(
+        spark, {"fake": fake_query}, ["fake"], "/root/testdata/sf0.001",
+        repeats=3,
+    )
+    assert saw_empty == [True, True, True]
+    spark.catalog.clearCache()
