@@ -154,9 +154,11 @@ SHOW = [
      "exchange — nothing corpus x corpus anywhere"),
     # round-8 analytics family
     ("asof_join_last_touch",
-     "sort-merge as-of: filters pushed to BOTH scans, union, ONE "
-     "exchange on the key, one sort, one Window carrying the running "
-     "last build payload — no join node at all"),
+     "sort-merge as-of, fused single-scan form (r12): ONE events scan "
+     "with the IN-filter pushed down, conditional probe/build tagging "
+     "in the projection (no Union), ONE exchange on the key, one "
+     "sort, one Window carrying the running last build payload — no "
+     "join node at all"),
     ("band_join_counts",
      "time-range self-join as a bucketed EQUI-join (probe explodes "
      "into 3 radius cells) — no CartesianProduct/BroadcastNestedLoop "
