@@ -614,6 +614,31 @@ def merge_parsed_partials(
 _COMPILE_CACHE: dict = {}
 
 
+def clear_plan_caches() -> None:
+    """Drop every compiled program's memoized store plan (and
+    unpersist any chunkfold phase-A blocks those plans hold).
+
+    The compile memo itself survives — recompiling unchanged source
+    is the reference's own skip (runtime.go:143-157) and is
+    driver-side, deterministic work.  The PLAN memo, by contrast,
+    can carry executed state: chunkfold_store materializes phase A
+    (persist + audit collect) at build time, so a memoized plan
+    returned to a later, equivalent run_batch call hands back
+    previously computed rows.  Benchmarks that require every timed
+    invocation to recompute from the inputs call this between
+    repeats so each invocation rebuilds (and re-executes) from
+    scratch; the within-invocation persist then works normally."""
+    for prog in _COMPILE_CACHE.values():
+        for df, _m, _s in prog._plan_cache.values():
+            cache = getattr(df, "_chunkfold_cache", None)
+            if cache is not None:
+                try:
+                    cache.unpersist()
+                except Exception:
+                    pass
+        prog._plan_cache.clear()
+
+
 def _enforce_limits(checked, max_regexp_length: int,
                     max_recursion_depth: int) -> None:
     from mtail_spark.compiler import ast as A

@@ -304,3 +304,33 @@ def test_time_queries_clears_cache_between_repeats(spark):
     )
     assert saw_empty == [True, True, True]
     spark.catalog.clearCache()
+
+
+def test_time_queries_clears_program_plan_memo_between_repeats(spark):
+    """Second reuse layer of the same r12 fix: run_batch memoizes the
+    built store plan per compiled program, and chunkfold plans embed
+    executed phase-A state — a repeat that hits the memo does not
+    recompute from the inputs (or, cache-cleared, double-computes
+    through the stale persist).  The harness must drop the plan memo
+    so every repeat rebuilds like a first invocation."""
+    from mtail_spark.compiler import api
+
+    class FakeProg:
+        def __init__(self):
+            self._plan_cache = {"k": (spark.range(1), None, None)}
+
+    fake = FakeProg()
+    api._COMPILE_CACHE["__bench_contract_test__"] = fake
+    try:
+        def fake_query(sp, sf_dir):
+            # memo must be empty at every timed invocation
+            assert not fake._plan_cache
+            fake._plan_cache["k"] = (sp.range(1), None, None)
+            return sp.range(1)
+
+        bench._time_queries(
+            spark, {"fake": fake_query}, ["fake"],
+            "/root/testdata/sf0.001", repeats=3,
+        )
+    finally:
+        api._COMPILE_CACHE.pop("__bench_contract_test__", None)
