@@ -213,3 +213,28 @@ def test_yearless_now_year_patch_matches():
         assert want == got == G.parse_go_time_us(
             "12-25 08:30:01", "01-02 15:04:05", ny
         )
+
+
+def test_fast_eval_specialization_surface():
+    """r12 optimization: the fast path's field extraction is a
+    per-layout specialized closure (fast_eval) instead of
+    dict(zip(order, groups)).  Pin its contract: present exactly when
+    fast_re is, None-return on the day guard (caller falls through to
+    strptime), and field math identical to the slow path on the most
+    branch-heavy combination (yearless + month-name + frac)."""
+    cl = G._layout("2006-01-02T15:04:05")
+    assert cl.fast_re is not None and cl.fast_eval is not None
+    slow_only = G._layout("03:04:05 PM")
+    assert slow_only.fast_re is None and slow_only.fast_eval is None
+
+    # day guard: Apr 31 matches the regex but must return None
+    m = cl.fast_re.fullmatch("2024-04-31T10:00:00")
+    assert m is not None
+    assert cl.fast_eval(m.groups(), None) is None
+
+    # yearless + month name + frac: closure equals the strptime path
+    layout = "Jan _2 15:04:05.000000"
+    for val in ("Feb  3 07:08:09.250000", "Dec 31 23:59:59.000001"):
+        for ny in (None, 2023):
+            want, got = _both(val, layout, ny)
+            assert want == got, (val, ny, want, got)
