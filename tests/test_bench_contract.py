@@ -79,17 +79,19 @@ def test_compact_line_no_drop_when_small():
     assert "queries_min" in parsed and "queries_cold" in parsed
 
 
-def test_compact_line_preserves_min_basis():
-    # sf1_queries_min is the declared cross-round comparison basis:
-    # when the suite grows past the limit, per-query entries of
-    # "queries" get trimmed BEFORE the min series is lost (r9: 28
-    # headline queries silently cost the whole series)
+def test_compact_line_preserves_queries_over_sf1_detail():
+    # VERDICT r12 item 1: the "queries" dict is the driver's ONLY
+    # round-over-round PERF basis, so when the suite outgrows the
+    # limit, non-pinned sf1_queries_min entries are trimmed BEFORE
+    # any "queries" entry (r12: the old priority starved PERF down
+    # to an 8-query comparison).  Both fake sets here are non-pinned.
     r = _fake_result(n_queries=40, with_sf1=True)
     line = bench.compact_line(r, limit=1900)
     assert len(line) <= 1900
     parsed = json.loads(line)
-    assert "sf1_queries_min" in parsed
-    assert len(parsed["sf1_queries_min"]) == 40
+    assert len(parsed["queries"]) == 40
+    assert "queries_truncated" not in parsed
+    assert parsed.get("sf1_truncated", 0) > 0
 
 
 def test_bench_queries_are_registered():
@@ -133,10 +135,10 @@ def test_compact_line_trim_keeps_pinned_sf01_set():
 
 
 def test_compact_line_limit_beats_pin_when_core_outgrows():
-    # found live in round 11 run B: sf1_queries_min growth pushed the
-    # line to 1925 bytes with every non-pinned entry already trimmed.
-    # The <= limit guarantee must win — pinned entries go too, rather
-    # than emit a line the driver's tail buffer could truncate.
+    # The <= limit guarantee must win over every pin — rather than
+    # emit a line the driver's tail buffer could truncate.  With the
+    # r13 priority, non-pinned sf1 entries absorb the overflow first
+    # and the pinned sf0.1 queries dict survives whole.
     r = _fake_result(n_queries=0, with_sf1=False)
     r["queries"] = {name: 1.234 for name in sorted(bench.SF01_MUST_KEEP)}
     r["sf1_queries_min"] = {
@@ -145,18 +147,56 @@ def test_compact_line_limit_beats_pin_when_core_outgrows():
     line = bench.compact_line(r, limit=1900)
     assert len(line) <= 1900
     parsed = json.loads(line)
-    assert parsed["queries_truncated"] > 0
-    # the never-dropped min series is intact; the overflow came out of
-    # the queries dict instead (pinned entries included, longest first)
-    assert len(parsed["sf1_queries_min"]) == 35
-    assert len(parsed["queries"]) + parsed["queries_truncated"] == len(
-        bench.SF01_MUST_KEEP
-    )
+    assert parsed.get("sf1_truncated", 0) > 0
+    assert set(parsed["queries"]) == bench.SF01_MUST_KEEP
+    # a limit small enough that even the pinned core cannot fit still
+    # yields a parseable line (pins lose to the guarantee)
+    tiny = bench.compact_line(dict(r), limit=700)
+    assert len(tiny) <= 700
+    json.loads(tiny)
+
+
+def test_compact_line_keeps_pins_at_current_suite_size():
+    # VERDICT r12 item 1 "done" criterion: at the REAL suite shape
+    # (every BENCH query + scaling rows + full sf1/sf10 legs + every
+    # scalar the record carries) all 22 pinned sf0.1 entries, all 6
+    # scaling rows, and every SF1_MUST_KEEP series (directly or via
+    # its scaling row) survive the trim.
+    r = _fake_result(n_queries=0, with_sf1=False)
+    qs = {q: 10.93 for q in bench.BENCH_QUERIES}
+    for q in bench.SCALING_BASIS:
+        qs[f"sf1_{q}"] = 13.449
+    r["queries"] = qs
+    r["queries_min"] = dict(qs)
+    r["queries_cold"] = dict(qs)
+    r["sf1_queries_min"] = {q: 11.312 for q in bench.SF1_QUERIES}
+    r["sf1_queries"] = dict(r["sf1_queries_min"])
+    r["sf1_queries_cold"] = dict(r["sf1_queries_min"])
+    r["sf1_events_rows"] = 1000000
+    r["sf1_wall_sec"] = 20.0
+    r["sf1_compiled_program_klines_per_sec"] = 909.9
+    r["sf1_compiled_program_klines_per_sec_best"] = 923.4
+    r = _with_sf10(r)
+    line = bench.compact_line(r, limit=1900)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert bench.SF01_MUST_KEEP <= set(parsed["queries"])
+    for q in bench.SCALING_BASIS:
+        assert f"sf1_{q}" in parsed["queries"], q
+    covered = set(parsed.get("sf1_queries_min", {})) | {
+        k[4:] for k in parsed["queries"] if k.startswith("sf1_")
+    }
+    assert bench.SF1_MUST_KEEP <= covered, bench.SF1_MUST_KEEP - covered
 
 
 def test_sf01_must_keep_queries_exist():
     # the pinned names must be real headline queries, or the pin rots
     assert bench.SF01_MUST_KEEP <= set(bench.BENCH_QUERIES)
+
+
+def test_sf1_must_keep_queries_exist():
+    assert bench.SF1_MUST_KEEP <= set(bench.SF1_QUERIES)
+    assert set(bench.SCALING_BASIS) <= set(bench.SF1_QUERIES)
 
 
 def _with_sf10(r):
@@ -200,17 +240,11 @@ def test_compact_line_keeps_sf10_summary_and_post_canary():
         "host_canary_mt_sec",
     ):
         assert k in parsed, k
-    # at the REAL record's shape (r11: 34 sf0.1 queries, 25 sf1-min
-    # entries) the worst-ratio slice also survives; this fixture's 40
-    # fake sf1 entries are the pathological case where it may go
-    r2 = _with_sf10(_fake_result(n_queries=34, with_sf1=True))
-    r2["sf1_queries_min"] = {
-        f"sf1q_{i:02d}_name_pad": 1.234 for i in range(25)
-    }
+    # when the record is small enough, the worst-ratio slice survives
+    # (it only drops under pressure, before any per-query trim)
+    r2 = _with_sf10(_fake_result(n_queries=8, with_sf1=False))
     parsed2 = json.loads(bench.compact_line(r2, limit=1900))
     assert parsed2["sf10_worst"] == r2["sf10_worst"]
-    # the declared cross-round basis is still intact
-    assert len(parsed["sf1_queries_min"]) == 40
 
 
 def test_compact_line_prefers_ratio_dict_over_sf10_min():
