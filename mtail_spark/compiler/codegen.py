@@ -349,7 +349,10 @@ class Vectorizer:
         site; every other site then costs one instr instead of one
         full regex scan per line.  Returns (has_sep, replaced, split)
         shared column names."""
-        from mtail_spark.compiler.literals import required_literal
+        from mtail_spark.compiler.literals import (
+            required_literal,
+            required_prefix,
+        )
 
         subj = self._subject(rid)
         pat = self._java_pattern(rid)
@@ -362,12 +365,23 @@ class Vectorizer:
         has_sep = self._shared_col(
             f"(instr({subj}, {sq(_SEP)}) > 0)", "hs"
         )
+        # Reject gate, strongest first: an anchored literal PREFIX
+        # rejects with one bounded memcmp (no subject scan); else a
+        # required literal anywhere rejects with one instr scan.  A
+        # line failing the gate cannot match, and regexp_replace
+        # would have returned the subject unchanged, so the gate
+        # substitutes `subj` directly.
+        pref = required_prefix(pat)
         lit = required_literal(pat)
-        reject = (
-            f"WHEN instr({subj}, {sq(lit)}) = 0 THEN {subj} "
-            if lit
-            else ""
-        )
+        if pref is not None and (lit is None or len(pref) >= 6):
+            reject = (
+                f"WHEN NOT startswith({subj}, {sq(pref)}) "
+                f"THEN {subj} "
+            )
+        elif lit:
+            reject = f"WHEN instr({subj}, {sq(lit)}) = 0 THEN {subj} "
+        else:
+            reject = ""
         replaced = self._shared_col(
             f"CASE WHEN {has_sep} THEN NULL {reject}ELSE "
             f"regexp_replace({subj}, {sq(wrapper)}, {sq(repl)}) END",
@@ -376,9 +390,38 @@ class Vectorizer:
         split = self._shared_col(f"split({replaced}, {sq(_SEP)})", "g")
         return has_sep, replaced, split
 
+    def _alt_col(self, rid: int) -> str | None:
+        """Matched-branch column for an anchored literal-alternation
+        pattern (`^(lit1|lit2|...)`): a first-match CASE over
+        startswith replaces the regex engine entirely.  Java tries
+        alternation branches left to right at the anchor, so the
+        first listed branch that prefixes the subject IS the match
+        (and group 1 == group 0 == that branch).  NULL when no branch
+        matches or the subject is NULL."""
+        from mtail_spark.compiler.literals import literal_alternation
+
+        pat = self._java_pattern(rid)
+        alts = literal_alternation(pat)
+        if alts is None:
+            return None
+        subj = self._subject(rid)
+        whens = " ".join(
+            f"WHEN startswith({subj}, {sq(a)}) THEN {sq(a)}"
+            for a in alts
+        )
+        return self._shared_col(f"(CASE {whens} END)", "a")
+
     def _match_col(self, rid: int) -> str:
         subj = self._subject(rid)
         pat = self._java_pattern(rid)
+        alt = self._alt_col(rid)
+        if alt is not None:
+            # NULL subject must yield NULL like RLIKE, not FALSE
+            return self._shared_col(
+                f"(CASE WHEN {subj} IS NULL THEN "
+                f"CAST(NULL AS BOOLEAN) ELSE {alt} IS NOT NULL END)",
+                "m",
+            )
         has_sep, replaced, _split = self._rex_cols(rid)
         return self._shared_col(
             f"(CASE WHEN {has_sep} THEN ({subj} RLIKE {sq(pat)}) "
@@ -389,14 +432,22 @@ class Vectorizer:
     def _capref_col(self, rid: int, group: int, vtype: str) -> str:
         subj = self._subject(rid)
         pat = self._java_pattern(rid)
-        has_sep, _replaced, split = self._rex_cols(rid)
-        # non-matching lines yield '' like regexp_extract does
-        raw = self._shared_col(
-            f"(CASE WHEN {has_sep} "
-            f"THEN regexp_extract({subj}, {sq(pat)}, {group}) "
-            f"ELSE coalesce(try_element_at({split}, {group + 2}), '') END)",
-            "c",
-        )
+        alt = self._alt_col(rid) if group <= 1 else None
+        if alt is not None:
+            # group 0 (full match) and group 1 (the alternation) are
+            # both the matched branch; '' on non-matching lines like
+            # regexp_extract
+            raw = self._shared_col(f"coalesce({alt}, '')", "c")
+        else:
+            has_sep, _replaced, split = self._rex_cols(rid)
+            # non-matching lines yield '' like regexp_extract does
+            raw = self._shared_col(
+                f"(CASE WHEN {has_sep} "
+                f"THEN regexp_extract({subj}, {sq(pat)}, {group}) "
+                f"ELSE coalesce(try_element_at({split}, {group + 2}), "
+                f"'') END)",
+                "c",
+            )
         if vtype == "Int":
             raw = f"TRY_CAST({raw} AS BIGINT)"
         elif vtype == "Float":

@@ -146,6 +146,97 @@ def required_literal(pattern: str, min_len: int = 3) -> str | None:
     return best if len(best) >= min_len else None
 
 
+def required_prefix(pattern: str, min_len: int = 3) -> str | None:
+    """Literal PREFIX guaranteed to start every match of an anchored
+    Java pattern (`^DHCPDISCOVER from ...` -> "DHCPDISCOVER from "),
+    or None.  Strictly stronger than `required_literal` as a reject
+    gate: `startswith(subj, pref)` is a single bounded memcmp, while
+    `instr(subj, lit)` scans the whole subject.  Only sound because
+    the vectorized backend never sets MULTILINE — `^` matches at
+    position 0 only, so every match must begin with the prefix."""
+    if not pattern.startswith("^"):
+        return None
+    cur: list[str] = []
+    i, n = 1, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            if i + 1 >= n:
+                break
+            e = pattern[i + 1]
+            if (
+                e in _CLASS_ESCAPES
+                or e in ("n", "t", "r", "f", "a", "e",
+                         "x", "u", "0", "c", "p", "P", "k", "Q")
+                or e.isdigit()
+            ):
+                break
+            cur.append(e)
+            i += 2
+            continue
+        if c in "([{*+?^$.|":
+            # a quantifier that can make the previous char optional
+            # drops it; dropping is always SAFE (a shorter guaranteed
+            # prefix stays a guaranteed prefix)
+            if c in "*?{" and cur:
+                cur.pop()
+            break
+        cur.append(c)
+        i += 1
+    p = "".join(cur)
+    return p if len(p) >= min_len else None
+
+
+def literal_alternation(pattern: str) -> list[str] | None:
+    """Branch literals of a pattern that is EXACTLY an anchored
+    alternation of plain literals in one capturing group —
+    `^(balanced|balancing|DHCPACK|...)` (the dhcpd request-command
+    shape) — in source order, or None.
+
+    For such a pattern the whole regex engine can be replaced by a
+    first-match CASE over `startswith`: Java alternation tries
+    branches left to right at the anchor, so the first listed branch
+    that prefixes the subject is both the full match and group 1.
+    Nothing may follow the group (backtracking could otherwise retry
+    later branches), and branches must be pure literals."""
+    if not (pattern.startswith("^(") and pattern.endswith(")")):
+        return None
+    body = pattern[2:-1]
+    branches: list[str] = []
+    cur: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == "\\":
+            if i + 1 >= n:
+                return None
+            e = body[i + 1]
+            if (
+                e in _CLASS_ESCAPES
+                or e in ("n", "t", "r", "f", "a", "e",
+                         "x", "u", "0", "c", "p", "P", "k", "Q")
+                or e.isdigit()
+            ):
+                return None
+            cur.append(e)
+            i += 2
+        elif c == "|":
+            if not cur:
+                return None
+            branches.append("".join(cur))
+            cur = []
+            i += 1
+        elif c in "()[]{}*+?^$.":
+            return None
+        else:
+            cur.append(c)
+            i += 1
+    if not cur:
+        return None
+    branches.append("".join(cur))
+    return branches if len(branches) >= 2 else None
+
+
 def _skip_quantifier(pattern: str, i: int) -> int:
     """Skip a quantifier following a group/class (we treated the
     construct as a run breaker, so the quantifier is irrelevant)."""

@@ -346,9 +346,15 @@ def linear_quality_score(
     BroadcastHashJoin) is gone — one scan, one Exchange.  count("bg")
     skips the placeholder null (n_feats 0) and sum(w) over an
     all-null group is null → coalesced to 0, exactly the old left
-    join's coalesce.  Equivalent whenever id_col is unique (true of
-    every testdata/fuzz documents table; the oracle joins on doc_id
-    under the same assumption)."""
+    join's coalesce.  PRECONDITION (contract, not checked — checking
+    would cost a full aggregation pass): id_col is UNIQUE and
+    NON-NULL.  Duplicate ids would collapse to one output row where
+    the old join-back shape returned one per input row, and a NULL id
+    would aggregate its bigrams into a real count where the old LEFT
+    JOIN's null-never-equals gave n_feats=0.  True of every testdata/
+    fuzz documents table, and the SQL oracle joins on doc_id under
+    the same assumption — a corpus violating it breaks parity loudly
+    (hash mismatch), not silently."""
     from mtail_spark.session import ensure_parallelism
 
     # the bigram regex + per-bigram md5 run map-side in the scan

@@ -217,6 +217,29 @@ def asof_join(
     )
 
 
+def _eq_literal(cond) -> tuple[str, str] | None:
+    """(column_name, literal_repr) when `cond` is a plain
+    `col == literal` comparison, else None (disjointness not
+    statically checkable).  Inspects the unresolved expression tree —
+    never executes anything."""
+    try:
+        e = cond._jc.expr()
+        if e.getClass().getSimpleName() != "EqualTo":
+            return None
+        attr = lit = None
+        for s in (e.left(), e.right()):
+            n = s.getClass().getSimpleName()
+            if n == "UnresolvedAttribute":
+                attr = s.name()
+            elif n == "Literal":
+                lit = str(s)
+        if attr is not None and lit is not None:
+            return attr, lit
+    except Exception:
+        return None
+    return None
+
+
 def asof_join_fused(
     df: DataFrame,
     probe_cond,
@@ -239,13 +262,23 @@ def asof_join_fused(
     (optimization r12, guide §1.2: the theoretically-minimal plan is
     one read of the input).
 
-    Precondition (caller-proved, asserted cheaply here only on the
-    predicate objects): no row satisfies BOTH conditions — a row
-    matching both would enter the union form twice (once per side) but
-    this projection once.  The entry queries filter one event_type
-    column to two different literals, which is disjoint by
-    construction.
+    Precondition: no row satisfies BOTH conditions — a row matching
+    both would enter the union form twice (once per side) but this
+    projection once.  Statically ASSERTED below for the common shape
+    (both predicates are `col == literal` comparisons on the same
+    column: distinct literals prove disjointness, equal literals are
+    rejected); any other predicate shape cannot be checked cheaply
+    and the CALLER must guarantee disjointness.  The entry queries
+    filter one event_type column to two different literals.
     """
+    pe, be = _eq_literal(probe_cond), _eq_literal(build_cond)
+    if pe is not None and be is not None and pe[0] == be[0]:
+        assert pe[1] != be[1], (
+            "asof_join_fused: probe and build predicates compare "
+            f"column {pe[0]!r} to the SAME literal {pe[1]!r} — they "
+            "overlap, which the fused single-scan form cannot "
+            "represent; use asof_join on two filtered scans instead"
+        )
     _id_type = dict(df.dtypes)[build_id]
     assert _id_type in ("tinyint", "smallint", "int", "bigint"), (
         f"asof_join build_id column {build_id!r} must be integral for "

@@ -60,8 +60,42 @@ def get_spark(
         # Some inputs carry parquet TIMESTAMP(NANOS) which the Spark
         # reader rejects; read them as long and convert in load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # PySpark 4's DataFrame-context debugging wraps EVERY
+        # DataFrame API call with a call-site capture: one conf.get +
+        # a PySparkCurrentOrigin set/clear pair = ~3 extra py4j round
+        # trips per call.  Plan-heavy queries (compiled mtail
+        # programs: ~400 API calls per build) spend 30-40% of their
+        # driver-side construction in it (optimization r13, guide §7.3
+        # driver-side work; measured: dhcpd run_batch build 0.80 →
+        # 0.52 s).  Cost: error messages lose the user-code call-site
+        # line — acceptable for a library engine.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # Whole-stage codegen is silently DISABLED for operators with
+        # more than spark.sql.codegen.maxFields (100) fields — and a
+        # compiled mtail program's shared-regex projection carries
+        # ~70 hoisted columns, so the entire regex pipeline of every
+        # multi-site program ran on the interpreted Volcano path
+        # (optimization r13, guide §1/§7.2; measured: the dhcpd
+        # 70-column projection 1.89 s → 0.05 s at sf1 once compiled).
+        .config("spark.sql.codegen.maxFields", "1024")
     )
-    for k, v in (extra_conf or {}).items():
+    # Janino-generated methods for WIDE projections (the per-line
+    # event-array build: ~27-38 KB of bytecode for an 18-site
+    # program) exceed HotSpot's DontCompileHugeMethods threshold
+    # (8 KB), so they run in the BYTECODE INTERPRETER — measured
+    # ~64 core-us/line on dhcpd's event projection, 2x recovered by
+    # letting the JIT compile them.  Standard practice for wide Spark
+    # codegen; applied to driver (local mode: executors live there)
+    # AND executors (cluster deployments).  User-supplied options are
+    # preserved (appended after ours so theirs win on conflict).
+    _jit = "-XX:-DontCompileHugeMethods"
+    merged = dict(extra_conf or {})
+    for _k in ("spark.driver.extraJavaOptions",
+               "spark.executor.extraJavaOptions"):
+        _user = merged.get(_k, "")
+        if _jit not in _user:
+            merged[_k] = f"{_jit} {_user}".strip()
+    for k, v in merged.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     _prewarm_python_workers(spark, cpus)
@@ -344,6 +378,19 @@ def ensure_parallelism(df, spark=None, tune_only: bool = False):
         # program vs one-split-per-core
         want = min(max(total // (par * 3), 131072),
                    _default_scan_mpb(spark))
+        # A query composing SEVERAL tuned inputs reads the conf once
+        # at action time, so the last-planned dataset used to win —
+        # and a small input planned last de-parallelized a large
+        # input's scan into hundreds of tiny splits (ADVICE r12).
+        # Scope the tune to the LARGEST want since the last
+        # reset_scan_tuning: one conf cannot serve both sizes, and
+        # coarse splits on the small side cost far less than
+        # thousands of ~3 ms empty-split tasks on the large side.
+        key = id(spark.sparkContext)
+        prev = _TUNED_WANT.get(key)
+        if prev is not None:
+            want = max(want, prev)
+        _TUNED_WANT[key] = want
         live = _parse_byte_size(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
         )
@@ -356,6 +403,10 @@ def ensure_parallelism(df, spark=None, tune_only: bool = False):
 
 
 _DEFAULT_MPB: dict = {}
+
+# per-session largest ensure_parallelism want since the last
+# reset_scan_tuning (see the tune branch above)
+_TUNED_WANT: dict = {}
 
 
 def _default_scan_mpb(spark) -> int:
@@ -424,6 +475,7 @@ def reset_scan_tuning(spark) -> None:
     plans afterwards in the same session (bench harness, mixed
     pipelines) call this to shed the tuning."""
     key = id(spark.sparkContext)
+    _TUNED_WANT.pop(key, None)
     if key in _DEFAULT_MPB:
         spark.conf.set(
             "spark.sql.files.maxPartitionBytes", str(_DEFAULT_MPB[key])

@@ -77,9 +77,36 @@ def test_asof_join_fused_equals_unfused(spark):
     )
     fused = sorted(map(tuple, TS.asof_join_fused(ev, pc, bc).collect()))
     assert fused == unfused
-    # one scan vs two: the fused physical plan reads the source once
-    plan = TS.asof_join_fused(ev, pc, bc)._jdf.queryExecution().executedPlan().toString()
-    assert "Union" not in plan
+    # one scan vs two (ADVICE r12: assert the specific marker — a
+    # single source scan — rather than substring-matching node names)
+    plan = (
+        TS.asof_join_fused(ev, pc, bc)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_scans = plan.count("Scan ExistingRDD") + plan.count("Scan parquet")
+    assert n_scans == 1, plan
+
+
+def test_asof_join_fused_rejects_overlapping_literals(spark):
+    """The disjointness precondition is statically asserted when both
+    predicates are col == literal on one column (VERDICT r12 item 8):
+    the SAME literal means every matching row satisfies both sides,
+    which the fused form cannot represent."""
+    import pytest
+
+    ev = _ev(spark, [(1, 1, "2024-01-01 00:00:01", "click", 1.0)])
+    same = F.col("event_type") == "click"
+    with pytest.raises(AssertionError, match="SAME literal"):
+        TS.asof_join_fused(ev, same, F.col("event_type") == "click")
+    # different literals on one column: provably disjoint, accepted
+    TS.asof_join_fused(
+        ev, F.col("event_type") == "purchase", same
+    ).collect()
+    # predicates the static check can't see (different columns /
+    # non-equality) pass through — caller-guaranteed, documented
+    TS.asof_join_fused(
+        ev, F.col("value") > 100, same
+    ).collect()
 
 
 def test_funnel_hand_case(spark):

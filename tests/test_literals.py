@@ -161,3 +161,84 @@ def test_py_sound_on_reference_examples():
                         assert lit in line, (raw, lit, line)
     assert claimed >= 20, claimed   # the analyzer fires on real programs
     assert checked >= 100, checked  # and the soundness check had teeth
+
+
+# ------------------------- round-13: anchored prefix / literal alternation
+
+from mtail_spark.compiler.literals import (  # noqa: E402
+    literal_alternation,
+    required_prefix,
+)
+
+PREFIX_CASES = [
+    (r"^DHCPDISCOVER from (\S+)", "DHCPDISCOVER from "),
+    (r"^abc?d", "ab"),        # c optional -> drop it
+    (r"^ab*d", "a"),
+    (r"^ab+d", "ab"),         # + keeps the char required
+    (r"^ab{0,2}d", "a"),
+    (r"^ab\.cd efg", "ab.cd efg"),
+    (r"abc", None),           # unanchored
+    (r"^(\S+) BEGIN", None),  # prefix starts with a group
+    ("^ab", "ab"),            # min_len handled separately
+]
+
+
+@pytest.mark.parametrize("pat,want", PREFIX_CASES)
+def test_required_prefix(pat, want):
+    assert required_prefix(pat, min_len=1) == want
+
+
+def test_required_prefix_min_len():
+    assert required_prefix(r"^abc?d") is None  # "ab" under default 3
+
+
+def test_required_prefix_sound():
+    # every match of the pattern must start with the claimed prefix
+    for pat, _ in PREFIX_CASES:
+        pref = required_prefix(pat, min_len=1)
+        if pref is None:
+            continue
+        rx = re.compile(pat)
+        for line in (
+            "DHCPDISCOVER from aa:bb", "abd x", "abbd x", "ad x",
+            "abc x", "ab.cd efg!", "no match at all", "", "a", "ab",
+        ):
+            m = rx.search(line)
+            if m:
+                assert line.startswith(pref), (pat, pref, line)
+
+
+ALT_CASES = [
+    (
+        "^(balanced|balancing|BOOTREPLY|DHCPACK|DHCPDISCOVER)",
+        ["balanced", "balancing", "BOOTREPLY", "DHCPACK",
+         "DHCPDISCOVER"],
+    ),
+    ("^(foo|bar) baz", None),   # trailing content -> backtracking risk
+    ("^(foo|b.r)", None),       # metachar branch
+    ("^(foo|)", None),          # empty branch
+    ("(foo|bar)", None),        # unanchored
+    ("^(a\\|b|c)", ["a|b", "c"]),
+    ("^(foo)", None),           # single branch: no win
+    ("^(fo(o|z))", None),       # nested group
+]
+
+
+@pytest.mark.parametrize("pat,want", ALT_CASES)
+def test_literal_alternation(pat, want):
+    assert literal_alternation(pat) == want
+
+
+def test_literal_alternation_first_match_semantics():
+    # the CASE-over-startswith replacement must agree with the regex
+    # engine branch order (leftmost-first, not longest)
+    pat = "^(balanced|balancing|BOOTREPLY|DHCPACK|DHCPDISCOVER)"
+    alts = literal_alternation(pat)
+    rx = re.compile(pat)
+    for s in (
+        "balancing pool", "balanced", "DHCPDISCOVER from x",
+        "DHCPACK on", "nothing", "DHCP", "", "BOOTREPLYx",
+    ):
+        m = rx.search(s)
+        case = next((a for a in alts if s.startswith(a)), None)
+        assert (m.group(1) if m else None) == case, s

@@ -48,3 +48,52 @@ def test_ensure_parallelism(spark, tmp_path):
     # in-memory relation (no input files) -> untouched
     mem = spark.range(10)
     assert ensure_parallelism(mem, spark) is mem
+
+
+def test_scan_tune_scoped_to_largest_input(spark, tmp_path):
+    """ADVICE r12: when several multi-row-group inputs tune the scan
+    split size in one session, the LARGEST want since the last reset
+    wins — a small input planned last must not de-parallelize a large
+    input's scan into thousands of tiny splits."""
+    from mtail_spark.session import (
+        _parse_byte_size,
+        ensure_parallelism,
+        reset_scan_tuning,
+    )
+
+    def mk(name, rows, groups):
+        p = str(tmp_path / name)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table({"x": list(range(rows))})
+        pq.write_table(tbl, p, row_group_size=rows // groups)
+        return p
+
+    big = mk("big.parquet", 200_000, 64)
+    small = mk("small.parquet", 40_000, 64)
+    reset_scan_tuning(spark)
+    try:
+        ensure_parallelism(spark.read.parquet(big), spark,
+                           tune_only=True)
+        after_big = _parse_byte_size(
+            spark.conf.get("spark.sql.files.maxPartitionBytes")
+        )
+        ensure_parallelism(spark.read.parquet(small), spark,
+                           tune_only=True)
+        after_small = _parse_byte_size(
+            spark.conf.get("spark.sql.files.maxPartitionBytes")
+        )
+        # the small input's (smaller) want must not shrink the conf
+        assert after_small >= after_big
+        # and a reset clears the scope: the small input alone tunes
+        # below the big input's value
+        reset_scan_tuning(spark)
+        ensure_parallelism(spark.read.parquet(small), spark,
+                           tune_only=True)
+        alone = _parse_byte_size(
+            spark.conf.get("spark.sql.files.maxPartitionBytes")
+        )
+        assert alone <= after_big
+    finally:
+        reset_scan_tuning(spark)

@@ -25,7 +25,7 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     outdir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r12",
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"),
     )
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark("capture-plan")

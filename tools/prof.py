@@ -178,6 +178,13 @@ def ab(query: str, sf: str, n: int) -> None:
     samples = []
     for i in range(n):
         reset_scan_tuning(spark)
+        # match bench.py's two-layer cache discipline (r12 fix): every
+        # timed iteration computes from the inputs — no CacheManager
+        # reuse of operator persists, no run_batch plan-memo hits
+        spark.catalog.clearCache()
+        from mtail_spark.compiler.api import clear_plan_caches
+
+        clear_plan_caches()
         spark._jvm.System.gc()
         spark._jvm.System.gc()
         time.sleep(0.6)
