@@ -73,33 +73,47 @@ def boilerplate_report(
     corpus = ensure_parallelism(corpus, corpus.sparkSession,
                                 tune_only=True)
     freq = frequent_shingles(corpus, id_col, text_col, n, min_docs)
+    # One exploded pass computes BOTH per-doc aggregates
+    # (optimization r13, guide §1.2 minimal passes): the old shape ran
+    # the shingle regex over THREE corpus scans (freq + exploded +
+    # per-doc size()) and joined two per-doc relations back together.
+    # explode_outer KEEPS a null placeholder row for shingle-less
+    # docs, so count("ng") is exactly size(word_shingles(text)) and
+    # every doc survives into the aggregate; the broadcast LEFT join
+    # tags corpus-frequent shingles (null ng never equi-matches), and
+    # ONE groupBy(id) yields both counts — scans 3 → 2, the
+    # per-doc join gone.  Same id-uniqueness contract as
+    # linear_quality_score (docs with duplicate ids would collapse).
     exploded = corpus.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("_arr")
+    ).select(
         F.col(id_col),
-        F.explode_outer(word_shingles(F.col(text_col), n)).alias("ng"),
-    ).filter(F.col("ng").isNotNull())
-    # per-doc denominator is map-side (array size) — no explode, no
-    # exchange for it
-    per_doc = corpus.select(
-        F.col(id_col),
-        F.size(word_shingles(F.col(text_col), n)).cast("long")
-        .alias("n_shingles"),
+        # size() carried per row, NOT count(ng): bit-identical to the
+        # old per-doc size() column for EVERY array shape (incl. the
+        # null array of a null text, where size() and a post-explode
+        # count disagree)
+        F.size("_arr").alias("_sz"),
+        F.explode_outer("_arr").alias("ng"),
     )
-    boiler = (
-        exploded.join(F.broadcast(freq.select("ng")), "ng")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    flagged = exploded.join(
+        F.broadcast(freq.select("ng", F.lit(1).alias("_f"))),
+        "ng",
+        "left",
     )
     return (
-        per_doc.join(boiler, id_col, "left")
+        flagged.groupBy(id_col)
+        .agg(
+            F.first("_sz").cast("long").alias("n_shingles"),
+            F.count("_f").cast("long").alias("n_boiler"),
+        )
         .select(
             F.col(id_col),
             F.col("n_shingles"),
-            F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
+            F.col("n_boiler"),
             # floor() (not a bare cast) so Spark's truncating
             # double->long and DuckDB's rounding double->BIGINT agree
             F.floor(
-                F.coalesce(F.col("n_boiler"), F.lit(0)) * F.lit(1000)
-                / F.col("n_shingles")
+                F.col("n_boiler") * F.lit(1000) / F.col("n_shingles")
             ).cast("long").alias("boiler_permille"),
         )
     )

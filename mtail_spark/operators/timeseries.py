@@ -220,24 +220,24 @@ def asof_join(
 def _eq_literal(cond) -> tuple[str, str] | None:
     """(column_name, literal_repr) when `cond` is a plain
     `col == literal` comparison, else None (disjointness not
-    statically checkable).  Inspects the unresolved expression tree —
-    never executes anything."""
+    statically checkable).  Works from the Column's stable repr —
+    Spark 4's python Column no longer exposes the expression tree.
+    Spark 4.1 prints `Column<'=(event_type, 'click')'>`; the right
+    side is accepted only when it is a QUOTED string or a bare number
+    (an unquoted identifier could be another column, and anything
+    with nested parens/quotes is not parseable) — conservative:
+    None, never a wrong answer."""
+    import re
+
     try:
-        e = cond._jc.expr()
-        if e.getClass().getSimpleName() != "EqualTo":
-            return None
-        attr = lit = None
-        for s in (e.left(), e.right()):
-            n = s.getClass().getSimpleName()
-            if n == "UnresolvedAttribute":
-                attr = s.name()
-            elif n == "Literal":
-                lit = str(s)
-        if attr is not None and lit is not None:
-            return attr, lit
+        m = re.fullmatch(
+            r"Column<'=\(([A-Za-z_][A-Za-z0-9_.]*), "
+            r"('[^'()]*'|-?[0-9]+(?:\.[0-9]+)?)\)'>",
+            str(cond),
+        )
     except Exception:
         return None
-    return None
+    return (m.group(1), m.group(2)) if m else None
 
 
 def asof_join_fused(
